@@ -1,0 +1,67 @@
+"""Deterministic zip-with-index over a total order, at scale.
+
+Reference parity: Prajna ``mapi`` hands the user (partition index,
+in-partition ordinal) (/root/reference/src/CoreLib/DSetGenerics.fs:1041-1054,
+wrapper function.fs:~1672). The cluster-scale deterministic analogue is a
+global 0-based index over an explicit total order.
+
+The naive Spark spelling — ``row_number() OVER (ORDER BY ...)`` with no
+PARTITION BY — collapses all data into ONE task; at 100 TB that is a
+non-starter. This implementation keeps the work distributed:
+
+1. range-repartition + sort within partitions on the order keys
+   (partitions are range-disjoint, so partition id ordering == key order);
+2. per-partition ordinal via a window PARTITIONed BY partition id
+   (embarrassingly parallel);
+3. per-partition row counts -> prefix-sum offsets via a window over only
+   #partitions rows (trivially small);
+4. broadcast-join offsets back: idx = offset + local ordinal - 1.
+
+The sorted frame is persisted so the offset branch and the main branch see
+identical partitioning (range-partitioner sampling must not re-run).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zip_with_index(
+    df: DataFrame,
+    order_by: list[str],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 0-based ``index_col`` following the total order ``order_by``.
+
+    ``order_by`` must be a unique composite key for the result to be
+    deterministic (same contract as the reference's EstablishCorrelatedMix
+    co-location check, DSetGenerics.fs:113-129).
+    """
+    cols = [F.col(c) for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = sorted_df.withColumn("__local", F.row_number().over(w_local)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_prefix = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )  # window over #partitions rows only — not a data-sized bottleneck
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__cnt").over(w_prefix), F.lit(0))
+    ).select("__pid", "__offset")
+
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(index_col, (F.col("__offset") + F.col("__local") - 1).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )

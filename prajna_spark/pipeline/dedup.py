@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash,
+n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy on a 128-bit fingerprint (shuffle carries
+  (hash, id) pairs only, never the documents);
+- MinHash-LSH turns all-pairs O(n^2) similarity into per-band equi-joins —
+  candidate pairs come from band-bucket collisions, so the shuffle key is
+  the band value and skew is bounded by bucket size;
+- hash functions are md5-based column expressions (JVM codegen,
+  engine-portable — identical hex on Spark and DuckDB, which is what makes
+  the oracle checks exact rather than approximate).
+
+Reference parity: none of this exists in Prajna; it is part of the
+north-star LLM-pipeline surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import pround
+from prajna_spark.pipeline.textqa import normalized, tokens
+
+#: Cap on characters fed to shingling — bounds per-row work at scale while
+#: keeping the signature stable for long documents.
+MAX_SHINGLE_CHARS = 512
+
+
+def shingles(col: Column, k: int = 5, max_chars: int = MAX_SHINGLE_CHARS) -> Column:
+    """Character k-shingles of the normalized text (array<string>).
+
+    For text shorter than k, the single truncated shingle is kept so every
+    document has a non-empty signature.
+    """
+    t = F.substring(normalized(col), 1, max_chars)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
+
+
+def minhash_sig(col: Column, seed: int, k: int = 5) -> Column:
+    """One MinHash component: lexicographic min of seeded md5 over shingles.
+
+    min(md5(seed || shingle)) is a valid min-wise hash per seed; using the
+    hex string (not an int) keeps it bit-identical across engines.
+    """
+    return F.array_min(
+        F.transform(shingles(col, k), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 5) -> DataFrame:
+    """Append minhash_0..minhash_{n-1} columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*", *[minhash_sig(c, j, k).alias(f"minhash_{j}") for j in range(n_hashes)]
+    )
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature is split into bands of ``band_size`` hashes; documents
+    colliding on ANY band become a candidate pair (id_a < id_b, distinct).
+    Only (id, band_id, band_val) rows shuffle — O(n * n_bands) narrow rows
+    regardless of document size.
+    """
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"minhash_{b * band_size + i}") for i in range(band_size)]
+        part = sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band_id"),
+            F.concat(*cols).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(
+        F.col("id").alias("id_a"), "band_id", "band_val"
+    )
+    b_ = bands.select(F.col("id").alias("id_b"), "band_id", "band_val")
+    return (
+        a.join(b_, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document from distinct-token md5 digit parities.
+
+    bit_j weight for a token = +1 if the j-th hex digit of md5(token) is
+    odd else -1; bit set where the summed weight is positive. Fully
+    relational (explode → groupBy → pivot-free bit sum), so it scales as a
+    pair of shuffles on (doc, token) and (doc).
+    """
+    hexd = "0123456789abcdef"
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    expanded = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "id",
+        "j",
+        (
+            ((F.instr(F.lit(hexd), F.substring(F.col("h"), F.col("j"), 1)) - 1) % 2)
+            * 2
+            - 1
+        ).alias("w"),
+    )
+    bit_sums = expanded.groupBy("id", "j").agg(F.sum("w").alias("ws"))
+    return (
+        bit_sums.withColumn(
+            "bit_val",
+            F.when(
+                F.col("ws") > 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("id")
+        .agg(F.sum("bit_val").cast("long").alias("simhash16"))
+        .select(F.col("id").alias(id_col), "simhash16")
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates by content fingerprint.
+
+    Returns (fingerprint, canonical_id = min id, n_dups). Shuffles only
+    (fingerprint, id) — at 100 TB the documents themselves never move.
+    """
+    from prajna_spark.pipeline.textqa import fingerprint
+
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, other: DataFrame | None = None
+) -> DataFrame:
+    """Word-set Jaccard for adjacent-id pairs (cheap linear sweep used as
+    the exact-similarity comparator for LSH candidates)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("ws"),
+    )
+    a = words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    b = words.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    joined = a.join(b, a.id_a + 1 == b.id_b)
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        pround(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north star:
+- brute-force cosine top-k — exact baseline; query side broadcast, window
+  top-k per query. Cost O(|Q| * n); right answer for small query sets.
+- signed-random-projection (SRP) LSH bucketing — the scale path: each
+  vector hashes to a small integer bucket from the signs of dot products
+  with fixed pseudo-random hyperplanes; ANN search probes only matching
+  buckets (an equi-join on bucket id instead of a cross join).
+
+All math in double-precision column expressions (F.aggregate/F.zip_with —
+sequential fold, bit-compatible with the DuckDB oracle's list arithmetic).
+Hyperplanes are deterministic (md5-seeded, no RNG) so plans and oracles
+reproduce across engines and rounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import pround
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def srp_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (j,i) = parity of the first
+    hex digit of md5('srp|j|i'). No RNG — reproducible everywhere."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp|{j}|{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """SRP-LSH bucket id in [0, 2^n_planes): bit j set iff dot(v, h_j) > 0."""
+    v = _as_double(vec)
+    bucket = F.lit(0)
+    for j, plane in enumerate(srp_hyperplanes(dim, n_planes)):
+        h = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(v, h) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    queries is broadcast (small side); candidates never shuffle — each
+    partition scores its vectors against all queries and the per-query
+    window keeps k. Similarity is rounded BEFORE ranking and ties broken
+    by candidate id, so results are engine-deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: equi-join on SRP bucket, then exact cosine within bucket.
+
+    The scale path — candidate generation is a shuffle on the bucket id
+    (2^n_planes distinct keys; raise n_planes to shrink buckets as n
+    grows), never a cross join.
+    """
+    vb = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        vb.join(F.broadcast(qb), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

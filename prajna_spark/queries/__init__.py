@@ -1,0 +1,75 @@
+"""Named query catalog — the driver/judge contract.
+
+Every operator family declared in SURVEY.md §2 (plus the LLM-pipeline
+extensions) is exercised by at least one named query here. Each query is a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible, a
+DuckDB oracle SQL string producing identical column names and values.
+
+Conventions enforced across the catalog (driver hash-compares values after
+sorting columns by name):
+- every computed column is aliased IDENTICALLY in Spark and oracle SQL;
+- floats are rounded explicitly on BOTH sides (aggregation-order fp drift);
+- timestamps never leave a query raw: epoch seconds / extracted fields;
+- ties in any top-k / rank are broken by a unique key so results are
+  deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a catalog query. ``oracle`` is DuckDB SQL over the
+    pre-registered views (region nation customer supplier part orders
+    lineitem events documents embeddings); None → driver runs the weaker
+    rows-only check (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import side-effect registers every module's queries exactly once.
+    from prajna_spark.queries import (  # noqa: F401
+        relational,
+        scalars,
+        text,
+        vectors,
+        windows,
+    )
+
+
+def registry() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
+    }

@@ -1,0 +1,282 @@
+"""Text-analysis + dedup catalog queries over the ``documents`` table
+(north-star LLM-pipeline surface; no reference equivalent).
+
+Oracle parity technique: every hash function is md5 (identical hex on both
+engines), every tokenizer is the same regex, every score is computed with
+the same operation order — so the DuckDB checks are exact, not
+approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R, pround
+from prajna_spark.pipeline import dedup, textqa
+from prajna_spark.queries import query
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+# DuckDB SQL fragments mirroring pipeline.textqa expressions exactly.
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'))"
+_TOKS = f"list_filter(string_split_regex({_NORM}, ' +'), w -> w <> '')"
+_BPE = r"len(regexp_extract_all(lower({c}), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"
+_PUNCT = (
+    "CASE WHEN length({c}) > 0 THEN "
+    "length(regexp_replace(lower({c}), '[a-z0-9 ]', '', 'g')) / length({c}) "
+    "ELSE 0.0 END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, "documents", sf_dir)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                          AS n_chars_actual,
+           len({_TOKS.format(c='text')})         AS n_tokens,
+           {_BPE.format(c='text')}               AS n_bpe_tokens,
+           {R(_PUNCT.format(c='text'), 4)}       AS punct_ratio
+    FROM documents
+    """,
+    tags=("text", "tokenize", "quality"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and punctuation ratio —
+    all codegen'd column expressions from pipeline.textqa."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        textqa.token_count(t).cast("long").alias("n_tokens"),
+        textqa.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        pround(textqa.punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    toks = _TOKS.format(c="text")
+    n = f"greatest(len({toks}), 1)"
+    scores = {}
+    for lang in sorted(textqa.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in textqa.STOPWORDS[lang])
+        scores[lang] = f"(len(list_filter({toks}, w -> w IN ({words}))) / {n})"
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    # Iterating sorted langs with strict '>' == alphabetically-first argmax.
+    case = "CASE WHEN " + m + " <= 0 THEN 'und' "
+    for lang in sorted(textqa.STOPWORDS):
+        case += f"WHEN {scores[lang]} = {m} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case, scores["en"]
+
+
+_LANG_CASE, _EN_SCORE = _lang_scores_sql()
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_LANG_CASE}                 AS lang_pred,
+           {R(_EN_SCORE, 4)}            AS en_ratio
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic (pipeline.textqa.lang_id),
+    compared against the table's labeled ``lang``."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    en_ratio = textqa.stopword_hits(t, "en") / F.greatest(
+        textqa.token_count(t), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        textqa.lang_id(t).alias("lang_pred"),
+        pround(en_ratio, 4).alias("en_ratio"),
+    )
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in textqa.STOPWORDS["en"])
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {R(f'''(
+             least(length(text) / 500.0, 1.0)
+             + (1.0 - least(({_PUNCT.format(c="text")}) * 4, 1.0))
+             + least(len(list_filter({_TOKS.format(c="text")}, w -> w IN ({_EN_WORDS})))
+                     / greatest(len({_TOKS.format(c="text")}), 1) * 5, 1.0)
+             + (CASE WHEN length({_NORM.format(c="text")})
+                          / greatest(len({_TOKS.format(c="text")}), 1)
+                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           ) / 4''', 4)} AS quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (pipeline.textqa.quality_score)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", pround(textqa.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM.format(c='text')})               AS fingerprint,
+           substring(md5({_NORM.format(c='text')}), 1, 8) AS fp_short
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (pipeline.textqa.fingerprint)."""
+    docs = _docs(spark, sf_dir)
+    fp = textqa.fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_short"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM.format(c='text')}) AS fingerprint,
+           min(doc_id)                   AS canonical_id,
+           count(*)                      AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content fingerprint — shuffles (hash, id)
+    pairs only (pipeline.dedup.exact_dedup_groups)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+def _minhash_sql(seed: int, k: int = 5) -> str:
+    t = f"substring({_NORM.format(c='text')}, 1, {dedup.MAX_SHINGLE_CHARS})"
+    n = f"greatest(length({t}) - {k - 1}, 1)"
+    return (
+        f"list_min(list_transform(range(1, {n} + 1), "
+        f"i -> md5(concat('{seed}|', substring({t}, CAST(i AS INT), {k})))))"
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {_minhash_sql(0)} AS minhash_0,
+           {_minhash_sql(1)} AS minhash_1,
+           {_minhash_sql(2)} AS minhash_2,
+           {_minhash_sql(3)} AS minhash_3
+    FROM documents
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeded min-wise hashes over 5-char shingles
+    of normalized text, capped at 512 chars) — pipeline.dedup.minhash_sig."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id", *[dedup.minhash_sig(t, j).alias(f"minhash_{j}") for j in range(4)]
+    )
+
+
+@query(
+    "dedup_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs via band-bucket equi-join (2 bands × 2
+    hashes) — pipeline.dedup.lsh_band_pairs. On this synthetic corpus the
+    pair set may be small/empty; the op and its plan (equi-join, never a
+    cross join) are what's under test."""
+    docs = _docs(spark, sf_dir)
+    return dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS.format(c='text')})) AS tok
+      FROM documents
+    ), contrib AS (
+      SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substring(md5(tok), CAST(j AS INT), 1)) - 1)
+              % 2) * 2 - 1 AS w
+      FROM toks, range(1, 17) t(j)
+    ), bits AS (
+      SELECT doc_id, j, sum(w) AS ws FROM contrib GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN ws > 0 THEN CAST(pow(2, j - 1) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (pipeline.dedup.simhash16_df) — fully
+    relational explode/groupBy, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash16_df(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_jaccard_adjacent",
+    oracle=f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(list_distinct({_TOKS.format(c='a.text')}),
+                              list_distinct({_TOKS.format(c='b.text')}))) AS n_common,
+           {R(f'''len(list_intersect(list_distinct({_TOKS.format(c="a.text")}),
+                                    list_distinct({_TOKS.format(c="b.text")})))
+                 / greatest(len(list_distinct(list_concat(
+                       list_distinct({_TOKS.format(c="a.text")}),
+                       list_distinct({_TOKS.format(c="b.text")})))), 1)''', 4)} AS jaccard
+    FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard on adjacent-id pairs (pipeline.dedup.jaccard_pairs)
+    — the exact comparator one runs on LSH candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.jaccard_pairs(docs, "doc_id", "text")

@@ -1,0 +1,136 @@
+"""Similarity-search catalog queries over the ``embeddings`` table
+(north-star LLM-pipeline surface).
+
+Oracle parity technique: both engines compute dot products as sequential
+folds over double-precision arrays (Spark F.aggregate/zip_with; DuckDB
+list_sum/list_transform) with identical operation order, similarities are
+rounded BEFORE ranking, and ties break on vec_id — so top-k sets match
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R, pround
+from prajna_spark.pipeline import similarity
+from prajna_spark.queries import query
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+DIM = 64  # embeddings table dimension (TESTDATA)
+
+_DOT = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> {a}[CAST(i AS INT)]"
+    " * {b}[CAST(i AS INT)]))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, "embeddings", sf_dir)
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+             {R(f'''{_DOT.format(d=DIM, a="q.qe", b="v.e")}
+               / (sqrt({_DOT.format(d=DIM, a="q.qe", b="q.qe")})
+                  * sqrt({_DOT.format(d=DIM, a="v.e", b="v.e")}))''', 6)} AS sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    tags=("similarity", "knn", "cosine"),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors (vec_id < 5) — the
+    brute-force baseline (pipeline.similarity.knn_bruteforce): query side
+    broadcast, candidates scored in place, per-query window top-k."""
+    emb = _emb(spark, sf_dir)
+    return similarity.knn_bruteforce(
+        emb, emb.where(F.col("vec_id") < 5), k=10, sim_decimals=6
+    )
+
+
+def _srp_bucket_sql() -> str:
+    planes = similarity.srp_hyperplanes(DIM, 8)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        d = _DOT.format(d=DIM, a="CAST(embedding AS DOUBLE[])", b=f"({lit}::DOUBLE[])")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2**j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "srp_lsh_buckets",
+    oracle=f"""
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, {_srp_bucket_sql()} AS bucket FROM embeddings)
+    GROUP BY bucket
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bucket histogram (8 deterministic
+    md5-seeded hyperplanes → 256 buckets) — the ANN scale path's
+    candidate-generation key (pipeline.similarity.srp_bucket). At 100 TB
+    the ANN join shuffles on this bucket id instead of cross-joining."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "vec_id",
+            similarity.srp_bucket(F.col("embedding"), DIM, 8).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           {R(f'''avg({_DOT.format(d=DIM, a="CAST(embedding AS DOUBLE[])",
+                                  b="CAST(embedding AS DOUBLE[])")})''', 4)}
+               AS avg_sq_norm,
+           {R(f'''min(sqrt({_DOT.format(d=DIM, a="CAST(embedding AS DOUBLE[])",
+                                       b="CAST(embedding AS DOUBLE[])")}))''', 4)}
+               AS min_norm,
+           {R(f'''max(sqrt({_DOT.format(d=DIM, a="CAST(embedding AS DOUBLE[])",
+                                       b="CAST(embedding AS DOUBLE[])")}))''', 4)}
+               AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "vector-stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector norm statistics — exercises the double-precision
+    vector arithmetic (pipeline.similarity.dot/norm) under aggregation."""
+    emb = _emb(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = similarity.dot(e, e)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg(sq), 4).alias("avg_sq_norm"),
+        pround(F.min(F.sqrt(sq)), 4).alias("min_norm"),
+        pround(F.max(F.sqrt(sq)), 4).alias("max_norm"),
+    )

@@ -1,0 +1,179 @@
+"""Window functions (SURVEY.md §2.11) — absent from the reference (only
+``mapi``'s per-partition ordinal, DSetGenerics.fs:1041); declared upgrades.
+All windows are PARTITIONed (per-customer / per-user) so work distributes;
+no global unpartitioned windows in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R, pround
+from prajna_spark.queries import query
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+
+@query(
+    "window_rank_orders",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, {R('o_totalprice', 2)} AS total_price, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("window", "rank", "topk-per-key"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the scalable per-key
+    top-k (one shuffle on o_custkey; rank filter evaluated streaming,
+    nothing materializes per group). Ties broken by o_orderkey."""
+    tune(spark)
+    od = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            pround(F.col("o_totalprice"), 2).alias("total_price"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "window_lag_events",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {R('value', 4)} AS value,
+           {R('value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 4)} AS delta,
+           CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ))) AS BIGINT) AS gap_seconds
+    FROM events
+    """,
+    tags=("window", "lag", "sessionize"),
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas via lag — the sessionization building block.
+    Event order disambiguated by (ts, event_id); timestamps compared as
+    raw epoch seconds (timezone-free)."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        pround(F.col("value"), 4).alias("value"),
+        pround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_seconds"),
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {R('''sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS running_spend,
+           {R('''avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''', 2)} AS ma3
+    FROM orders
+    """,
+    tags=("window", "frame", "running-agg"),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running sum + 3-row moving average per customer."""
+    tune(spark)
+    od = load_table(spark, "orders", sf_dir)
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ma = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        pround(F.avg("o_totalprice").over(w_ma), 2).alias("ma3"),
+    )
+
+
+@query(
+    "telemetry_hourly_rollup",
+    oracle=f"""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+           event_type,
+           count(*) AS n_events,
+           {R('sum(value)', 2)} AS total_value,
+           {R('avg(value)', 4)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "telemetry", "window-agg"),
+)
+def telemetry_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the Prajna service-telemetry loop (paper §5.2:
+    ``import → RowsReorg -1 → MapByCollection → Fold`` over live stats,
+    DSetGenerics.fs:788,1127,392): tumbling 1-hour rollup per event type.
+    The streaming twin (readStream + watermark + F.window) lives in
+    prajna_spark.streaming; hour buckets here are raw epoch arithmetic so
+    the oracle is timezone-free."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("epoch_hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("epoch_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("total_value"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "window_ntile_dense_rank",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)      AS bal_quartile,
+           dense_rank() OVER (ORDER BY c_nationkey)                AS nation_rank
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("window", "ntile", "dense_rank"),
+)
+def window_ntile_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/dense_rank over a filtered (small) set. NOTE: unpartitioned
+    window — acceptable only because the segment filter bounds the input;
+    the scalable pattern for global ranks is operators.zipindex."""
+    tune(spark)
+    cu = load_table(spark, "customer", sf_dir)
+    filtered = cu.where(F.col("c_mktsegment") == "BUILDING")
+    return filtered.select(
+        "c_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .cast("long").alias("bal_quartile"),
+        F.dense_rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
+    )

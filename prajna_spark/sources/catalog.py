@@ -1,0 +1,56 @@
+"""Table catalog over the driver's parquet testdata.
+
+Reference parity: Prajna's sources are ``DSet.loadSource`` (re-open a named
+stored DSet, /root/reference/src/CoreLib/DSetGenerics.fs:367-384) and
+``DSet.store/saveToHDD`` (ibid:206-366, 519-547). Here a "named DSet" is a
+parquet table; ``spark.read.parquet`` gives us columnar scan with predicate
+pushdown + column pruning for free — on 100 TB the scan reads only the
+row-groups and columns the query touches (verify with
+``plans.assert_pushdown``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they grow
+# sublinearly or are fixed-size in TPC-H-ish generators).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts arrives as raw nanos (TIMESTAMP(NANOS) parquet type); convert
+        # losslessly via integer division to micros. `div` stays exact where
+        # a double division would lose precision at ~1.7e18.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the full star schema as a dict of DataFrames (lazy scans)."""
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
