@@ -1,0 +1,79 @@
+"""Benchmark suite — driver contract.
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed end-to-end with the noop sink (full computation, no
+driver-side collect cost). Times are wall-clock per query after a session
+warm-up so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prajna_spark.queries import queries  # noqa: E402
+from prajna_spark.session import get_spark  # noqa: E402
+
+# Representative slice of the catalog: one per operator family, weighted
+# toward the shuffle/join/text tiers that dominate at scale.
+HEADLINE = [
+    "pricing_summary",
+    "fold_global_stats",
+    "flatmap_wordcount",
+    "groupbykey_lines",
+    "join_inner_region_rollup",
+    "join_left_customer_orders",
+    "binsort_topk_orders",
+    "zip_index_orders",
+    "window_rank_orders",
+    "telemetry_hourly_rollup",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "knn_bruteforce_cosine",
+    "srp_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("prajna-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    catalog = queries()
+    # Warm up: JVM, codegen, parquet footer caches.
+    catalog["fold_global_stats"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        catalog[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,17 +44,60 @@ def minhash_sig(col: Column, seed: int, k: int = 5) -> Column:
 
     min(md5(seed || shingle)) is a valid min-wise hash per seed; using the
     hex string (not an int) keeps it bit-identical across engines.
+
+    PERFORMANCE NOTE: this nested-HOF form re-evaluates ``col``'s whole
+    expression tree per array element (Catalyst collapses projections back
+    into lambdas), turning O(len) normalization into O(len^2) per row. It
+    is kept for expression-level composition on already-cheap columns;
+    bulk signatures must use :func:`minhash_signature` (explode-based,
+    linear, spill-friendly).
     """
     return F.array_min(
         F.transform(shingles(col, k), lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 5) -> DataFrame:
-    """Append minhash_0..minhash_{n-1} columns."""
-    c = F.col(text_col)
-    return df.select(
-        "*", *[minhash_sig(c, j, k).alias(f"minhash_{j}") for j in range(n_hashes)]
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """Per-id MinHash signature (id_col, minhash_0..minhash_{n-1}).
+
+    Fully relational, scale-first plan:
+      1. one projection computes the normalized truncated text ONCE per row
+         (single regex pass);
+      2. explode(shingles) — the Generate node is an optimizer barrier, so
+         normalization is NOT re-inlined per element; shingle rows
+         distribute and spill like any other rows;
+      3. n_hashes md5 columns per shingle row (codegen'd);
+      4. groupBy(id).agg(min...) — partial aggregation collapses each
+         partition's shingles to one candidate signature before the
+         shuffle, so only (id, n_hashes x 32-hex) rows cross the network.
+    """
+    t = F.substring(normalized(F.col(text_col)), 1, MAX_SHINGLE_CHARS)
+    # Fan the cheap (id, text) rows across all cores BEFORE the explode
+    # multiplies work by ~MAX_SHINGLE_CHARS: a small doc table often scans
+    # as a single input split, which would serialize the whole hash sweep.
+    staged = df.select(F.col(id_col), t.alias("__t")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    n = F.greatest(F.length("__t") - (k - 1), F.lit(1))
+    shingle_rows = staged.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.substring(F.col("__t"), i, k)
+            )
+        ).alias("__sh"),
+    )
+    hashed = shingle_rows.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("__sh"))).alias(f"__h{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"minhash_{j}") for j in range(n_hashes)]
     )
 
 
@@ -73,7 +116,7 @@ def lsh_band_pairs(
     Only (id, band_id, band_val) rows shuffle — O(n * n_bands) narrow rows
     regardless of document size.
     """
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n_hashes, k)
+    sig = minhash_signature(df, id_col, text_col, n_hashes, k)
     n_bands = n_hashes // band_size
     bands = None
     for b in range(n_bands):
@@ -106,8 +149,9 @@ def simhash16_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     hexd = "0123456789abcdef"
     toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        "id", F.explode(F.array_distinct("__toks")).alias("tok")
     )
     expanded = toks.select(
         "id",

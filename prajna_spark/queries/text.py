@@ -195,12 +195,11 @@ def _minhash_sql(seed: int, k: int = 5) -> str:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 seeded min-wise hashes over 5-char shingles
-    of normalized text, capped at 512 chars) — pipeline.dedup.minhash_sig."""
+    of normalized text, capped at 512 chars) — pipeline.dedup.minhash_signature
+    (explode-based: one regex pass per doc, shingle rows distribute,
+    partial-agg min before the shuffle)."""
     docs = _docs(spark, sf_dir)
-    t = F.col("text")
-    return docs.select(
-        "doc_id", *[dedup.minhash_sig(t, j).alias(f"minhash_{j}") for j in range(4)]
-    )
+    return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4)
 
 
 @query(
