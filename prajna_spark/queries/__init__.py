@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _load_all() -> None:
     # Import side-effect registers every module's queries exactly once.
     from prajna_spark.queries import (  # noqa: F401
+        multimodal,
         relational,
         scalars,
         text,

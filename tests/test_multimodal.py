@@ -1,0 +1,71 @@
+"""Multimodal plumbing: binary payload synthesis, Arrow-batched decode,
+JVM frame slicing, stubbed codec."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from prajna_spark.pipeline import multimodal
+from prajna_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.synthesize_media(docs).persist()
+
+
+def test_documents_are_ascii(spark, sf_dir):
+    # The SQL-oracle exactness of the multimodal queries depends on this.
+    docs = load_table(spark, "documents", sf_dir)
+    n_bad = docs.where(F.encode("text", "utf-8") != F.encode("text", "us-ascii")).count()
+    assert n_bad == 0
+
+
+def test_payload_schema_and_header(media):
+    assert dict(media.dtypes) == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "payload": "binary",
+    }
+    row = media.where(F.col("doc_id") == 3).collect()[0]
+    assert bytes(row.payload).startswith(b"FAKEIMG|w=19|h=37|")  # 16+3, 16+21
+
+
+def test_decode_meta_matches_local(media):
+    decoded = {r.doc_id: r for r in multimodal.decode_media_meta(media).collect()}
+    for row in media.collect():
+        b = bytes(row.payload)
+        d = decoded[row.doc_id]
+        assert d.payload_bytes == len(b)
+        assert d.payload_sha == hashlib.sha256(b).hexdigest()
+        assert f"|w={d.width}|h={d.height}|".encode() in b[:30]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"FAKEIMG|w=1|h=1|x")
+
+
+def test_frame_sample_covers_payload(media):
+    frames = multimodal.sample_frames(media, frame_size=100, stride=4)
+    got = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("frame_bytes").alias("maxb"),
+    )
+    lens = {r.doc_id: len(bytes(r.payload)) for r in media.collect()}
+    for r in got.collect():
+        expected_frames = (lens[r.doc_id] - 1) // 400 + 1
+        assert r.n == expected_frames
+        assert r.maxb <= 100
+    # frame content is a true byte slice (pick a doc long enough for frame 1)
+    long_doc = max(lens, key=lambda d: lens[d])
+    assert lens[long_doc] > 500, "fixture corpus should have a >500-byte doc"
+    one = frames.where(
+        (F.col("doc_id") == long_doc) & (F.col("frame_no") == 1)
+    ).collect()[0]
+    full = [bytes(r.payload) for r in media.where(F.col("doc_id") == long_doc).collect()][0]
+    assert bytes(one.frame) == full[400:500]

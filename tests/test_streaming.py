@@ -1,0 +1,82 @@
+"""Structured-Streaming telemetry loop (SURVEY §2.12 upgrades).
+
+The streaming rollup must agree with its batch twin
+(``telemetry_hourly_rollup``) when the stream has fully drained — the
+Prajna interactive fold cycle, with event-time/watermark correctness Spark
+adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prajna_spark.streaming.telemetry import (
+    events_readstream,
+    hourly_rollup_stream,
+    run_telemetry_snapshot,
+)
+
+
+def test_snapshot_matches_batch_rollup(spark, sf_dir):
+    snap = run_telemetry_snapshot(spark, sf_dir, name="t_snapshot")
+    got = {
+        (r.epoch_start // 3600, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in snap.collect()
+    }
+
+    from prajna_spark.queries import queries
+
+    batch = queries()["telemetry_hourly_rollup"](spark, sf_dir)
+    want = {
+        (r.epoch_hour, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_plan_is_event_time_windowed(spark, sf_dir):
+    stream = hourly_rollup_stream(events_readstream(spark, sf_dir))
+    assert stream.isStreaming
+    assert stream.schema.fieldNames() == [
+        "epoch_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    ]
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """Rows older than watermark-behind-max-event-time are dropped in
+    append mode — the late-data contract the reference never had."""
+    src = str(tmp_path / "src")
+    out_name = "t_late"
+    # batch 1: two events at hours 0 and 10 (watermark will advance to 08:00)
+    spark.createDataFrame(
+        [(1, 0, 1, "click", 1.0, "{}"), (2, 36_000 * 10**9, 1, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(src)
+
+    from prajna_spark.session import tune
+
+    tune(spark)
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rollup = hourly_rollup_stream(raw, watermark="2 hours")
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only windows finalized by the watermark: hour 0 is
+    # final (watermark 10:00-2h=08:00), hour 10 still open
+    finalized = {r.epoch_start for r in spark.table(out_name).collect()}
+    assert finalized == {0}
