@@ -109,6 +109,99 @@ def knn_bruteforce(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Coarse quantization: assign every vector to its nearest centroid
+    (max rounded cosine, ties to lowest centroid id) -> (id, centroid_id).
+
+    Centroids broadcast (K rows); assignment is a map-side argmax over the
+    scan — no shuffle. This builds the IVF inverted lists; at 100 TB you
+    would persist the assignment partitioned BY centroid_id so probes
+    touch only matching files."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__sim", pround(cosine(F.col(vec_col), F.col("centroid_vec")), sim_decimals)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k: exact search restricted to the ``nprobe`` cells whose
+    centroids are nearest each query.
+
+    Plan shape at scale: centroids broadcast twice (assignment + probe
+    ranking, both tiny); the only data-sized shuffle is the equi-join of
+    the inverted lists with the (query x probed-cell) pairs on
+    centroid_id. Recall/cost dials: more centroids -> smaller cells;
+    higher nprobe -> higher recall. Centroid selection here is
+    deterministic seed-vectors; production swaps in k-means centers
+    without touching the query plan."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, sim_decimals)
+    inv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(
+        assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn(
+            "__csim", pround(cosine(F.col("q_vec"), F.col("centroid_vec")), sim_decimals)
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    scored = (
+        inv.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def knn_lsh(
     vectors: DataFrame,
     queries: DataFrame,

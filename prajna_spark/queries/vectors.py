@@ -134,3 +134,69 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min(F.sqrt(sq)), 4).alias("min_norm"),
         pround(F.max(F.sqrt(sq)), 4).alias("max_norm"),
     )
+
+
+def _SIM(a: str, b: str) -> str:
+    """Rounded cosine similarity SQL fragment (matches pipeline.similarity
+    cosine + pround exactly: sequential-fold dot, IEEE round at 6)."""
+    return R(
+        f"""{_DOT.format(d=DIM, a=a, b=b)}
+          / (sqrt({_DOT.format(d=DIM, a=a, b=a)})
+             * sqrt({_DOT.format(d=DIM, a=b, b=b)}))""",
+        6,
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SIM("v.e", "cent.ce")} DESC, cent.cid) AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, cent.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_SIM("q.qe", "cent.ce")} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             {_SIM("q.qe", "v.e")} AS sim
+      FROM probes p
+      JOIN asg a ON a.cid = p.cid
+      JOIN v    ON v.vec_id = a.vec_id
+      JOIN q    ON q.qid = p.qid
+      WHERE a.vec_id <> p.qid
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM cand
+    ) WHERE rk <= 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for 5 query vectors: 16 deterministic seed centroids
+    (vec_id < 16), nprobe=4 — exact cosine restricted to probed cells
+    (pipeline.similarity.knn_ivf). The data-sized work is one equi-join on
+    centroid_id; both centroid passes are broadcast, so the plan scales to
+    arbitrarily many indexed vectors."""
+    emb = _emb(spark, sf_dir)
+    return similarity.knn_ivf(
+        vectors=emb,
+        queries=emb.where(F.col("vec_id") < 5),
+        centroids=emb.where(F.col("vec_id") < 16),
+        k=10,
+        nprobe=4,
+    )

@@ -1,0 +1,76 @@
+"""File-format sources/sinks beyond parquet.
+
+Reference parity: Prajna's only on-disk format is its own length-prefixed
+blob stream (/root/reference/src/CoreLib/storage.fs:76-90, file.fs); text
+formats are parsed by hand inside closures (samples/DistributedLogAnalysis/
+DistributedLogAnalysis.fs:104-117), and raw folders are exposed as
+``seq<string*byte[]>`` via ``FolderRecursiveSeq`` / ``RetrieveFolderRecursive``
+(/root/reference/src/CoreLib/DSet.fs:2936-2983). Spark-first, each becomes a
+declarative reader with pushdown where the format supports it:
+
+- CSV/JSON: schema-explicit readers (never inferSchema at scale — schema
+  inference is a full extra pass over 100 TB);
+- folder-of-bytes: ``binaryFile`` source == FolderRecursiveSeq, giving
+  (path, modificationTime, length, content) with partition-parallel reads
+  and pathGlobFilter/recursiveFileLookup pushed to the listing;
+- the blob-stream format itself is NOT ported: parquet is the storage
+  format (columnar, splittable, predicate pushdown — everything the
+  reference's format lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prajna_spark.session import tune
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, **options
+) -> DataFrame:
+    """Schema-explicit CSV scan. ``schema`` is required by design: on a
+    large cluster inferSchema is a second full read of the input."""
+    tune(spark)
+    return spark.read.options(header=header, **options).schema(schema).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """Schema-explicit JSON-lines scan (one object per line — splittable;
+    multiline JSON is not, and is deliberately not defaulted)."""
+    tune(spark)
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_folder_bytes(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Prajna ``FolderRecursiveSeq`` (DSet.fs:2936-2983): a folder tree as
+    (path, modificationTime, length, content binary). File listing happens
+    driver-side but reads are partition-parallel; ``glob`` pushes the file
+    filter into the listing itself."""
+    tune(spark)
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(recursive).lower()
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_folder_bytes(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Prajna ``RetrieveFolderRecursive``'s write twin: persist (path,
+    content) pairs. Spark has no binary-file WRITER; the scalable spelling
+    is parquet with the binary column intact (splittable, columnar
+    metadata, no small-file explosion at 100 TB)."""
+    df.write.mode(mode).parquet(path)

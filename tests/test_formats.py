@@ -1,0 +1,59 @@
+"""File-format source/sink roundtrips (sources.formats)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from prajna_spark.sources import formats
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    data = [(1, "a,b", 1.5), (2, None, -0.25), (3, "x\"y", 0.0)]
+    df = spark.createDataFrame(data, "k int, s string, v double")
+    formats.write_csv(df, path)
+    back = formats.read_csv(spark, path, "k int, s string, v double")
+    assert Counter(tuple(r) for r in back.collect()) == Counter(data)
+
+
+def test_json_roundtrip_with_nesting(spark, tmp_path):
+    path = str(tmp_path / "json")
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": [1, 2]}), (2, {"a": 5, "b": []})],
+        "k int, obj struct<a int, b array<int>>",
+    )
+    formats.write_json(df, path)
+    back = formats.read_json(spark, path, "k int, obj struct<a int, b array<int>>")
+    got = {r.k: (r.obj.a, r.obj.b) for r in back.collect()}
+    assert got == {1: (1, [1, 2]), 2: (5, [])}
+
+
+def test_folder_bytes_recursive_with_glob(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "sub" / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "sub" / "skip.txt").write_text("nope")
+
+    df = formats.read_folder_bytes(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01payload-a", "b.bin": b"payload-b"}
+    assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_folder_bytes_write_twin(spark, tmp_path):
+    src, dst = tmp_path / "src", str(tmp_path / "dst")
+    src.mkdir()
+    (src / "x.bin").write_bytes(b"xxxx")
+    df = formats.read_folder_bytes(spark, str(src)).select("path", "content")
+    formats.write_folder_bytes(df, dst)
+    back = spark.read.parquet(dst)
+    assert bytes(back.collect()[0].content) == b"xxxx"
+
+
+def test_csv_schema_is_mandatory(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(TypeError):
+        formats.read_csv(spark, str(tmp_path))  # no schema -> hard error

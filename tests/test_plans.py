@@ -1,0 +1,69 @@
+"""Physical-plan assertions — the 100 TB contract, enforced in CI.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one we'd want on a 1000-executor cluster: filters/columns pushed into the
+parquet scan, small dims broadcast, no data-sized single-partition funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prajna_spark import plans
+from prajna_spark.queries import queries
+from prajna_spark.sources import load_table
+
+CATALOG = queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = CATALOG["pricing_summary"](spark, sf_dir)
+    # date filter reaches the scan; scan reads only the 7 needed columns
+    plans.assert_pushdown(df, ["l_shipdate"], max_read_cols=7)
+
+
+def test_region_rollup_broadcasts_dims(spark, sf_dir):
+    df = CATALOG["join_inner_region_rollup"](spark, sf_dir)
+    plans.assert_broadcast_join(df, expect=1)
+
+
+def test_scan_prunes_columns_for_projection(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    two = li.select("l_orderkey", "l_quantity")
+    cols = plans.read_schema_columns(two)
+    assert cols, "expected a parquet scan in the plan"
+    for _, read in cols.items():
+        assert sorted(read) == ["l_orderkey", "l_quantity"]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    assert any("o_orderstatus" in p for p in plans.pushed_filters(f))
+
+
+def test_topk_has_no_global_sort_exchange(spark, sf_dir):
+    # TakeOrderedAndProject: per-partition heaps + driver merge of k rows —
+    # never a data-sized single-partition exchange.
+    df = CATALOG["binsort_topk_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_headline_queries_are_jvm_only(spark, sf_dir):
+    """No Python-UDF evaluation in the relational/text hot path (Arrow
+    batch exchanges appear only in the explicitly-Python multimodal ops)."""
+    for name in (
+        "pricing_summary",
+        "flatmap_wordcount",
+        "join_inner_region_rollup",
+        "text_stats",
+        "dedup_minhash_signatures",
+        "knn_bruteforce_cosine",
+    ):
+        df = CATALOG[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in the hot path"
+        assert "MapInPandas" not in plan, f"{name} drops to Python"

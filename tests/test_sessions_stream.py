@@ -1,0 +1,71 @@
+"""Stateful sessionization stream (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from prajna_spark.streaming.sessions import sessionize
+
+EVT_SCHEMA = "ts timestamp, user_id long, value double"
+
+
+def _write_events(spark, path, rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    spark.createDataFrame(pdf, EVT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_sessionize_gap_and_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events")
+    gap = 30 * 60
+
+    # batch file 1: user 1 has 3 events inside one session; user 2 has 1.
+    # Times start at 1000: the stream's initial watermark is epoch 0, and
+    # rows at-or-before the watermark are dropped as late (ts=0 would be).
+    _write_events(
+        spark,
+        src,
+        [(1000, 1, 1.0), (1060, 1, 2.0), (1120, 1, 3.0), (1000, 2, 10.0)],
+    )
+    # batch file 2: user 1 returns 2h later -> closes session 1, opens new
+    _write_events(spark, src, [(8200, 1, 5.0)])
+
+    stream = spark.readStream.schema(EVT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        sessionize(stream, gap_sec=gap)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sessions").collect()
+
+    closed = [(r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+              for r in rows if r.status == "closed"]
+    opens = {(r.user_id, r.session_start): (r.n_events, r.total_value)
+             for r in rows if r.status == "open"}
+
+    # the 2h-later event closed user 1's first session with its final state
+    assert (1, 1000, 1120, 3, 6.0) in closed
+    # latest open snapshots: user 1's new session, user 2's only session
+    assert opens[(1, 8200)] == (1, 5.0)
+    assert opens[(2, 1000)] == (1, 10.0)
+
+
+def test_sessionize_is_streaming_and_schema(spark, tmp_path):
+    src = str(tmp_path / "e2")
+    _write_events(spark, src, [(1000, 1, 1.0)])
+    stream = spark.readStream.schema(EVT_SCHEMA).parquet(src)
+    out = sessionize(stream)
+    assert out.isStreaming
+    assert out.schema.fieldNames() == [
+        "user_id", "session_start", "session_end",
+        "n_events", "total_value", "status",
+    ]
