@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.pipeline.textqa import normalized, tokens
 
 #: Cap on characters fed to shingling — bounds per-row work at scale while
@@ -77,9 +78,8 @@ def minhash_signature(
     # Fan the cheap (id, text) rows across all cores BEFORE the explode
     # multiplies work by ~MAX_SHINGLE_CHARS: a small doc table often scans
     # as a single input split, which would serialize the whole hash sweep.
-    staged = df.select(F.col(id_col), t.alias("__t")).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    # (fan_out is conditional — on a many-split 100 TB table it's a no-op.)
+    staged = fan_out(df.select(F.col(id_col), t.alias("__t")))
     n = F.greatest(F.length("__t") - (k - 1), F.lit(1))
     shingle_rows = staged.select(
         id_col,
@@ -148,11 +148,9 @@ def simhash16_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pair of shuffles on (doc, token) and (doc).
     """
     hexd = "0123456789abcdef"
-    toks = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        "id", F.explode(F.array_distinct("__toks")).alias("tok")
-    )
+    toks = fan_out(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    ).select("id", F.explode(F.array_distinct("__toks")).alias("tok"))
     expanded = toks.select(
         "id",
         F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.pipeline import multimodal
 from prajna_spark.queries import query
 from prajna_spark.session import tune
@@ -28,7 +29,9 @@ _PAYLOAD_SQL = (
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return multimodal.synthesize_media(load_table(spark, "documents", sf_dir))
+    # fan out so the Arrow decode / frame explode parallelizes even when
+    # the documents file scans as one split
+    return multimodal.synthesize_media(fan_out(load_table(spark, "documents", sf_dir)))
 
 
 @query(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.queries import query
 from prajna_spark.session import tune
 from prajna_spark.sources import load_table
@@ -325,6 +326,8 @@ def flatmap_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples/examples/FSharpExamples/WordCount.fs:44-58. explode(split())
     stays JVM-side; partial aggregation combines map-side before shuffle."""
     (docs,) = _t(spark, sf_dir, "documents")
+    # fan the pre-explosion rows across cores (single-split small file)
+    docs = fan_out(docs.select("text"))
     words = docs.select(
         F.explode(
             F.split(

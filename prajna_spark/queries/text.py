@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
 from prajna_spark.pipeline import dedup, textqa
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.queries import query
 from prajna_spark.session import tune
 from prajna_spark.sources import load_table
@@ -31,7 +32,10 @@ _PUNCT = (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return load_table(spark, "documents", sf_dir)
+    # per-row text work (regex token sweeps, per-token hashing) is heavy
+    # relative to row width; fan a single-split small file across cores
+    # (no-op when the scan already has >= parallelism splits)
+    return fan_out(load_table(spark, "documents", sf_dir))
 
 
 @query(
