@@ -656,3 +656,33 @@ def split_mix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderpriority").alias("priority_uc"),
         pround(F.col("o_totalprice") * 0.07, 4).alias("est_tax"),
     )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    WITH y95 AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ), y96 AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+    tags=("intersect", "except", "upgrade"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT upgrades (SURVEY §2.9 'no intersect/except' row):
+    customer-year cohorts. Both compile to hash joins on the distinct key
+    (left-semi/anti shape) — no driver-side set logic."""
+    (od,) = _t(spark, sf_dir, "orders")
+    y95 = od.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = od.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return (
+        y95.intersect(y96).withColumn("cohort", F.lit("both"))
+        .unionAll(y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995")))
+        .unionAll(y96.exceptAll(y95).withColumn("cohort", F.lit("only_1996")))
+    )

@@ -200,3 +200,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=4,
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    -- candidate generation restricted to SRP-bucket collisions (the exact
+    -- plan the Spark side runs), then rounded-cosine threshold
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_srp_bucket_sql()} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_SIM("a.e", "c.e")} AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_SIM("a.e", "c.e")} >= 0.35
+    """,
+    tags=("dedup", "embedding", "cosine", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH bucket self-join for
+    candidates (equi-join on bucket id — never an all-pairs cross join),
+    then exact rounded cosine >= 0.35 within bucket. The near-dup twin of
+    text MinHash-LSH, on the vector modality; at 100 TB the shuffle key is
+    the 256-valued bucket id and pair work is bounded per bucket."""
+    emb = _emb(spark, sf_dir)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.srp_bucket(F.col("embedding"), DIM, 8).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        "bucket",
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(similarity.cosine(F.col("e_a"), F.col("e_b")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.35)
+    )

@@ -177,3 +177,46 @@ def window_ntile_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bal_quartile"),
         F.dense_rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
     )
+
+
+@query(
+    "telemetry_sliding_rollup",
+    oracle=f"""
+    -- sliding 2h window, 1h hop: each event lands in exactly two windows
+    -- (start = its hour, and the hour before)
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, value
+      FROM events
+    ), w AS (
+      SELECT (t // 3600) * 3600 AS epoch_start, event_type, value FROM e
+      UNION ALL
+      SELECT ((t // 3600) - 1) * 3600 AS epoch_start, event_type, value FROM e
+    )
+    SELECT epoch_start, event_type,
+           count(*) AS n_events,
+           {R('sum(value)', 2)} AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg", "sliding"),
+)
+def telemetry_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (2-hour window, 1-hour hop) via F.window —
+    the overlapping-window upgrade over the reference's snapshot fold
+    (SURVEY §2.12). Spark expands each event into its two covering
+    windows map-side; partial aggregation collapses before the shuffle, so
+    the 2x row expansion never crosses the network unaggregated."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("epoch_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
