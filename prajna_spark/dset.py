@@ -115,6 +115,22 @@ class DSet:
         materialize (persist self.df first to share the scan)."""
         return lambda: self.df.write.mode(mode).parquet(path)
 
+    def save_with_monitor(
+        self, path: str, *metrics: Column, mode: str = "overwrite"
+    ) -> dict:
+        """Prajna ``saveToHDDWithMonitor(monitorFunc, ...)``
+        (DSetGenerics.fs:588-620): save + report progress/stats to the
+        client without a second pass. Spark-first: the Observation API
+        rides metrics on the SAME write job (no extra scan, no persist —
+        what the reference builds from bypass → save + toSeq). Returns the
+        observed metrics dict; default metric is the row count."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        metrics = metrics or (F.count(F.lit(1)).alias("rows_written"),)
+        self.df.observe(obs, *metrics).write.mode(mode).parquet(path)
+        return obs.get
+
     # ------------------------------------------------------------------
     # Narrow per-row ops (SURVEY §2.3)
     # ------------------------------------------------------------------
@@ -159,6 +175,21 @@ class DSet:
         1127-1138): whole-batch transform == mapInPandas over Arrow record
         batches (the reference's collection == our Arrow batch)."""
         return DSet(self.df.mapInPandas(fn, schema=schema))
+
+    def async_map(self, fn: Callable, schema: Any) -> "DSet":
+        """Prajna ``asyncMap``/``parallelMap`` (DSetGenerics.fs:1055-1126):
+        the reference awaits per-item delegates in parallel *within* a
+        collection; Spark's task/core parallelism subsumes that scheduling,
+        so semantically these ARE ``map_rows`` (documented alias)."""
+        return self.map_rows(fn, schema)
+
+    parallel_map = async_map
+
+    def print_rows(self, n: int = 20) -> None:
+        """Prajna ``printfn fmt`` (DSetGenerics.fs:498-518): debug print.
+        Driver-side show() — the distributed-print of the reference is a
+        debugging aid, not a dataflow op."""
+        self.df.show(n)
 
     def mapi(self, order_by: Sequence[str], index_col: str = "idx") -> "DSet":
         """Prajna ``mapi`` (partition, ordinal) (DSetGenerics.fs:1041-1054)

@@ -1,0 +1,76 @@
+"""As-of join (point-in-time join) — a custom operator Spark lacks.
+
+The reference has no as-of/range joins either (SURVEY §2.8 'no as-of /
+range / interval joins'); this is a declared upgrade, implemented as a
+composition of existing DataFrame ops (the (a) strategy from the build
+contract — no Pandas UDF needed):
+
+    union both sides → one range shuffle per key → running last-non-null
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` for the same key:
+
+1. both sides are union'd with a side marker (right sorts before left on
+   ties, giving the inclusive <= semantics);
+2. a window PARTITIONed BY key ORDERed BY (ts, marker) carries the last
+   non-null right payload forward with ``last(..., ignorenulls)`` over
+   UNBOUNDED PRECEDING..CURRENT ROW — a running accumulator, computed in
+   one pass per partition;
+3. left rows are kept, now carrying the as-of right values.
+
+Scale shape: ONE shuffle (the window's hash partition on key), state per
+row is O(payload) — never a per-key sort-merge in Python, never an
+expanded inequality join. Skewed keys shard via AQE like any window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MARK = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the latest ``right_cols``
+    values from ``right`` at-or-before its ``ts``, matched on ``on``.
+
+    ``left`` and ``right`` must both have the ``on`` and ``ts`` columns;
+    attached columns are renamed ``<col><suffix>``.
+    """
+    on = list(on)
+    l_tagged = left.withColumn(_MARK, F.lit(1))
+    r_tagged = right.select(
+        *on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn(_MARK, F.lit(0))
+
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts), F.col(_MARK))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.where(F.col(_MARK) == 1)
+        .drop(_MARK, *[f"{c}{suffix}" for c in right_cols])
+        .select(
+            *left.columns,
+            *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

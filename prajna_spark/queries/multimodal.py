@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prajna_spark.functions.rounding import R
 from prajna_spark.operators.fanout import fan_out
 from prajna_spark.pipeline import multimodal
 from prajna_spark.queries import query
@@ -85,4 +86,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("frame_bytes").alias("sampled_bytes"),
         F.md5(F.min_by("frame", "frame_no")).alias("first_frame_md5"),
+    )
+
+
+@query(
+    "grouped_zscore_pandas",
+    oracle=f"""
+    SELECT event_id, event_type,
+           {R('''(value - avg(value) OVER (PARTITION BY event_type))
+              / stddev_samp(value) OVER (PARTITION BY event_type)''', 4)}
+           AS zscore
+    FROM events
+    """,
+    tags=("applyInPandas", "grouped-map", "pandas-udf"),
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via ``applyInPandas`` — the grouped-map UDF
+    surface (Prajna's arbitrary-closure-over-a-key-group, the UDTF slot of
+    SURVEY §2.13). Checked against a pure-SQL window oracle.
+
+    SCALE NOTE: grouped-map materializes one whole group per task; it is
+    the right tool when groups are plentiful and bounded. For
+    low-cardinality keys over huge data (like this 5-value event_type at
+    100 TB) the pure-window spelling of the SAME semantics (the oracle) is
+    the production plan — this query exists to exercise and verify the
+    Python grouped path against it.
+    """
+    import math
+
+    import pandas as pd
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - m) / s
+        # same portable IEEE half-up rounding as functions.rounding.pround
+        pdf = pdf.assign(
+            zscore=(z * 1e4 + 0.5).apply(math.floor).astype("float64") / 1e4
+        )
+        return pdf[["event_id", "event_type", "zscore"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double"
     )

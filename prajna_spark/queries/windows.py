@@ -220,3 +220,50 @@ def telemetry_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "asof_join_purchase_view",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type, value
+      FROM events
+    ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, t AS vt, value AS vvalue FROM e
+             WHERE event_type = 'view')
+    SELECT p.event_id,
+           p.t     AS purchase_ts,
+           p.value AS purchase_value,
+           v.vvalue AS view_value_asof,
+           v.vt     AS view_ts_asof
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.vt
+    """,
+    tags=("asof-join", "custom-operator", "upgrade"),
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators.asof): each purchase event gets the
+    user's most recent at-or-before view event. Checked against DuckDB's
+    native ASOF JOIN. Plan: one hash shuffle on user_id + a running
+    last-non-null window — no inequality-join expansion (SURVEY §2.8
+    'no as-of joins' upgrade)."""
+    from prajna_spark.operators.asof import asof_join
+
+    tune(spark)
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_type",
+        "value",
+    )
+    p = e.where(F.col("event_type") == "purchase")
+    v = e.where(F.col("event_type") == "view").select("user_id", "t", "value")
+    out = asof_join(p, v, on=["user_id"], ts="t", right_cols=["value", "t"])
+    return out.select(
+        "event_id",
+        F.col("t").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("value_asof").alias("view_value_asof"),
+        F.col("t_asof").alias("view_ts_asof"),
+    )

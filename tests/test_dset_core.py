@@ -318,3 +318,27 @@ def test_repartition_by_key(spark):
     for r in part_of:
         keys_per_part.setdefault(r.k, set()).add(r.p)
     assert all(len(ps) == 1 for ps in keys_per_part.values())
+
+
+def test_save_with_monitor(spark, tmp_path):
+    path = str(tmp_path / "mon")
+    ds = DSet.distribute(spark, [(i, float(i)) for i in range(40)], "k int, v double")
+    stats = ds.save_with_monitor(
+        path, F.count(F.lit(1)).alias("rows_written"), F.sum("v").alias("v_sum")
+    )
+    assert stats == {"rows_written": 40, "v_sum": sum(float(i) for i in range(40))}
+    assert DSet.load(spark, path).count() == 40
+
+
+def test_async_map_alias(spark):
+    ds = DSet.distribute(spark, [(float(i),) for i in range(10)], "x double")
+
+    def inc(batches):
+        for pdf in batches:
+            pdf["x"] = pdf["x"] + 1
+            yield pdf
+
+    assert sorted(r.x for r in ds.async_map(inc, "x double").collect()) == [
+        float(i + 1) for i in range(10)
+    ]
+    assert ds.parallel_map is not None
