@@ -35,10 +35,16 @@ HEADLINE = [
     "zip_index_orders",
     "window_rank_orders",
     "telemetry_hourly_rollup",
+    "telemetry_sliding_rollup",
+    "asof_join_purchase_view",
     "dedup_minhash_signatures",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "knn_bruteforce_cosine",
     "srp_lsh_buckets",
+    "ann_ivf_topk",
+    "multimodal_frame_sample",
+    "grouped_zscore_pandas",
 ]
 
 

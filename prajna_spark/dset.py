@@ -240,6 +240,23 @@ class DSet:
         df = self.df.repartition(n, *cols) if n else self.df.repartition(*cols)
         return DSet(df, self.key_cols)
 
+    def repartition_by_func(self, n: int, part_func: Callable[[Any], int]) -> "DSet":
+        """Prajna ``repartition partFunc`` with an ARBITRARY ``'U->int``
+        closure (DSetGenerics.fs:1364-1389) — the faithful RDD path:
+        ``partitionBy`` with the pickled partFunc. This round-trips every
+        row through Python serialization; it exists for reference parity
+        and odd partitioners only. The production spelling is
+        :meth:`repartition_by_key` (partition-by-expression, JVM-side) —
+        SURVEY §7 hard-part 1."""
+        spark = self.df.sparkSession
+        schema = self.df.schema
+        rdd = (
+            self.df.rdd.map(lambda row: (part_func(row), row))
+            .partitionBy(n, lambda k: k)
+            .map(lambda kv: kv[1])
+        )
+        return DSet(spark.createDataFrame(rdd, schema), self.key_cols)
+
     def filter_by_key(self, pred: Callable[[list[Column]], Column]) -> "DSet":
         """Prajna ``filterByKey f`` (DKV.fs:172-177)."""
         self._require_keys()

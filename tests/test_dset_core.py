@@ -342,3 +342,14 @@ def test_async_map_alias(spark):
         float(i + 1) for i in range(10)
     ]
     assert ds.parallel_map is not None
+
+
+def test_repartition_by_func_arbitrary_closure(spark):
+    ds = DSet.distribute(spark, [(i, f"v{i}") for i in range(100)], "k int, v string")
+    # arbitrary Python partitioner: digit-sum mod 3
+    rp = ds.repartition_by_func(3, lambda row: sum(int(d) for d in str(row.k)) % 3)
+    assert rp.num_partitions() == 3
+    assert rows_multiset(rp) == rows_multiset(ds)  # content preserved
+    placed = rp.df.withColumn("p", F.spark_partition_id()).collect()
+    for r in placed:
+        assert r.p == sum(int(d) for d in str(r.k)) % 3
