@@ -69,6 +69,26 @@ def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket.cast("long")
 
 
+def paired_cosine(
+    a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column
+) -> Column:
+    """Cosine from PRE-COMPUTED norms: dot(a,b) / (a_norm * b_norm).
+
+    In any pairwise scorer (kNN, IVF, near-dup) the naive ``cosine(a, b)``
+    recomputes each side's norm once PER PAIR — n*k redundant 64-element
+    folds at scale. Materializing ``norm(v)`` as a column on each side
+    BEFORE the join computes it once per row; the Project sits below the
+    join/exchange, which Catalyst does not collapse across, so it is
+    genuinely evaluated once. Bit-identical to ``cosine`` (same sequential
+    fold, same sqrt), so oracles are unaffected.
+    """
+    return dot(_as_double(a_vec), _as_double(b_vec)) / (a_norm * b_norm)
+
+
+def with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
+    return df.withColumn(norm_col, norm(_as_double(F.col(vec_col))))
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -81,14 +101,23 @@ def knn_bruteforce(
 
     queries is broadcast (small side); candidates never shuffle — each
     partition scores its vectors against all queries and the per-query
-    window keeps k. Similarity is rounded BEFORE ranking and ties broken
-    by candidate id, so results are engine-deterministic.
+    window keeps k. Norms are precomputed per row (see paired_cosine).
+    Similarity is rounded BEFORE ranking and ties broken by candidate id,
+    so results are engine-deterministic.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        "q_norm",
     )
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = with_norm(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        "c_norm",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -96,7 +125,12 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            pround(cosine(F.col("q_vec"), F.col("c_vec")), sim_decimals).alias("sim"),
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                sim_decimals,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -123,17 +157,27 @@ def ivf_assign(
     scan — no shuffle. This builds the IVF inverted lists; at 100 TB you
     would persist the assignment partitioned BY centroid_id so probes
     touch only matching files."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    c = with_norm(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        ),
+        "centroid_vec",
+        "__cn",
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
     )
     return (
-        vectors.select(id_col, vec_col)
+        with_norm(vectors.select(id_col, vec_col), vec_col, "__vn")
         .crossJoin(F.broadcast(c))
         .withColumn(
-            "__sim", pround(cosine(F.col(vec_col), F.col("centroid_vec")), sim_decimals)
+            "__sim",
+            pround(
+                paired_cosine(
+                    F.col(vec_col), F.col("centroid_vec"), F.col("__vn"), F.col("__cn")
+                ),
+                sim_decimals,
+            ),
         )
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -162,15 +206,25 @@ def knn_ivf(
     deterministic seed-vectors; production swaps in k-means centers
     without touching the query plan."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col, sim_decimals)
-    inv = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(
-        assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
-    )
+    inv = with_norm(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        "c_norm",
+    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        "q_norm",
+    )
+    c = with_norm(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        ),
+        "centroid_vec",
+        "__cn",
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("centroid_id")
@@ -178,11 +232,17 @@ def knn_ivf(
     probes = (
         q.crossJoin(F.broadcast(c))
         .withColumn(
-            "__csim", pround(cosine(F.col("q_vec"), F.col("centroid_vec")), sim_decimals)
+            "__csim",
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("centroid_vec"), F.col("q_norm"), F.col("__cn")
+                ),
+                sim_decimals,
+            ),
         )
         .withColumn("__rn", F.row_number().over(w_probe))
         .where(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
     )
 
     scored = (
@@ -191,7 +251,12 @@ def knn_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            pround(cosine(F.col("q_vec"), F.col("c_vec")), sim_decimals).alias("sim"),
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                sim_decimals,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -217,15 +282,23 @@ def knn_lsh(
     (2^n_planes distinct keys; raise n_planes to shrink buckets as n
     grows), never a cross join.
     """
-    vb = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    vb = with_norm(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        ),
+        "c_vec",
+        "c_norm",
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    qb = with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        ),
+        "q_vec",
+        "q_norm",
     )
     scored = (
         vb.join(F.broadcast(qb), "bucket")
@@ -233,7 +306,12 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -226,19 +226,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     text MinHash-LSH, on the vector modality; at 100 TB the shuffle key is
     the 256-valued bucket id and pair work is bounded per bucket."""
     emb = _emb(spark, sf_dir)
-    b = emb.select(
-        "vec_id",
+    b = similarity.with_norm(
+        emb.select(
+            "vec_id",
+            "embedding",
+            similarity.srp_bucket(F.col("embedding"), DIM, 8).alias("bucket"),
+        ),
         "embedding",
-        similarity.srp_bucket(F.col("embedding"), DIM, 8).alias("bucket"),
+        "nrm",
     )
     a = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
         "bucket",
     )
     return (
@@ -247,7 +253,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            pround(similarity.cosine(F.col("e_a"), F.col("e_b")), 6).alias("sim"),
+            pround(
+                similarity.paired_cosine(
+                    F.col("e_a"), F.col("e_b"), F.col("n_a"), F.col("n_b")
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= 0.35)
     )
