@@ -267,3 +267,60 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_asof").alias("view_value_asof"),
         F.col("t_asof").alias("view_ts_asof"),
     )
+
+
+@query(
+    "session_window_users",
+    oracle=f"""
+    -- gaps-and-islands twin of F.session_window (30 min gap):
+    -- a session BREAKS when the inter-event gap is >= the timeout (Spark
+    -- windows are [start, last+gap) — an event exactly at the end opens a
+    -- new session); session_end = last event + gap
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+    ), m AS (
+      SELECT user_id, t, value,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ), s AS (
+      SELECT user_id, t, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM m
+    )
+    SELECT user_id,
+           min(t)        AS session_start,
+           max(t) + 1800 AS session_end,
+           count(*)      AS n_events,
+           {R('sum(value)', 2)} AS total_value
+    FROM s GROUP BY user_id, sess_no
+    """,
+    tags=("session-window", "streaming", "upgrade"),
+)
+def session_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) via Spark's
+    native ``F.session_window`` — the dynamic-gap upgrade the reference's
+    fixed-snapshot telemetry cannot express (SURVEY §2.12). ts truncated
+    to whole seconds on BOTH engines so gap boundaries agree. Batch twin
+    of the stateful streaming sessionizer (streaming/sessions.py)."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("ts"),
+        "value",
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
