@@ -322,3 +322,90 @@ def knn_lsh(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means for IVF centroid refinement — the iterative,
+    genuinely non-SQL-expressible algorithm slot.
+
+    Deterministic init: the k lowest-id vectors. Each iteration:
+    broadcast the k centroids (tiny, k x dim doubles on the driver —
+    the only driver-side state), assign every vector to its nearest
+    centroid by squared L2 (map-side, no shuffle), recompute means via
+    posexplode -> groupBy (centroid, dim) -> partial-aggregated avg.
+    Per-iteration shuffle carries k*dim aggregate rows, never vectors.
+
+    Returns (centroid_id, centroid array<double>, n_assigned).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    cents = [
+        (i, list(r["__v"]))
+        for i, r in enumerate(v.orderBy("__id").limit(k).collect())
+    ]
+
+    spark = vectors.sparkSession
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "centroid_id int, centroid array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__d2").asc(), F.col("centroid_id"))
+        assigned = (
+            v.crossJoin(F.broadcast(cent_df))
+            .withColumn("__d2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__id", "__v", "centroid_id")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid"),
+                F.first(F.lit(1)).alias("__one"),
+            )
+            .select("centroid_id", "centroid")
+        )
+        new_cents = {r.centroid_id: list(r.centroid) for r in means.collect()}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new_cents.get(cid, vec)) for cid, vec in cents]
+
+    cent_df = spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__d2").asc(), F.col("centroid_id"))
+    final_assign = (
+        v.crossJoin(F.broadcast(cent_df))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    return cent_df.join(final_assign, "centroid_id", "left").select(
+        "centroid_id",
+        "centroid",
+        F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+    )

@@ -9,7 +9,7 @@ approximate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
@@ -110,6 +110,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in textqa.STOPWORDS["en"])
+
+#: unrounded composite quality score (the SQL twin of
+#: pipeline.textqa.quality_score); round at the output edge only.
+_QUALITY_SQL = f"""(
+  least(length(text) / 500.0, 1.0)
+  + (1.0 - least(({_PUNCT.format(c="text")}) * 4, 1.0))
+  + least(len(list_filter({_TOKS.format(c="text")}, w -> w IN ({_EN_WORDS})))
+          / greatest(len({_TOKS.format(c="text")}), 1) * 5, 1.0)
+  + (CASE WHEN length({_NORM.format(c="text")})
+               / greatest(len({_TOKS.format(c="text")}), 1)
+          BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+) / 4"""
 
 
 @query(
@@ -283,3 +295,50 @@ def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the exact comparator one runs on LSH candidate pairs."""
     docs = _docs(spark, sf_dir)
     return dedup.jaccard_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "curate_training_corpus",
+    oracle=f"""
+    -- end-to-end curation: quality gate + language gate + exact dedup
+    -- (keep lowest doc_id per fingerprint)
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+               AS fingerprint,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es')
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                  AS rn
+      FROM gated
+    )
+    SELECT doc_id, lang, n_chars, fingerprint, {R('quality', 4)} AS quality
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("pipeline", "curation", "dedup", "quality"),
+)
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: quality scoring ->
+    quality + language gates -> exact dedup keeping the canonical (lowest
+    doc_id) copy. One scan, one shuffle (the per-fingerprint window);
+    filters run BEFORE the shuffle so rejected docs never move. This is
+    the curation job a 100 TB corpus runs nightly."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        textqa.fingerprint(t).alias("fingerprint"),
+        textqa.quality_score(t).alias("quality"),
+    )
+    gated = scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "fingerprint", pround(F.col("quality"), 4).alias("quality"))
+    )

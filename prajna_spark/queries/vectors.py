@@ -262,3 +262,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sim") >= 0.35)
     )
+
+
+@query(
+    "ivf_kmeans_centroids",
+    oracle=None,  # iterative Lloyd's — genuinely non-SQL-expressible
+    tags=("iterative", "kmeans", "ivf", "no-oracle"),
+)
+def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 Lloyd iterations refining 16 seed centroids
+    (pipeline.similarity.kmeans_centroids). Driver holds only the k x dim
+    centroid state between iterations; per-iteration shuffle carries
+    k*dim aggregate rows. Output: (centroid_id, n_assigned) — the
+    cluster-size histogram (centroid arrays omitted: fp aggregation order
+    makes their low bits run-dependent)."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.kmeans_centroids(emb, k=16, n_iter=5)
+    return out.select("centroid_id", "n_assigned")

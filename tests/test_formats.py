@@ -57,3 +57,19 @@ def test_csv_schema_is_mandatory(spark, tmp_path):
 
     with pytest.raises(TypeError):
         formats.read_csv(spark, str(tmp_path))  # no schema -> hard error
+
+
+def test_register_views_sql_front_door(spark, sf_dir):
+    from prajna_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT r_regionkey) AS k FROM region"
+    ).collect()[0]
+    assert row.n == 5 and row.k == 5
+    joined = spark.sql(
+        """SELECT r.r_name, count(*) AS n
+           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name"""
+    )
+    assert joined.count() == 5

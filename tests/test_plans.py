@@ -67,3 +67,14 @@ def test_headline_queries_are_jvm_only(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in the hot path"
         assert "MapInPandas" not in plan, f"{name} drops to Python"
+
+
+def test_kmeans_centroids_partition_all_vectors(spark, sf_dir):
+    from prajna_spark.pipeline.similarity import kmeans_centroids
+    from prajna_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = kmeans_centroids(emb, k=8, n_iter=2).collect()
+    assert len(out) == 8
+    assert sum(r.n_assigned for r in out) == emb.count()  # exact partition
+    assert all(len(r.centroid) == 64 for r in out)
