@@ -686,3 +686,111 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995")))
         .unionAll(y96.exceptAll(y95).withColumn("cohort", F.lit("only_1996")))
     )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_key,
+           {R('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)   AS order_epoch_day,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, order_key
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch-q3-shape"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join, segment + date filters, revenue
+    rollup, top-20. Plan discipline: filters sit on each scan BEFORE the
+    joins (pushdown), the join order fact-to-fact is left to Catalyst +
+    AQE, and the top-k is TakeOrderedAndProject — never a global sort."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = "1997-01-01"
+    joined = (
+        cu.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            od.where(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.where(F.col("l_shipdate") > cut).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.floor(
+                F.col("o_orderdate").cast("timestamp_ltz").cast("long") / 86400
+            ).cast("long").alias("order_epoch_day"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "order_key")
+        .limit(20)
+        .select("order_key", "revenue", "order_epoch_day", "order_priority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           {R('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey   = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    WHERE year(o.o_orderdate) = 1996
+    GROUP BY 1, 2
+    """,
+    tags=("join", "star-join", "broadcast", "tpch-q5-shape"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join rolled up per region/nation.
+    region/nation/supplier are broadcast (BROADCAST_TABLES) so the only
+    shuffles are lineitem⋈orders and the final low-cardinality rollup —
+    the star-schema plan that survives 100 TB."""
+    rg, na, su, li, od = _t(
+        spark, sf_dir, "region", "nation", "supplier", "lineitem", "orders"
+    )
+    dims = (
+        rg.select(F.col("r_regionkey"), F.col("r_name").alias("region_name"))
+        .join(na, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(su, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "region_name", F.col("n_name").alias("nation_name"))
+    )
+    facts = li.join(
+        od.where(F.year("o_orderdate") == 1996).select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        facts.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("region_name", "nation_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

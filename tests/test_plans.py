@@ -78,3 +78,18 @@ def test_kmeans_centroids_partition_all_vectors(spark, sf_dir):
     assert len(out) == 8
     assert sum(r.n_assigned for r in out) == emb.count()  # exact partition
     assert all(len(r.centroid) == 64 for r in out)
+
+
+def test_q3_uses_takeordered_and_pushdown(spark, sf_dir):
+    df = CATALOG["q3_shipping_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    pf = " ".join(plans.pushed_filters(df))
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = CATALOG["q5_local_supplier_volume"](spark, sf_dir)
+    plans.assert_broadcast_join(df, expect=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
