@@ -31,11 +31,14 @@ HEADLINE = [
     "groupbykey_lines",
     "join_inner_region_rollup",
     "join_left_customer_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "binsort_topk_orders",
     "zip_index_orders",
     "window_rank_orders",
     "telemetry_hourly_rollup",
     "telemetry_sliding_rollup",
+    "session_window_users",
     "asof_join_purchase_view",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -45,6 +48,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_frame_sample",
     "grouped_zscore_pandas",
+    "curate_training_corpus",
 ]
 
 

@@ -441,6 +441,17 @@ class DSet:
     # Read-back (SURVEY §3.2)
     # ------------------------------------------------------------------
 
+    def sample(self, fraction: float, with_replacement: bool = False, seed: int = 42) -> "DSet":
+        """Reference parity: the ``SampledWithReplacement`` cache kind
+        (storage.fs:55-74) as a first-class operator — per-partition
+        Bernoulli/Poisson sampling, no shuffle."""
+        return DSet(self.df.sample(with_replacement, fraction, seed), self.key_cols)
+
+    def take(self, n: int) -> list:
+        """First n rows (reference ``Seq.take`` test, tests/CoreLib/DSet.fs);
+        scans partitions incrementally — never materializes the full set."""
+        return self.df.take(n)
+
     def to_seq(self):
         """Prajna ``DSet.toSeq`` (DSetGenerics.fs:385-390): stream rows back
         to the client -> toLocalIterator (one partition in flight)."""

@@ -214,3 +214,31 @@ def array_ops_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.array_max("qtys"), 2).alias("max_qty"),
         F.array_contains("qtys", 1.0).alias("has_single"),
     )
+
+
+@query(
+    "percentile_order_totals",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           {R('quantile_cont(o_totalprice, 0.5)', 4)}  AS p50,
+           {R('quantile_cont(o_totalprice, 0.9)', 4)}  AS p90,
+           {R('quantile_cont(o_totalprice, 0.99)', 4)} AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("percentile", "statistics", "upgrade"),
+)
+def percentile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile == DuckDB
+    quantile_cont, both (n-1)*p linear interpolation). The VM Hub paper's
+    telemetry percentiles (paper §5.2 '99.9-percentile latency'), as a
+    declarative aggregate. At 100 TB prefer approx_percentile (sketch,
+    mergeable map-side); exact percentile is the oracle-checkable twin."""
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        pround(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )

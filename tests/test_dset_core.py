@@ -353,3 +353,12 @@ def test_repartition_by_func_arbitrary_closure(spark):
     placed = rp.df.withColumn("p", F.spark_partition_id()).collect()
     for r in placed:
         assert r.p == sum(int(d) for d in str(r.k)) % 3
+
+
+def test_sample_and_take(spark):
+    ds = DSet.distribute(spark, [(i,) for i in range(10_000)], "x int")
+    s = ds.sample(0.1)
+    n = s.count()
+    assert 700 < n < 1300  # Bernoulli around 1000
+    assert s.count() == n  # seeded: deterministic on re-evaluation
+    assert len(ds.take(7)) == 7
