@@ -89,15 +89,19 @@ def minhash_signature(
             )
         ).alias("__sh"),
     )
-    hashed = shingle_rows.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("__sh"))).alias(f"__h{j}")
-            for j in range(n_hashes)
-        ],
-    )
+    # ONE md5 per shingle; the n_hashes min-wise components are disjoint
+    # hex slices of that digest (md5 bits are independent/uniform, so each
+    # slice is its own hash function). vs n_hashes seeded digests this cuts
+    # the hot loop's hashing by n_hashes x — the dominant cost at 100 TB.
+    slice_len = max(4, 32 // n_hashes)
+    hashed = shingle_rows.select(id_col, F.md5("__sh").alias("__h"))
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"__h{j}").alias(f"minhash_{j}") for j in range(n_hashes)]
+        *[
+            F.min(F.substring("__h", 1 + slice_len * j, slice_len)).alias(
+                f"minhash_{j}"
+            )
+            for j in range(n_hashes)
+        ]
     )
 
 

@@ -188,12 +188,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
 
 
-def _minhash_sql(seed: int, k: int = 5) -> str:
+def _minhash_sql(j: int, k: int = 5, slice_len: int = 8) -> str:
+    """Component j = min over shingles of the j-th disjoint hex slice of
+    ONE md5 per shingle (matches pipeline.dedup.minhash_signature)."""
     t = f"substring({_NORM.format(c='text')}, 1, {dedup.MAX_SHINGLE_CHARS})"
     n = f"greatest(length({t}) - {k - 1}, 1)"
     return (
         f"list_min(list_transform(range(1, {n} + 1), "
-        f"i -> md5(concat('{seed}|', substring({t}, CAST(i AS INT), {k})))))"
+        f"i -> substring(md5(substring({t}, CAST(i AS INT), {k})), "
+        f"{1 + slice_len * j}, {slice_len})))"
     )
 
 
