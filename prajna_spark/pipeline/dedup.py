@@ -220,3 +220,70 @@ def jaccard_pairs(
         inter.cast("long").alias("n_common"),
         pround(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation — resolving near-dup
+    candidate PAIRS into duplicate CLUSTERS (the dedup endgame: one
+    canonical id per component).
+
+    Each iteration every node takes min(own label, neighbours' labels);
+    convergence in O(component diameter) rounds — near-dup clusters are
+    shallow (diameter a handful), so this terminates in a few shuffles.
+    Per iteration: one equi-join edges⋈labels + one groupBy min + an
+    early-exit count. Labels are localCheckpoint'ed each round — persist
+    alone does NOT truncate the logical plan, and an iterative chain of
+    joins otherwise grows a plan Catalyst can't even print (StackOverflow
+    at ~15 rounds); checkpointing keeps plan AND lineage O(1). On a real
+    cluster use a reliable checkpoint dir for fault tolerance. For
+    adversarial long-chain graphs at extreme scale, swap in the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same building blocks.
+
+    Returns (id_col, component_id) for EVERY node; singletons map to
+    themselves.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    e = e.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh_min = (
+            e.join(labels, e.src == labels.nid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.nid == neigh_min.dst, "left")
+            .select(
+                "nid",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("component_id"))

@@ -345,3 +345,48 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "fingerprint", pround(F.col("quality"), 4).alias("quality"))
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    -- transitive closure of the LSH candidate pairs (recursive CTE), then
+    -- component id = min reachable doc_id; docs in no pair are singletons
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
+    """,
+    tags=("dedup", "connected-components", "iterative", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH candidate pairs -> exact
+    connected components by min-label propagation
+    (pipeline.dedup.connected_components) -> one canonical id per cluster.
+    The iterative Spark computation is hash-checked against DuckDB's
+    recursive-CTE transitive closure — exact, not approximate."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+    return dedup.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )

@@ -362,3 +362,15 @@ def test_sample_and_take(spark):
     assert 700 < n < 1300  # Bernoulli around 1000
     assert s.count() == n  # seeded: deterministic on re-evaluation
     assert len(ds.take(7)) == 7
+
+
+def test_connected_components_hand_graph(spark):
+    from prajna_spark.pipeline.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {5,6}, {7} (singleton)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {r.id: r.component_id for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
