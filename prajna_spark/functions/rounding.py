@@ -29,6 +29,9 @@ def pround(col: Column, d: int) -> Column:
 
 
 def R(expr: str, d: int) -> str:
-    """DuckDB SQL fragment computing exactly :func:`pround`."""
-    scale = float(10**d)
-    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+    """SQL fragment computing exactly :func:`pround` — portable to BOTH
+    DuckDB and Spark SQL. Scale literals are written in scientific
+    notation (``1e2``): both dialects parse those as DOUBLE, whereas
+    ``100.0`` parses as DECIMAL in Spark SQL and would drag the whole
+    expression into decimal arithmetic."""
+    return f"(floor(({expr}) * 1e{d} + 5e-1) / 1e{d})"

@@ -287,3 +287,35 @@ def connected_components(
             break
 
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("component_id"))
+
+
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact-similarity verification of candidate pairs: word-set Jaccard
+    computed ONLY on the candidate pairs (the LSH funnel's second stage —
+    candidates are a vanishing fraction of n^2, so the exact comparator
+    runs on a tiny join). Token sets are attached via two equi-joins on
+    the pair ids; the sets shuffle once each, never the documents."""
+    words = docs.select(
+        F.col(id_col).alias("__wid"),
+        F.array_distinct(tokens(F.col(text_col))).alias("__ws"),
+    )
+    j = (
+        pairs.join(words.withColumnRenamed("__wid", "id_a").withColumnRenamed("__ws", "ws_a"), "id_a")
+        .join(words.withColumnRenamed("__wid", "id_b").withColumnRenamed("__ws", "ws_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            pround(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

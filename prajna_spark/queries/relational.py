@@ -794,3 +794,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# One SQL text, two engines: the portable-dialect front door. Keep the
+# dialect intersection (floor-based rounding from functions.rounding.R).
+_FRONTDOOR_SQL = f"""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           {R('sum(o_totalprice)', 2)} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_frontdoor_priority_revenue",
+    oracle=_FRONTDOOR_SQL,
+    tags=("sql", "front-door"),
+)
+def sql_frontdoor_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql front door: sources.catalog.register_views + the
+    VERBATIM oracle SQL string executed by Spark itself — proving users
+    can bring plain ANSI SQL to this engine and get oracle-identical
+    results (the reference has no SQL surface at all, SURVEY §0)."""
+    from prajna_spark.sources.catalog import register_views
+
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_FRONTDOOR_SQL)

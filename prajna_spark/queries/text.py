@@ -390,3 +390,45 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         pairs, docs.select("doc_id"), id_col="doc_id"
     )
+
+
+@query(
+    "dedup_lsh_verified",
+    oracle=f"""
+    -- the full near-dup funnel: LSH candidates -> exact Jaccard >= 0.6
+    WITH sig AS (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3,
+             list_distinct({_TOKS.format(c='text')}) AS ws
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             {R('''len(list_intersect(sa.ws, sb.ws))
+                / greatest(len(list_distinct(sa.ws || sb.ws)), 1)''', 4)} AS jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "minhash", "lsh", "jaccard", "funnel"),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-duplicate funnel in one plan: MinHash signatures
+    -> LSH band candidates -> exact word-set Jaccard verification at 0.6.
+    Candidates are O(collisions), so the exact comparator runs on a sliver
+    of the n^2 pair space — the shape that makes near-dup feasible at
+    100 TB (pipeline.dedup.verify_pairs_jaccard)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+    return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)
