@@ -242,3 +242,34 @@ def percentile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         pround(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@query(
+    "map_ops_events",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT)             AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_cat,
+           CAST(props->>'$.k' AS BIGINT)                  AS k_typed,
+           CAST(props->>'$.k' AS BIGINT)                  AS vals_sum
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+    tags=("scalar", "map", "from_json"),
+)
+def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/typed-JSON surface (SURVEY §2.10: map_keys/map_values/from_json):
+    props parsed BOTH as map<string,long> (generic map ops) and as a typed
+    struct (schema-on-read projection) — same values, two access paths."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,long>")
+    typed = F.from_json("props", "k long")
+    return ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_cat"),
+        typed.getField("k").alias("k_typed"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "vals_sum"
+        ),
+    )
