@@ -822,3 +822,30 @@ def sql_frontdoor_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_FRONTDOOR_SQL)
+
+
+_GROUPING_SETS_SQL = f"""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           {R('sum(o_totalprice)', 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+"""
+
+
+@query(
+    "grouping_sets_orders",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("grouping-sets", "upgrade", "sql"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the third grouping-analytics surface next to cube/
+    rollup, SURVEY §2.6 'missing vs SQL') — one aggregation pass expanded
+    to the three groupings map-side; verbatim shared SQL on both engines."""
+    from prajna_spark.sources.catalog import register_views
+
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
