@@ -807,6 +807,16 @@ _FRONTDOOR_SQL = f"""
 """
 
 
+def _run_shared_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Front-door setup shared by every verbatim-SQL query: tune the
+    session, register the table views, run the exact oracle string."""
+    from prajna_spark.sources.catalog import register_views
+
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
 @query(
     "sql_frontdoor_priority_revenue",
     oracle=_FRONTDOOR_SQL,
@@ -817,11 +827,7 @@ def sql_frontdoor_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     VERBATIM oracle SQL string executed by Spark itself — proving users
     can bring plain ANSI SQL to this engine and get oracle-identical
     results (the reference has no SQL surface at all, SURVEY §0)."""
-    from prajna_spark.sources.catalog import register_views
-
-    tune(spark)
-    register_views(spark, sf_dir)
-    return spark.sql(_FRONTDOOR_SQL)
+    return _run_shared_sql(spark, sf_dir, _FRONTDOOR_SQL)
 
 
 _GROUPING_SETS_SQL = f"""
@@ -844,8 +850,4 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (the third grouping-analytics surface next to cube/
     rollup, SURVEY §2.6 'missing vs SQL') — one aggregation pass expanded
     to the three groupings map-side; verbatim shared SQL on both engines."""
-    from prajna_spark.sources.catalog import register_views
-
-    tune(spark)
-    register_views(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
+    return _run_shared_sql(spark, sf_dir, _GROUPING_SETS_SQL)
