@@ -452,6 +452,14 @@ class DSet:
         scans partitions incrementally — never materializes the full set."""
         return self.df.take(n)
 
+    def try_find(self, pred: Column):
+        """Prajna ``tryFind`` (tests/CoreLib/DSet.fs test list): first row
+        matching the predicate, or None. filter + take(1) — the predicate is
+        pushed to the scan and Spark stops after the first non-empty
+        partition batch; no full-table pass, no shuffle."""
+        rows = self.df.where(pred).take(1)
+        return rows[0] if rows else None
+
     def to_seq(self):
         """Prajna ``DSet.toSeq`` (DSetGenerics.fs:385-390): stream rows back
         to the client -> toLocalIterator (one partition in flight)."""

@@ -364,6 +364,13 @@ def test_sample_and_take(spark):
     assert len(ds.take(7)) == 7
 
 
+def test_try_find(spark):
+    ds = DSet.distribute(spark, [(i,) for i in range(1_000)], "x int")
+    hit = ds.try_find(F.col("x") == 421)
+    assert hit is not None and hit.x == 421
+    assert ds.try_find(F.col("x") == -1) is None
+
+
 def test_connected_components_hand_graph(spark):
     from prajna_spark.pipeline.dedup import connected_components
 
