@@ -24,23 +24,26 @@ identical partitioning (range-partitioner sampling must not re-run).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def zip_with_index(
     df: DataFrame,
-    order_by: list[str],
+    order_by: list[str | Column],
     index_col: str = "idx",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a 0-based ``index_col`` following the total order ``order_by``.
 
-    ``order_by`` must be a unique composite key for the result to be
-    deterministic (same contract as the reference's EstablishCorrelatedMix
-    co-location check, DSetGenerics.fs:113-129).
+    ``order_by`` entries are column names or sort expressions (e.g.
+    ``F.col("x").desc()``); together they must form a unique composite key
+    for the result to be deterministic (same contract as the reference's
+    EstablishCorrelatedMix co-location check, DSetGenerics.fs:113-129).
+    The range partitioner honors sort direction, so partition-id order
+    follows the requested total order either way.
     """
-    cols = [F.col(c) for c in order_by]
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
         df.repartitionByRange(n, *cols)

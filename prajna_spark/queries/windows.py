@@ -164,19 +164,27 @@ def telemetry_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "dense_rank"),
 )
 def window_ntile_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/dense_rank over a filtered (small) set. NOTE: unpartitioned
-    window — acceptable only because the segment filter bounds the input;
-    the scalable pattern for global ranks is operators.zipindex."""
+    """Global ntile/dense_rank WITHOUT the unpartitioned-window funnel:
+    operators.rank computes both from the distributed zip-index pattern
+    (range repartition + per-partition ordinals; only #partitions-sized
+    and distinct-key-sized state is ever centralized), so the same plan
+    survives an unbounded input where ``OVER (ORDER BY ...)`` would move
+    every row through one task."""
+    from prajna_spark.operators.rank import global_dense_rank, global_ntile
+
     tune(spark)
     cu = load_table(spark, "customer", sf_dir)
-    filtered = cu.where(F.col("c_mktsegment") == "BUILDING")
-    return filtered.select(
-        "c_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
-        .cast("long").alias("bal_quartile"),
-        F.dense_rank().over(Window.orderBy("c_nationkey")).cast("long").alias("nation_rank"),
+    filtered = cu.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
     )
+    nt = global_ntile(
+        filtered,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        4,
+        tile_col="bal_quartile",
+    )
+    dr = global_dense_rank(nt, ["c_nationkey"], rank_col="nation_rank")
+    return dr.select("c_custkey", "bal_quartile", "nation_rank")
 
 
 @query(
