@@ -332,3 +332,55 @@ def session_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "range_join_open_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS s,
+             datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+               + o_orderkey % 30 + 1 AS e
+      FROM orders
+    ), p AS (
+      SELECT DISTINCT datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS d
+      FROM lineitem
+    )
+    SELECT d AS ship_day, count(*) AS n_open_orders
+    FROM p JOIN iv ON d >= s AND d <= e
+    GROUP BY d
+    """,
+    tags=("range-join", "custom-operator", "upgrade"),
+)
+def range_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators.rangejoin): for every distinct
+    ship day, count the orders whose fulfillment window
+    [o_orderdate, o_orderdate + o_orderkey%30+1 days] contains it — a pure
+    inequality join with no equi-key (SURVEY §2.8 'no range/interval
+    joins' upgrade). The binning rewrite turns it into an ordinary
+    shuffled equi-join on bin id; the exact BETWEEN predicate runs on the
+    per-bin candidates only, so neither BroadcastNestedLoopJoin nor a
+    cartesian product ever appears in the plan."""
+    from prajna_spark.operators.rangejoin import interval_join
+
+    tune(spark)
+    od = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    iv = od.select(
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("s"),
+        (
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            + F.col("o_orderkey") % 30
+            + 1
+        ).cast("long").alias("e"),
+    )
+    points = (
+        li.select(F.unix_date(F.col("l_shipdate").cast("date")).cast("long").alias("d"))
+        .distinct()
+    )
+    # bin width ~ max interval length (31 days) => each interval lands in
+    # at most 3 bins; replication stays ~2x.
+    joined = interval_join(points, "d", iv, "s", "e", bin_width=16)
+    return joined.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_open_orders")
+    ).select(F.col("d").alias("ship_day"), "n_open_orders")
