@@ -40,6 +40,8 @@ HEADLINE = [
     "telemetry_sliding_rollup",
     "session_window_users",
     "asof_join_purchase_view",
+    "range_join_open_orders",
+    "window_ntile_dense_rank",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_embedding_cosine",
