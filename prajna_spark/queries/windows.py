@@ -384,3 +384,42 @@ def range_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("d").agg(
         F.count(F.lit(1)).alias("n_open_orders")
     ).select(F.col("d").alias("ship_day"), "n_open_orders")
+
+
+@query(
+    "cascade_rollup_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, value
+      FROM events
+    )
+    SELECT CAST(60 AS BIGINT) AS resolution, (t // 60) * 60 AS epoch_start,
+           event_type, count(*) AS n_events, {R('sum(value)', 2)} AS total_value
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT CAST(3600 AS BIGINT), (t // 3600) * 3600,
+           event_type, count(*), {R('sum(value)', 2)}
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT CAST(86400 AS BIGINT), (t // 86400) * 86400,
+           event_type, count(*), {R('sum(value)', 2)}
+    FROM e GROUP BY 2, 3
+    """,
+    tags=("hypertable", "rollup-cascade", "custom-operator", "upgrade"),
+)
+def cascade_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (minute -> hour -> day)
+    via operators.rollup_cascade: raw events are scanned ONCE at minute
+    grain; hour and day levels re-aggregate the finer partials (counts and
+    sums compose exactly), versus the oracle's three independent full
+    scans. Same rows, one raw pass."""
+    from prajna_spark.operators.rollup_cascade import cascade_rollup
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "value"
+    )
+    out = cascade_rollup(
+        ev, "t", ["event_type"], "value", resolutions=[60, 3600, 86400]
+    )
+    return out.withColumn("total_value", pround(F.col("total_value"), 2))
