@@ -38,6 +38,7 @@ HEADLINE = [
     "window_rank_orders",
     "telemetry_hourly_rollup",
     "telemetry_sliding_rollup",
+    "cascade_rollup_events",
     "session_window_users",
     "asof_join_purchase_view",
     "range_join_open_orders",
