@@ -5,8 +5,9 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-The catalog (59 queries) lives in ``prajna_spark.queries`` (one module per
-operator family, each query citing the reference operator it covers).
+The catalog lives in ``prajna_spark.queries`` (one module per operator
+family, each query citing the reference operator it covers); see
+README.md's coverage table for the query-by-query inventory.
 """
 
 from __future__ import annotations
