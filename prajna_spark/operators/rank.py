@@ -69,7 +69,10 @@ def global_dense_rank(
     Ranks the distinct ranking-key set (cardinality ≪ rows for any key
     worth dense-ranking) and equi-joins the ranks back on the keys.
     ``order_by`` must be column names (they double as the join keys);
-    ascending order.
+    ascending order. Keys must be NON-NULL: the equi-join would drop
+    NULL-keyed rows, and NULL sort position differs between engines
+    anyway (Spark ASC is NULLS FIRST, DuckDB NULLS LAST) — pre-filter or
+    coalesce NULLs to a sentinel before ranking.
     """
     distinct_keys = df.select(*order_by).distinct()
     ranked = zip_with_index(
