@@ -93,16 +93,28 @@ def minhash_signature(
     # hex slices of that digest (md5 bits are independent/uniform, so each
     # slice is its own hash function). vs n_hashes seeded digests this cuts
     # the hot loop's hashing by n_hashes x — the dominant cost at 100 TB.
+    # When n_hashes * slice_len exceeds one digest (n_hashes > 8), further
+    # seeded digests md5('<d>|' || shingle) extend the slice supply — never
+    # silently truncate into empty-string components.
     slice_len = max(4, 32 // n_hashes)
-    hashed = shingle_rows.select(id_col, F.md5("__sh").alias("__h"))
-    return hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.substring("__h", 1 + slice_len * j, slice_len)).alias(
-                f"minhash_{j}"
-            )
-            for j in range(n_hashes)
-        ]
-    )
+    n_digests = (n_hashes * slice_len + 31) // 32
+    digest_cols = [
+        (
+            F.md5("__sh")
+            if d == 0
+            else F.md5(F.concat(F.lit(f"{d}|"), F.col("__sh")))
+        ).alias(f"__h{d}")
+        for d in range(n_digests)
+    ]
+    hashed = shingle_rows.select(id_col, *digest_cols)
+    components = []
+    for j in range(n_hashes):
+        bit_off = j * slice_len
+        d, off = bit_off // 32, bit_off % 32
+        components.append(
+            F.min(F.substring(f"__h{d}", 1 + off, slice_len)).alias(f"minhash_{j}")
+        )
+    return hashed.groupBy(id_col).agg(*components)
 
 
 def lsh_band_pairs(
@@ -112,33 +124,60 @@ def lsh_band_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     Signature is split into bands of ``band_size`` hashes; documents
     colliding on ANY band become a candidate pair (id_a < id_b, distinct).
-    Only (id, band_id, band_val) rows shuffle — O(n * n_bands) narrow rows
-    regardless of document size.
+
+    Plan (one signature evaluation, no self-join):
+      1. posexplode the per-doc band values — (id, band_id, band_val) rows,
+         O(n * n_bands) narrow rows regardless of document size;
+      2. groupBy(band_id, band_val).collect_list(id) — ONE shuffle keyed on
+         the band value; partial agg packs each partition's ids first;
+      3. double-explode the per-bucket id list into ordered pairs — pair
+         generation streams per bucket, so the signature subplan is never
+         duplicated (a bands self-join evaluates it twice per side; this
+         spelling evaluates it once).
+
+    Skew guard: a hot bucket (b ids) emits O(b^2) pairs — all-identical
+    corpora make one bucket the whole table. ``max_bucket_size`` drops
+    buckets larger than the cap BEFORE pair expansion (a bucket that big is
+    template/boilerplate text whose pairs exact-verification would reject
+    wholesale, or that exact-dedup already collapsed — the standard
+    recall-for-boundedness trade at corpus scale). None = exact/no cap,
+    matching the DuckDB oracle.
     """
+    if n_hashes % band_size:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be a multiple of band_size={band_size} "
+            "(remainder hashes would be silently dropped)"
+        )
     sig = minhash_signature(df, id_col, text_col, n_hashes, k)
     n_bands = n_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"minhash_{b * band_size + i}") for i in range(band_size)]
-        part = sig.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band_id"),
-            F.concat(*cols).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    a = bands.select(
-        F.col("id").alias("id_a"), "band_id", "band_val"
+    band_vals = F.array(
+        *[
+            F.concat(
+                *[F.col(f"minhash_{b * band_size + i}") for i in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
     )
-    b_ = bands.select(F.col("id").alias("id_b"), "band_id", "band_val")
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    buckets = bands.groupBy("band_id", "band_val").agg(
+        F.collect_list("id").alias("ids")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
     return (
-        a.join(b_, ["band_id", "band_val"])
+        buckets.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -234,18 +273,22 @@ def connected_components(
     candidate PAIRS into duplicate CLUSTERS (the dedup endgame: one
     canonical id per component).
 
-    Each iteration every node takes min(own label, neighbours' labels);
-    convergence in O(component diameter) rounds — near-dup clusters are
-    shallow (diameter a handful), so this terminates in a few shuffles.
-    Per iteration: one equi-join edges⋈labels + one groupBy min + an
-    early-exit count. Labels are localCheckpoint'ed each round — persist
-    alone does NOT truncate the logical plan, and an iterative chain of
-    joins otherwise grows a plan Catalyst can't even print (StackOverflow
-    at ~15 rounds); checkpointing keeps plan AND lineage O(1). On a real
-    cluster use a reliable checkpoint dir for fault tolerance. For
-    adversarial long-chain graphs at extreme scale, swap in the
-    large-star/small-star alternation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — same building blocks.
+    Each iteration every node takes min(own label, neighbours' labels),
+    then POINTER-JUMPS: adopts its label's own label (labels are node ids,
+    so ``label := label[label]`` is a self-equi-join). The jump halves the
+    remaining chain length each round, so convergence is O(log diameter)
+    iterations instead of O(diameter) — the difference between 4 and 40
+    shuffles on a path-shaped component. Per iteration: edges⋈labels +
+    groupBy min + the jump self-join; the change flag is computed INLINE
+    and counted on the checkpointed result (no extra join per round).
+    Labels are localCheckpoint'ed each round — persist alone does NOT
+    truncate the logical plan, and an iterative chain of joins otherwise
+    grows a plan Catalyst can't even print (StackOverflow at ~15 rounds);
+    checkpointing keeps plan AND lineage O(1). On a real cluster use a
+    reliable checkpoint dir for fault tolerance. For adversarial graphs at
+    extreme scale the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) is the same
+    building blocks with the same O(log) round bound.
 
     Returns (id_col, component_id) for EVERY node; singletons map to
     themselves.
@@ -266,23 +309,33 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nl"))
         )
+        one_hop = labels.join(neigh_min, labels.nid == neigh_min.dst, "left").select(
+            "nid",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+        )
+        # Pointer jump: label := label-of-label. Labels are node ids, so
+        # this is a left self-join on (label == nid); labels only decrease,
+        # which keeps every intermediate label inside its own component.
+        jump = one_hop.select(
+            F.col("nid").alias("jnid"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.nid == neigh_min.dst, "left")
+            one_hop.join(jump, one_hop.label == jump.jnid, "left")
             .select(
                 "nid",
-                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("jlabel", F.col("label"))
+                ).alias("label"),
+                (
+                    F.least(F.col("label"), F.coalesce("jlabel", F.col("label")))
+                    < F.col("old")
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.select("nid", "label")
         if changed == 0:
             break
 

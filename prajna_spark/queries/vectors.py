@@ -27,6 +27,17 @@ _DOT = (
 )
 
 
+def _dot_terms(a: str, b: str, d: int = DIM) -> str:
+    """Explicit left-associated term sum ``a[1]*b[1] + ... + a[d]*b[d]``.
+
+    Same sequential fp order as Spark's F.aggregate fold AND ~30x faster in
+    DuckDB than the list_transform(range) spelling (no per-row list
+    allocation). Use on named array columns only — inlining a CAST
+    expression 64x defeats the point.
+    """
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, d + 1)) + ")"
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return load_table(spark, "embeddings", sf_dir)
@@ -65,21 +76,26 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_bucket_sql() -> str:
+def _srp_bucket_sql(e: str = "e") -> str:
+    """SRP bucket id over a named DOUBLE[] column ``e`` — explicit-term
+    plane dots (see _dot_terms) with the hyperplane components inlined as
+    literals."""
     planes = similarity.srp_hyperplanes(DIM, 8)
     terms = []
     for j, plane in enumerate(planes):
-        lit = "[" + ", ".join(str(x) for x in plane) + "]"
-        d = _DOT.format(d=DIM, a="CAST(embedding AS DOUBLE[])", b=f"({lit}::DOUBLE[])")
-        terms.append(f"(CASE WHEN {d} > 0 THEN {2**j} ELSE 0 END)")
+        s = "(" + " + ".join(f"{e}[{i + 1}] * ({plane[i]})" for i in range(DIM)) + ")"
+        terms.append(f"(CASE WHEN {s} > 0 THEN {2**j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 @query(
     "srp_lsh_buckets",
     oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
     SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-    FROM (SELECT vec_id, {_srp_bucket_sql()} AS bucket FROM embeddings)
+    FROM (SELECT vec_id, {_srp_bucket_sql()} AS bucket FROM v)
     GROUP BY bucket
     """,
     tags=("similarity", "lsh", "ann"),
@@ -206,16 +222,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     -- candidate generation restricted to SRP-bucket collisions (the exact
-    -- plan the Spark side runs), then rounded-cosine threshold
-    WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             {_srp_bucket_sql()} AS bucket
-      FROM embeddings
+    -- plan the Spark side runs), then rounded-cosine threshold; norms are
+    -- precomputed per vector exactly like the Spark side's with_norm
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, e, {_srp_bucket_sql()} AS bucket,
+             sqrt({_dot_terms("e", "e")}) AS nrm
+      FROM v
+    ), scored AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {R(f"{_dot_terms('a.e', 'c.e')} / (a.nrm * c.nrm)", 6)} AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           {_SIM("a.e", "c.e")} AS sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_SIM("a.e", "c.e")} >= 0.35
+    SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.35
     """,
     tags=("dedup", "embedding", "cosine", "ann"),
 )
@@ -270,12 +290,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("iterative", "kmeans", "ivf", "no-oracle"),
 )
 def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5 Lloyd iterations refining 16 seed centroids
+    """3 Lloyd iterations refining 16 seed centroids
     (pipeline.similarity.kmeans_centroids). Driver holds only the k x dim
     centroid state between iterations; per-iteration shuffle carries
     k*dim aggregate rows. Output: (centroid_id, n_assigned) — the
     cluster-size histogram (centroid arrays omitted: fp aggregation order
     makes their low bits run-dependent)."""
     emb = _emb(spark, sf_dir)
-    out = similarity.kmeans_centroids(emb, k=16, n_iter=5)
+    out = similarity.kmeans_centroids(emb, k=16, n_iter=3)
     return out.select("centroid_id", "n_assigned")
