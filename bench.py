@@ -50,7 +50,7 @@ HEADLINE = [
     "srp_lsh_buckets",
     "ann_ivf_topk",
     "multimodal_frame_sample",
-    "grouped_zscore_pandas",
+    "window_zscore_events",
     "curate_training_corpus",
 ]
 

@@ -12,15 +12,24 @@ For each left row, attach the most recent right row with
 
 1. both sides are union'd with a side marker (right sorts before left on
    ties, giving the inclusive <= semantics);
-2. a window PARTITIONed BY key ORDERed BY (ts, marker) carries the last
-   non-null right payload forward with ``last(..., ignorenulls)`` over
-   UNBOUNDED PRECEDING..CURRENT ROW — a running accumulator, computed in
-   one pass per partition;
-3. left rows are kept, now carrying the as-of right values.
+2. the right payload travels as ONE struct column; a window PARTITIONed BY
+   key ORDERed BY (ts, marker) carries the last non-null struct forward
+   with ``last(..., ignorenulls)`` over UNBOUNDED PRECEDING..CURRENT ROW —
+   a running accumulator, computed in one pass per partition. The single
+   struct guarantees all attached values come from the SAME right row even
+   when individual payload columns are NULL (per-column fills would mix
+   rows — the DuckDB ASOF JOIN divergence);
+3. left rows are kept, the struct is expanded into the suffixed columns.
 
 Scale shape: ONE shuffle (the window's hash partition on key), state per
 row is O(payload) — never a per-key sort-merge in Python, never an
-expanded inequality join. Skewed keys shard via AQE like any window.
+expanded inequality join. Hot keys: AQE's skew handling splits JOIN
+partitions, not window partitions, so a dominant key lands on one task;
+the mitigation is a two-level as-of — window over (key, coarse time
+bucket) first, then a per-(key, bucket) boundary carry of each bucket's
+last right struct into the next bucket (O(#buckets) rows, tiny second
+pass). Apply it when a key's row count breaks the per-task memory budget;
+the one-shuffle spelling below is right whenever keys are un-degenerate.
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MARK = "__asof_side"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -45,12 +55,16 @@ def asof_join(
     values from ``right`` at-or-before its ``ts``, matched on ``on``.
 
     ``left`` and ``right`` must both have the ``on`` and ``ts`` columns;
-    attached columns are renamed ``<col><suffix>``.
+    attached columns are renamed ``<col><suffix>``. All attached values
+    come from the same matched right row (single-struct carry), including
+    its NULLs.
     """
     on = list(on)
     l_tagged = left.withColumn(_MARK, F.lit(1))
     r_tagged = right.select(
-        *on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+        *on,
+        ts,
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias(_PAYLOAD),
     ).withColumn(_MARK, F.lit(0))
 
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -60,17 +74,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(_PAYLOAD, ignorenulls=True).over(w).alias("__f")
     )
     return (
         filled.where(F.col(_MARK) == 1)
-        .drop(_MARK, *[f"{c}{suffix}" for c in right_cols])
         .select(
             *left.columns,
-            *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[F.col(f"__f.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )

@@ -92,9 +92,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_zscore_pandas",
     oracle=f"""
-    SELECT event_id, event_type,
-           {R('''(value - avg(value) OVER (PARTITION BY event_type))
-              / stddev_samp(value) OVER (PARTITION BY event_type)''', 4)}
+    SELECT event_id, user_id,
+           {R('''CASE WHEN count(*) OVER (PARTITION BY user_id) > 1
+                      AND stddev_samp(value) OVER (PARTITION BY user_id) > 0
+                 THEN (value - avg(value) OVER (PARTITION BY user_id))
+                    / stddev_samp(value) OVER (PARTITION BY user_id) END''', 4)}
            AS zscore
     FROM events
     """,
@@ -105,30 +107,63 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (Prajna's arbitrary-closure-over-a-key-group, the UDTF slot of
     SURVEY §2.13). Checked against a pure-SQL window oracle.
 
-    SCALE NOTE: grouped-map materializes one whole group per task; it is
-    the right tool when groups are plentiful and bounded. For
-    low-cardinality keys over huge data (like this 5-value event_type at
-    100 TB) the pure-window spelling of the SAME semantics (the oracle) is
-    the production plan — this query exists to exercise and verify the
-    Python grouped path against it.
+    SCALE NOTE: grouped-map materializes one whole group per task, so it
+    is keyed on the HIGH-cardinality user_id (groups stay small and
+    plentiful as data grows — the shape grouped-map is for). Normalizing
+    by a low-cardinality key (event_type) must instead use the pure-window
+    spelling: see window_zscore_events, the production plan and the bench
+    headline entry. Degenerate groups (one row / zero variance) yield
+    NULL, matching the oracle's CASE guard.
     """
     import math
 
     import pandas as pd
 
     tune(spark)
-    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["value"].mean()
         s = pdf["value"].std(ddof=1)
-        z = (pdf["value"] - m) / s
-        # same portable IEEE half-up rounding as functions.rounding.pround
-        pdf = pdf.assign(
-            zscore=(z * 1e4 + 0.5).apply(math.floor).astype("float64") / 1e4
+        if len(pdf) > 1 and math.isfinite(s) and s > 0:
+            z = (pdf["value"] - m) / s
+            # portable IEEE half-up rounding, as functions.rounding.pround
+            zr = (z * 1e4 + 0.5).apply(math.floor).astype("float64") / 1e4
+            zr = zr.astype("Float64")
+        else:
+            zr = pd.array([pd.NA] * len(pdf), dtype="Float64")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": zr}
         )
-        return pdf[["event_id", "event_type", "zscore"]]
 
-    return ev.groupBy("event_type").applyInPandas(
-        zscore, "event_id long, event_type string, zscore double"
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, zscore double"
     )
+
+
+@query(
+    "window_zscore_events",
+    oracle=f"""
+    SELECT event_id, event_type,
+           {R('''(value - avg(value) OVER (PARTITION BY event_type))
+              / stddev_samp(value) OVER (PARTITION BY event_type)''', 4)}
+           AS zscore
+    FROM events
+    """,
+    tags=("window", "zscore", "normalization"),
+)
+def window_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score as a pure window plan — the production
+    spelling of grouped normalization over a low-cardinality key: both
+    window aggregates share one hash partition on event_type, everything
+    stays in whole-stage codegen, and no task ever materializes a group
+    (contrast grouped_zscore_pandas, the Python grouped-map surface)."""
+    from pyspark.sql import Window
+
+    from prajna_spark.functions.rounding import pround
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "event_type", pround(z, 4).alias("zscore"))

@@ -79,7 +79,10 @@ def _sessionize_fn(gap_sec: int):
             t, v = ts_all[i], val_all[i]
             if start is None:
                 start, end, n, total = t, t, 1, v
-            elif t - end > gap_sec:
+            elif t - end >= gap_sec:
+                # >= matches the batch twin (F.session_window closes at
+                # gap >= timeout): an event exactly at end+gap starts a
+                # NEW session — [start, last + gap) semantics.
                 out.append((user_id, start, end, n, total, "closed"))
                 start, end, n, total = t, t, 1, v
             else:

@@ -25,6 +25,21 @@ def test_asof_picks_latest_at_or_before(spark):
     assert out.count() == left.count()  # left join: every left row kept
 
 
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """All attached columns must come from the SAME matched right row —
+    a NULL in the latest right row is attached as NULL, not back-filled
+    from an older non-null row (the per-column-fill divergence)."""
+    left = spark.createDataFrame([(1, 30, "x")], "k int, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+        "k int, t long, v double, s string",
+    )
+    out = asof_join(left, right, on=["k"], ts="t", right_cols=["v", "s"])
+    row = out.collect()[0]
+    assert row.s_asof == "new"
+    assert row.v_asof is None  # NOT 100.0 from the older row
+
+
 def test_asof_single_shuffle_plan(spark):
     left = spark.range(1000).selectExpr("id % 7 AS k", "id AS t", "id AS x")
     right = spark.range(100).selectExpr("id % 7 AS k", "id * 9 AS t", "id AS y")

@@ -69,3 +69,25 @@ def test_frame_sample_covers_payload(media):
     ).collect()[0]
     full = [bytes(r.payload) for r in media.where(F.col("doc_id") == long_doc).collect()][0]
     assert bytes(one.frame) == full[400:500]
+
+
+def test_grouped_zscore_degenerate_groups_yield_null(spark, tmp_path):
+    """Single-row and zero-variance groups produce NULL zscores (no
+    math.floor-on-NaN crash), matching the oracle's CASE guard."""
+    import pandas as pd
+
+    from prajna_spark.queries.multimodal import grouped_zscore_pandas
+
+    sf = str(tmp_path)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [1, 2, 2, 3, 3],
+            "value": [9.0, 4.0, 4.0, 1.0, 3.0],  # u1: 1 row; u2: var=0
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_id: r.zscore for r in grouped_zscore_pandas(spark, sf).collect()}
+    assert got[1] is None          # single-row group
+    assert got[2] is None and got[3] is None  # zero-variance group
+    assert got[4] == -0.7071 and got[5] == 0.7071

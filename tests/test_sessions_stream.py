@@ -59,6 +59,41 @@ def test_sessionize_gap_and_state_across_batches(spark, tmp_path):
     assert opens[(2, 1000)] == (1, 10.0)
 
 
+def test_sessionize_gap_boundary_exactly_at_gap_opens_new(spark, tmp_path):
+    """An event at exactly end + gap starts a NEW session ([start,
+    last + gap) semantics), matching the batch F.session_window twin —
+    and one second earlier still extends."""
+    src = str(tmp_path / "e_gap")
+    gap = 60
+    _write_events(
+        spark,
+        src,
+        [
+            (1000, 1, 1.0), (1060, 1, 2.0),  # t=1060 == end+gap -> NEW
+            (2000, 2, 1.0), (2059, 2, 2.0),  # t=2059 < end+gap -> extends
+        ],
+    )
+    stream = spark.readStream.schema(EVT_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream, gap_sec=gap)
+        .writeStream.format("memory")
+        .queryName("t_gap_boundary")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gap"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_gap_boundary").collect()
+    closed = [(r.user_id, r.session_start, r.session_end) for r in rows
+              if r.status == "closed"]
+    opens = {(r.user_id, r.session_start): r.n_events for r in rows
+             if r.status == "open"}
+    assert (1, 1000, 1000) in closed  # boundary event closed session 1
+    assert opens[(1, 1060)] == 1      # and opened a new one
+    assert opens[(2, 2000)] == 2      # sub-gap event extended
+
+
 def test_sessionize_is_streaming_and_schema(spark, tmp_path):
     src = str(tmp_path / "e2")
     _write_events(spark, src, [(1000, 1, 1.0)])
