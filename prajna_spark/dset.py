@@ -199,6 +199,40 @@ class DSet:
 
         return DSet(zip_with_index(self.df, list(order_by), index_col), self.key_cols)
 
+    def mapi_partition(
+        self, partition_col: str = "parti", ordinal_col: str = "ordinal"
+    ) -> "DSet":
+        """Prajna ``mapi``'s RAW (partition, in-partition-ordinal) form
+        (DSetGenerics.fs:1041-1054; exercised by tests/CoreLib/DSet.fs's
+        mapi case): every row gets its partition id and 0-based ordinal
+        WITHIN that partition — no shuffle, no global pass (contrast
+        ``mapi``, which derives a total-order global index).
+
+        Partition id is ``spark_partition_id()`` (same stage, so it tags
+        the partition the row is IN); ordinals come from an Arrow-batched
+        counter — ``mapInPandas`` invokes its function once per partition,
+        so the counter restarts at 0 exactly where the reference's
+        per-partition closure does. Ordinals follow the partition's
+        iteration order, which (like the reference) is only meaningful
+        when upstream order is pinned (sortWithinPartitions / source
+        order)."""
+        import pandas as pd  # noqa: F401 — Arrow path
+
+        src = self.df.withColumn(partition_col, F.spark_partition_id())
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        schema = f"{fields}, {ordinal_col} long"
+
+        def number(batches):
+            n = 0
+            for pdf in batches:
+                pdf[ordinal_col] = range(n, n + len(pdf))
+                n += len(pdf)
+                yield pdf
+
+        return DSet(src.mapInPandas(number, schema), self.key_cols)
+
     def execute(self, fn: Callable[[Iterable], None]) -> None:
         """Prajna ``execute f``/``iter f`` (DSetGenerics.fs:951-995,
         458-468): run side effects per partition."""

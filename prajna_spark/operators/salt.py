@@ -32,6 +32,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Stage 1 of salted_agg: aggregate within (keys, __salt).
+
+    Exposed separately so tests (and incremental pipelines) can observe
+    that a hot key really is spread across ``n_salts`` reducers — the
+    output has up to n_salts rows per key."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    return df.select("*", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -49,8 +64,7 @@ def salted_agg(
                    [F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")],
                    [F.sum("s").alias("total"), F.sum("c").alias("n")])
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
-    stage1 = df.select("*", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    stage1 = salted_partials(df, keys, partial_aggs, n_salts)
     return stage1.groupBy(*keys).agg(*final_aggs)
 
 

@@ -851,3 +851,45 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, SURVEY §2.6 'missing vs SQL') — one aggregation pass expanded
     to the three groupings map-side; verbatim shared SQL on both engines."""
     return _run_shared_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+@query(
+    "salted_agg_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {R('sum(l_quantity)', 2)}      AS sum_qty,
+           count(*)                       AS n_rows,
+           {R('avg(l_extendedprice)', 4)} AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("skew", "salting", "two-stage-agg"),
+)
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators.salt.salted_agg) on a
+    genuinely hot key: l_returnflag has 3 values over the whole lineitem
+    table ('N' alone is ~half the rows), the shape where a plain groupBy
+    funnels half the table into one reducer when per-key state is large.
+    Stage 1 spreads each key over 16 salts; stage 2 combines 16 partial
+    rows per key. The oracle is the plain one-stage GROUP BY — proving
+    the decomposition is exact. No reference equivalent: Prajna's shuffle
+    hash-partitions blindly (SURVEY §2.5), a hot key serializes one
+    container."""
+    from prajna_spark.operators.salt import salted_agg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            F.sum("l_quantity").alias("pq"),
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("l_extendedprice").alias("pp"),
+        ],
+        [
+            pround(F.sum("pq"), 2).alias("sum_qty"),
+            F.sum("pc").alias("n_rows"),
+            pround(F.sum("pp") / F.sum("pc"), 4).alias("avg_price"),
+        ],
+        n_salts=16,
+    )

@@ -381,3 +381,22 @@ def test_connected_components_hand_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
     got = {r.id: r.component_id for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_mapi_partition_ordinals_restart_per_partition(spark):
+    """The reference NUnit mapi case (tests/CoreLib/DSet.fs): fun parti
+    idx -> ordinals are 0-based WITHIN each partition and the partition
+    id tags where the row actually lives."""
+    from prajna_spark.dset import DSet
+
+    d = DSet(spark.range(100).repartition(7))
+    rows = d.mapi_partition().collect()
+    assert len(rows) == 100
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.parti, []).append(r.ordinal)
+    assert len(by_part) == 7
+    for ords in by_part.values():
+        assert sorted(ords) == list(range(len(ords)))  # restart at 0, dense
+    # (parti, ordinal) is a key: no duplicates across the dataset
+    assert len({(r.parti, r.ordinal) for r in rows}) == 100

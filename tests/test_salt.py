@@ -59,3 +59,25 @@ def test_salted_broadcast_join_matches_plain(spark):
         for r in salted_broadcast_join(probe, build, ["k"]).collect()
     )
     assert salted == plain
+
+
+def test_salted_partials_spread_the_hot_key(spark):
+    """Stage 1 must fan the hot key across ~n_salts reducer keys — that IS
+    the skew fix; if the hot key produced one partial row, stage 1 would
+    be a plain (skewed) groupBy."""
+    from prajna_spark.operators.salt import salted_partials
+
+    df = _skewed(spark)
+    stage1 = salted_partials(
+        df, ["k"], [F.count(F.lit(1)).alias("c")], n_salts=16
+    ).collect()
+    per_key = {}
+    for r in stage1:
+        per_key.setdefault(r.k, []).append(r.c)
+    hot_n = df.where(F.col("k") == 0).count()  # ~91% of all rows
+    # hot key 0 spread over (nearly) all 16 salts...
+    assert len(per_key[0]) >= 12
+    # ...with no single partial holding the whole key
+    assert max(per_key[0]) < hot_n * 0.5
+    # and the partials still sum to the true counts
+    assert sum(per_key[0]) == hot_n
