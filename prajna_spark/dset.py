@@ -438,8 +438,11 @@ class DSet:
     def bypass(self, n: int = 2) -> list["DSet"]:
         """Prajna ``bypass`` (DSetGenerics.fs:1728-1771): fan one DSet out
         to n consumers. Spark: persist once, hand out n references — one
-        materialization feeds all branches."""
-        shared = self.df.persist(StorageLevel.MEMORY_AND_DISK)
+        materialization feeds all branches. Long-lived drivers: wrap use
+        in operators.lifecycle.persist_scope() to release the cache."""
+        from prajna_spark.operators.lifecycle import scoped_persist
+
+        shared = scoped_persist(self.df)
         return [DSet(shared, self.key_cols) for _ in range(n)]
 
     def split(self, *projections: Sequence[ColumnLike]) -> list["DSet"]:

@@ -1,0 +1,57 @@
+"""Persist lifecycle for operators that cache internally.
+
+``cascade_rollup``, ``DSet.bypass`` and ``zip_with_index`` persist
+intermediates by design (their plans read the same partials more than
+once). Persisted blocks outlive the returned DataFrame — in a long-lived
+driver (a service, the driver's repeated catalog runs) every call leaks
+executor storage for the session lifetime.
+
+``persist_scope`` is the ownership contract: operators route their
+internal ``persist`` through ``scoped_persist``, and a caller who wants
+deterministic release wraps use in the scope::
+
+    with persist_scope():
+        out = cascade_rollup(events, "ts", ["event_type"], "value", RES)
+        out.write.parquet(...)          # consume INSIDE the scope
+    # exit -> every internal persist is unpersisted
+
+Outside any scope the behavior is unchanged (the session owns the cache
+until it dies — fine for one-shot jobs, the driver gate, and tests that
+reuse the frames). Scopes nest; each persist belongs to the innermost
+active scope.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_ACTIVE: list[list[DataFrame]] = []
+
+
+def scoped_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """persist() that registers with the innermost persist_scope (no-op
+    registration when no scope is active)."""
+    p = df.persist(level)
+    if _ACTIVE:
+        _ACTIVE[-1].append(p)
+    return p
+
+
+@contextmanager
+def persist_scope():
+    """Unpersist every scoped_persist made inside the block on exit."""
+    bag: list[DataFrame] = []
+    _ACTIVE.append(bag)
+    try:
+        yield bag
+    finally:
+        _ACTIVE.pop()
+        for df in bag:
+            # blocking: scope exit is the deterministic release point —
+            # callers rely on storage being back at baseline right after
+            df.unpersist(blocking=True)

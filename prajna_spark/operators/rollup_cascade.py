@@ -20,9 +20,20 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from prajna_spark.operators.lifecycle import scoped_persist
+
+
+def _validate_resolutions(resolutions: list[int]) -> None:
+    for fine, coarse in zip(resolutions, resolutions[1:]):
+        if coarse % fine != 0:
+            raise ValueError(f"{coarse} is not a multiple of finer resolution {fine}")
+
+
+def _bucket(col: str, width: int):
+    return (F.floor(F.col(col) / width) * width).cast("long")
 
 
 def cascade_rollup(
@@ -40,36 +51,52 @@ def cascade_rollup(
     exact). Returns one row per (resolution, bucket, dims) with
     ``n_events`` / ``total_value`` partial aggregates.
     """
-    for fine, coarse in zip(resolutions, resolutions[1:]):
-        if coarse % fine != 0:
-            raise ValueError(f"{coarse} is not a multiple of finer resolution {fine}")
-
-    def bucket(col: str, width: int):
-        return (F.floor(F.col(col) / width) * width).cast("long")
-
-    finest = resolutions[0]
-    level = (
-        df.groupBy(bucket(ts_col, finest).alias("epoch_start"), *dims)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("total_value"),
-        )
-        # Persisted so every consumer — the output union AND the next
-        # coarser level — reads these (tiny, aggregated) partials instead
-        # of re-scanning raw. Catalyst's exchange-reuse does NOT fire
-        # across the union's re-analyzed branches, so without this each
-        # resolution would trigger its own full raw scan.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    _validate_resolutions(resolutions)
+    finest_partials = df.groupBy(
+        _bucket(ts_col, resolutions[0]).alias("epoch_start"), *dims
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("total_value"),
     )
+    # already one row per (bucket, dims): skip the delta-merge pass
+    return cascade_from_partials(finest_partials, dims, resolutions, merge=False)
+
+
+def cascade_from_partials(
+    partials: DataFrame,
+    dims: list[str],
+    resolutions: list[int],
+    merge: bool = True,
+) -> DataFrame:
+    """Cascade pre-aggregated finest-level partials
+    (epoch_start at resolutions[0], dims..., n_events, total_value) into
+    every requested resolution. ``merge=True`` first combines duplicate
+    partial rows per (bucket, dims) — the streaming store appends one
+    DELTA row per micro-batch per bucket, and partials compose by sum.
+    """
+    _validate_resolutions(resolutions)
+    finest = resolutions[0]
+    level = partials
+    if merge:
+        level = level.groupBy("epoch_start", *dims).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    # Persisted so every consumer — the output union AND the next coarser
+    # level — reads these (tiny, aggregated) partials instead of
+    # re-scanning the input. Catalyst's exchange-reuse does NOT fire
+    # across the union's re-analyzed branches, so without this each
+    # resolution would trigger its own full input scan. Release: wrap use
+    # in lifecycle.persist_scope() (long-lived drivers should).
+    level = scoped_persist(level)
     levels = [level.withColumn("resolution", F.lit(finest).cast("long"))]
     for width in resolutions[1:]:
-        level = (
-            level.groupBy(bucket("epoch_start", width).alias("epoch_start"), *dims)
+        level = scoped_persist(
+            level.groupBy(_bucket("epoch_start", width).alias("epoch_start"), *dims)
             .agg(
                 F.sum("n_events").alias("n_events"),  # partials compose
                 F.sum("total_value").alias("total_value"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         levels.append(level.withColumn("resolution", F.lit(width).cast("long")))
     return reduce(DataFrame.unionByName, levels).select(

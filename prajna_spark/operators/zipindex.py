@@ -23,9 +23,10 @@ identical partitioning (range-partitioner sampling must not re-run).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from prajna_spark.operators.lifecycle import scoped_persist
 
 
 def zip_with_index(
@@ -51,8 +52,9 @@ def zip_with_index(
         .withColumn("__pid", F.spark_partition_id())
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
-    local = sorted_df.withColumn("__local", F.row_number().over(w_local)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # released via operators.lifecycle.persist_scope when the caller scopes
+    local = scoped_persist(
+        sorted_df.withColumn("__local", F.row_number().over(w_local))
     )
 
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))

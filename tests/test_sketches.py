@@ -53,3 +53,57 @@ def test_sketch_agg_keeps_partial_aggregation(spark):
         .lower()
     )
     assert "partial_approx_count_distinct" in plan
+
+
+def test_lsh_bucket_cap_bounds_adversarial_corpus(spark):
+    """All-identical documents collapse into ONE band bucket — uncapped
+    pair expansion is O(n^2); max_bucket_size drops the degenerate bucket
+    so candidate generation stays bounded, and leaves a normal corpus
+    untouched."""
+    from prajna_spark.pipeline.dedup import lsh_band_pairs
+
+    same = spark.range(200).selectExpr(
+        "id AS doc_id", "'the exact same boilerplate text' AS text"
+    )
+    uncapped = lsh_band_pairs(same, "doc_id", "text", n_hashes=4, band_size=2)
+    assert uncapped.count() == 200 * 199 // 2  # the quadratic blowup
+    capped = lsh_band_pairs(
+        same, "doc_id", "text", n_hashes=4, band_size=2, max_bucket_size=50
+    )
+    assert capped.count() == 0  # hot bucket dropped before expansion
+
+    mixed = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 2 THEN 'twin text alpha beta' "
+        "ELSE concat('unique-', id, ' words ', id * 7) END AS text",
+    )
+    normal = lsh_band_pairs(mixed, "doc_id", "text", n_hashes=4, band_size=2)
+    guarded = lsh_band_pairs(
+        mixed, "doc_id", "text", n_hashes=4, band_size=2, max_bucket_size=10
+    )
+    assert sorted(map(tuple, normal.collect())) == sorted(map(tuple, guarded.collect()))
+
+
+def test_lsh_band_size_must_divide_n_hashes(spark):
+    import pytest
+
+    from prajna_spark.pipeline.dedup import lsh_band_pairs
+
+    docs = spark.range(3).selectExpr("id AS doc_id", "'abc def' AS text")
+    with pytest.raises(ValueError, match="multiple of band_size"):
+        lsh_band_pairs(docs, "doc_id", "text", n_hashes=5, band_size=2)
+
+
+def test_minhash_beyond_one_digest_is_nonempty_and_distinct(spark):
+    """n_hashes > 8 must derive extra seeded digests — components past the
+    32-hex boundary were silently '' before."""
+    from prajna_spark.pipeline.dedup import minhash_signature
+
+    docs = spark.range(5).selectExpr(
+        "id AS doc_id", "concat('document number ', id, ' has words') AS text"
+    )
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=12).collect()
+    for r in sig:
+        for j in range(12):
+            v = r[f"minhash_{j}"]
+            assert isinstance(v, str) and len(v) == 4  # slice_len=4, never ''
