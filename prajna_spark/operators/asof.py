@@ -83,3 +83,87 @@ def asof_join(
             *[F.col(f"__f.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`,
+    sharded by coarse time bucket.
+
+    The one-shuffle spelling windows PARTITION BY key — a key holding a
+    material fraction of the data lands on ONE task (AQE cannot split
+    window partitions). This variant:
+
+    1. windows within (key, floor(ts / bucket_width)) — the hot key is
+       spread across its time buckets, bounding any task at one bucket's
+       rows;
+    2. reduces each bucket to its LAST right payload (one narrow row per
+       (key, bucket) that has right rows);
+    3. carries the latest earlier-bucket payload into each bucket with an
+       EXCLUSIVE running last over the per-bucket rows — a window on the
+       key again, but over O(#buckets) rows, not O(events);
+    4. a left row's match = within-bucket fill, else the bucket carry-in.
+
+    ``bucket_width`` (``ts`` units) tunes the shard: pick it so a hot
+    key's densest bucket fits a task. Exact for any width.
+    """
+    on = list(on)
+    bkt = "__asof_bucket"
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(bkt, F.floor(F.col(ts) / bucket_width))
+
+    l_tagged = with_bucket(left).withColumn(_MARK, F.lit(1))
+    r_tagged = with_bucket(
+        right.select(
+            *on,
+            ts,
+            F.struct(*[F.col(c).alias(c) for c in right_cols]).alias(_PAYLOAD),
+        )
+    ).withColumn(_MARK, F.lit(0))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w_in = (
+        Window.partitionBy(*on, bkt)
+        .orderBy(F.col(ts), F.col(_MARK))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", F.last(_PAYLOAD, ignorenulls=True).over(w_in).alias("__fin")
+    )
+
+    # last right payload per (key, bucket) -> exclusive carry into later
+    # buckets (tiny second pass: one row per non-empty (key, bucket)).
+    # Grouped over the UNION so every bucket a left row lives in gets a
+    # carry row even when it holds no right rows (max_by's ordering
+    # expression is NULL for left rows, which max_by ignores).
+    bucket_last = u.groupBy(*on, bkt).agg(
+        F.max_by(
+            _PAYLOAD, F.when(F.col(_MARK) == 0, F.col(ts))
+        ).alias("__bl")
+    )
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy(bkt)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = bucket_last.select(
+        *on, bkt, F.last("__bl", ignorenulls=True).over(w_carry).alias("__cin")
+    )
+
+    out = (
+        filled.where(F.col(_MARK) == 1)
+        .join(carries, on + [bkt], "left")
+        .withColumn("__f", F.coalesce("__fin", "__cin"))
+    )
+    return out.select(
+        *left.columns,
+        *[F.col(f"__f.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

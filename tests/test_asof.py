@@ -48,3 +48,50 @@ def test_asof_single_shuffle_plan(spark):
     # one hash-partition exchange (the window's), no cartesian/BNL expansion
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_asof_matches_plain_on_hot_key(spark):
+    """Single-user-dominated fixture: the bucketed variant must return
+    exactly what the one-shuffle spelling returns, for every bucket
+    width — including rows whose match sits many empty buckets back."""
+    from prajna_spark.operators.asof import asof_join_bucketed
+
+    # user 1 dominates (~95% of rows); right side sparse -> long carries
+    left = spark.range(2000).selectExpr(
+        "CASE WHEN id % 20 = 19 THEN 2 ELSE 1 END AS k",
+        "id * 10 AS t",
+        "id AS tag",
+    )
+    right = spark.range(20).selectExpr(
+        "CASE WHEN id % 5 = 4 THEN 2 ELSE 1 END AS k",
+        "id * 950 + 3 AS t",
+        "CAST(id AS DOUBLE) AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s",
+    )
+    expect = sorted(
+        map(tuple, asof_join(left, right, ["k"], "t", ["v", "s"]).collect())
+    )
+    for width in (100, 1000, 7919):
+        got = sorted(
+            map(
+                tuple,
+                asof_join_bucketed(
+                    left, right, ["k"], "t", ["v", "s"], bucket_width=width
+                ).collect(),
+            )
+        )
+        assert got == expect, f"bucket_width={width}"
+
+
+def test_bucketed_asof_shards_the_window_by_bucket(spark):
+    """The data-sized window must hash-partition on (key, bucket) — that
+    is the hot-key spread; only the O(#buckets) carry pass may partition
+    on the bare key."""
+    from prajna_spark.operators.asof import asof_join_bucketed
+
+    left = spark.range(1000).selectExpr("1 AS k", "id * 10 AS t", "id AS x")
+    right = spark.range(10).selectExpr("1 AS k", "id * 900 AS t", "id AS y")
+    out = asof_join_bucketed(left, right, ["k"], "t", ["y"], bucket_width=500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_bucket" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2  # sharded + carry
