@@ -186,38 +186,33 @@ def simhash16_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document from distinct-token md5 digit parities.
 
     bit_j weight for a token = +1 if the j-th hex digit of md5(token) is
-    odd else -1; bit set where the summed weight is positive. Fully
-    relational (explode → groupBy → pivot-free bit sum), so it scales as a
-    pair of shuffles on (doc, token) and (doc).
+    odd else -1; bit set where the summed weight is positive. The 16 bit
+    sums are 16 integer aggregate expressions over the (doc, token) rows —
+    ONE groupBy(doc) shuffle with map-side partial aggregation, instead of
+    exploding each token 16x through a (doc, j) shuffle. Integer sums are
+    order-independent, so the result is exact under any partitioning.
     """
     hexd = "0123456789abcdef"
     toks = fan_out(
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
     ).select("id", F.explode(F.array_distinct("__toks")).alias("tok"))
-    expanded = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
-        F.md5("tok").alias("h"),
-    ).select(
-        "id",
-        "j",
-        (
-            ((F.instr(F.lit(hexd), F.substring(F.col("h"), F.col("j"), 1)) - 1) % 2)
-            * 2
-            - 1
-        ).alias("w"),
+    hashed = toks.select("id", F.md5("tok").alias("h"))
+
+    def weight(j: int) -> Column:
+        return ((F.instr(F.lit(hexd), F.substring("h", j, 1)) - 1) % 2) * 2 - 1
+
+    sums = hashed.groupBy("id").agg(
+        *[F.sum(weight(j)).alias(f"__ws{j}") for j in range(1, 17)]
     )
-    bit_sums = expanded.groupBy("id", "j").agg(F.sum("w").alias("ws"))
-    return (
-        bit_sums.withColumn(
-            "bit_val",
-            F.when(
-                F.col("ws") > 0, F.pow(F.lit(2.0), F.col("j") - 1).cast("long")
-            ).otherwise(F.lit(0)),
-        )
-        .groupBy("id")
-        .agg(F.sum("bit_val").cast("long").alias("simhash16"))
-        .select(F.col("id").alias(id_col), "simhash16")
+    bits = [
+        F.when(F.col(f"__ws{j}") > 0, F.lit(2 ** (j - 1))).otherwise(F.lit(0))
+        for j in range(1, 17)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return sums.select(
+        F.col("id").alias(id_col), simhash.cast("long").alias("simhash16")
     )
 
 

@@ -9,7 +9,7 @@ approximate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
@@ -326,9 +326,11 @@ def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline in one plan: quality scoring ->
     quality + language gates -> exact dedup keeping the canonical (lowest
-    doc_id) copy. One scan, one shuffle (the per-fingerprint window);
-    filters run BEFORE the shuffle so rejected docs never move. This is
-    the curation job a 100 TB corpus runs nightly."""
+    doc_id) copy. One scan, one HASH-AGG shuffle: min_by(struct, doc_id)
+    picks the canonical row per fingerprint with map-side partial
+    aggregation and no sort (a row_number window would sort every
+    partition); filters run BEFORE the shuffle so rejected docs never
+    move. This is the curation job a 100 TB corpus runs nightly."""
     docs = _docs(spark, sf_dir)
     t = F.col("text")
     scored = docs.select(
@@ -339,11 +341,17 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         textqa.quality_score(t).alias("quality"),
     )
     gated = scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "n_chars", "fingerprint", pround(F.col("quality"), 4).alias("quality"))
+    canon = gated.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "n_chars", "quality"), F.col("doc_id")
+        ).alias("__c")
+    )
+    return canon.select(
+        F.col("__c.doc_id").alias("doc_id"),
+        F.col("__c.lang").alias("lang"),
+        F.col("__c.n_chars").alias("n_chars"),
+        "fingerprint",
+        pround(F.col("__c.quality"), 4).alias("quality"),
     )
 
 
