@@ -1,0 +1,84 @@
+"""Deterministic sampling & corpus mixing (north-star LLM-pipeline
+surface; no reference equivalent — Prajna's sampling is per-partition RNG,
+storage.fs:55-74, which is neither reproducible across runs nor portable
+across engines).
+
+Training-data pipelines need REPRODUCIBLE sampling: re-running the job on
+the same corpus must select the same documents (dataset cards, ablations,
+incremental rebuilds), and the decision must depend only on the ROW, not
+on partitioning or visit order. The tool is hash-gating:
+
+    keep(row) <=> md5(seed | key)[:8] <= threshold(rate)
+
+- md5 hex is uniform, so the first 8 hex digits are a uniform 32-bit
+  draw; comparing the HEX STRING lexicographically equals comparing the
+  integer (fixed-width lowercase hex), which keeps the predicate
+  engine-portable (identical in Spark and DuckDB/ANSI SQL) and wholly
+  inside whole-stage codegen;
+- the predicate is a row-local filter: it pushes toward the scan, never
+  shuffles, and is unaffected by repartitioning, retries, or
+  speculative execution — the properties per-partition RNG sampling
+  (DSet.sample / rand()) cannot give;
+- different ``seed`` values give independent samples (held-out splits,
+  A/B slices) from one pass.
+
+``stratified_gate`` composes per-stratum rates into one predicate — the
+data-mixing recipe (sample each language/source at its own rate) as a
+single scan with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # 8 hex digits
+
+
+def _threshold_hex(rate: float) -> str:
+    """Largest 8-hex value kept for ``rate`` (clamped to [0, 1]).
+
+    P(keep) = int(rate * 16^8) / 16^8 — exact to ~2.3e-10, deterministic.
+    rate <= 0 keeps nothing (threshold below the hex alphabet).
+    """
+    if rate <= 0:
+        return "/" * 8  # '/' < '0' in ASCII: matches no md5 output
+    n = min(int(rate * _SPACE), _SPACE)
+    return format(n - 1, "08x")
+
+
+def hash_gate(key: Column, rate: float, seed: str = "s0") -> Column:
+    """Deterministic Bernoulli(rate) keep-predicate on ``key``."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 8
+    )
+    return h <= F.lit(_threshold_hex(rate))
+
+
+def hash_gate_sql(key_sql: str, rate: float, seed: str = "s0") -> str:
+    """The identical predicate as engine-portable SQL text (oracle twin)."""
+    return (
+        f"substring(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+        f" <= '{_threshold_hex(rate)}'"
+    )
+
+
+def stratified_gate(
+    stratum: Column, key: Column, rates: dict[str, float], seed: str = "s0"
+) -> Column:
+    """Per-stratum deterministic sampling in one predicate: stratum value
+    -> its rate (absent strata are dropped). The corpus-mixing gate."""
+    expr = F.lit(False)
+    for value, rate in sorted(rates.items()):
+        expr = F.when(stratum == value, hash_gate(key, rate, seed)).otherwise(expr)
+    return expr
+
+
+def stratified_gate_sql(
+    stratum_sql: str, key_sql: str, rates: dict[str, float], seed: str = "s0"
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum_sql} = '{v}' THEN ({hash_gate_sql(key_sql, r, seed)})"
+        for v, r in sorted(rates.items())
+    )
+    return f"(CASE {cases} ELSE FALSE END)"

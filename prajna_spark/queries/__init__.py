@@ -59,6 +59,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         scalars,
+        sampling,
         windows,
         vectors,
         text,

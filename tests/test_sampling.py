@@ -1,0 +1,85 @@
+"""Deterministic hash-gate sampling: reproducible, partition-independent,
+rate-accurate, seed-independent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prajna_spark.pipeline.sampling import (
+    _threshold_hex,
+    hash_gate,
+    stratified_gate,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_gate_is_deterministic_and_partition_independent(spark):
+    base = spark.range(5000)
+    kept1 = _ids(base.where(hash_gate(F.col("id"), 0.3, "s")))
+    kept2 = _ids(base.repartition(17).where(hash_gate(F.col("id"), 0.3, "s")))
+    kept3 = _ids(base.coalesce(1).where(hash_gate(F.col("id"), 0.3, "s")))
+    assert kept1 == kept2 == kept3  # selection is a pure row property
+
+
+def test_gate_rate_is_accurate(spark):
+    n = spark.range(20_000).where(hash_gate(F.col("id"), 0.3, "s")).count()
+    assert abs(n / 20_000 - 0.3) < 0.02
+
+
+def test_gates_nest_monotonically(spark):
+    """Raising the rate only ADDS rows (thresholds nest) — incremental
+    corpus growth keeps every previously selected document."""
+    base = spark.range(3000)
+    small = set(_ids(base.where(hash_gate(F.col("id"), 0.1, "s"))))
+    large = set(_ids(base.where(hash_gate(F.col("id"), 0.4, "s"))))
+    assert small <= large
+
+
+def test_different_seeds_are_independent(spark):
+    base = spark.range(20_000)
+    a = set(_ids(base.where(hash_gate(F.col("id"), 0.5, "seedA"))))
+    b = set(_ids(base.where(hash_gate(F.col("id"), 0.5, "seedB"))))
+    overlap = len(a & b) / 20_000
+    assert abs(overlap - 0.25) < 0.02  # P(A)P(B), not the same slice
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    df = spark.range(30_000).select(
+        "id", (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    kept = df.where(
+        stratified_gate(F.col("s"), F.col("id"), {"true": 0.8, "false": 0.1}, "m")
+    )
+    got = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["true"] / 15_000 - 0.8) < 0.03
+    assert abs(got["false"] / 15_000 - 0.1) < 0.03
+
+
+def test_stratified_drops_unlisted_strata(spark):
+    df = spark.range(100).select("id", F.lit("other").alias("s"))
+    assert df.where(stratified_gate(F.col("s"), F.col("id"), {"en": 1.0}, "m")).count() == 0
+
+
+def test_edge_rates(spark):
+    base = spark.range(500)
+    assert base.where(hash_gate(F.col("id"), 0.0, "s")).count() == 0
+    assert base.where(hash_gate(F.col("id"), 1.0, "s")).count() == 500
+    assert _threshold_hex(1.0) == "ffffffff"
+
+
+def test_gate_pushes_to_scan(spark, sf_dir, tmp_path):
+    """The predicate is scan-local: no shuffle anywhere in the plan."""
+    from prajna_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = (
+        docs.where(hash_gate(F.col("doc_id"), 0.25, "s"))
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
