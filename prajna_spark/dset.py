@@ -291,6 +291,35 @@ class DSet:
         )
         return DSet(spark.createDataFrame(rdd, schema), self.key_cols)
 
+    def repartition_by_unique_key(self) -> "DSet":
+        """Prajna ``repartitionByUniqueKey`` (DKV.fs:66-96): every distinct
+        key value gets its OWN partition. Like the reference, this is
+        EAGER — it first evaluates the distinct key set (the reference's
+        FoldWithCommonStatePerNode pass) to build the exact key->partition
+        map, then routes rows through the faithful RDD ``partitionBy``
+        escape hatch (hash partitioning cannot guarantee distinct keys
+        land apart — collisions — so the exact map is required).
+
+        Scale note: #partitions == #distinct keys and the map lives on the
+        driver — this is for MODERATE key cardinality (per-entity output
+        files, per-tenant processing). The reference bounded it the same
+        way (and kept it private); at high cardinality use
+        ``repartition_by_key``, where AQE balances the hash buckets.
+        """
+        self._require_keys()
+        key_cols = list(self.key_cols)
+        distinct = [
+            tuple(r) for r in self.df.select(*key_cols).distinct().collect()
+        ]
+        mapping = {k: i for i, k in enumerate(sorted(distinct, key=str))}
+        idx = {c: i for i, c in enumerate(self.df.columns)}
+        positions = [idx[c] for c in key_cols]
+
+        def route(row) -> int:
+            return mapping[tuple(row[p] for p in positions)]
+
+        return self.repartition_by_func(len(mapping) or 1, route)
+
     def filter_by_key(self, pred: Callable[[list[Column]], Column]) -> "DSet":
         """Prajna ``filterByKey f`` (DKV.fs:172-177)."""
         self._require_keys()

@@ -72,3 +72,63 @@ def mix_corpus_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex("
+    "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),"
+    " w -> w <> '')"
+)
+_PACK_BUDGET = 512
+
+
+@query(
+    "pack_training_sequences",
+    oracle=f"""
+    -- deterministic global shuffle (order by md5) -> running token count
+    -- -> fixed-budget pack assignment with straddling (pretraining's
+    -- concatenation packing)
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             md5('shuf1|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // {_PACK_BUDGET} AS pack_id,
+           cum_before % {_PACK_BUDGET} AS pack_offset
+    FROM c
+    """,
+    tags=("packing", "pipeline", "prefix-sum", "shuffle"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle -> pack: documents globally shuffled by a deterministic
+    md5 order, then concatenation-packed into 512-token windows
+    (pipeline.packing.pack_sequences). The global running token count is
+    a distributed two-pass prefix sum — range partition + local windows +
+    broadcast per-partition offsets; the only global window in the plan
+    runs over #partitions rows. The DuckDB oracle computes the same
+    packing with a single-node window — exact equality, including
+    straddling documents."""
+    from prajna_spark.pipeline import packing, textqa
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        textqa.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("shuf1|"), F.col("doc_id").cast("string"))).alias("__h"),
+    )
+    packed = packing.pack_sequences(
+        t, "n_tokens", _PACK_BUDGET, order_by=["__h", "doc_id"]
+    )
+    return packed.select(
+        "doc_id", "n_tokens", F.col("cum_before").cast("long").alias("cum_before"),
+        "pack_id", "pack_offset",
+    )

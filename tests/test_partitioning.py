@@ -37,3 +37,22 @@ def test_partitioned_roundtrip_content(spark, sf_dir, tmp_path):
     a = {r.event_id: (r.event_type, r.value) for r in back.collect()}
     b = {r.event_id: (r.event_type, r.value) for r in ev.collect()}
     assert a == b
+
+
+def test_repartition_by_unique_key_isolates_each_key(spark):
+    """DKV.fs:66-96 parity: after the eager repartition, every distinct
+    key owns exactly one partition and no partition mixes keys."""
+    from prajna_spark.dset import DSet
+
+    d = DSet(
+        spark.range(300).selectExpr("id % 7 AS k", "id AS v"), key_cols=("k",)
+    ).repartition_by_unique_key()
+    assert d.df.rdd.getNumPartitions() == 7
+
+    def keys_per_part(it):
+        ks = {r.k for r in it}
+        yield len(ks)
+
+    per_part = d.df.rdd.mapPartitions(keys_per_part).collect()
+    assert sorted(per_part) == [1] * 7  # one key per partition, all present
+    assert d.count() == 300
