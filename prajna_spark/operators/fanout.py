@@ -23,5 +23,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     fewer partitions — call immediately BEFORE an explode/flatMap whose
     output is much larger than its input."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    current = df.rdd.getNumPartitions()
+    try:
+        # JVM-side RDD partition metadata: no Python-serializer plan is
+        # constructed (df.rdd would build the javaToPython conversion).
+        current = df._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - non-standard DataFrame impls
+        current = df.rdd.getNumPartitions()
     return df.repartition(target) if current < target else df

@@ -1,0 +1,81 @@
+"""Incremental corpus dedup — continuous-ingest exact dedup against an
+accumulated fingerprint store.
+
+The batch dedup family (pipeline.dedup) answers "dedup this corpus"; a
+training-data pipeline also needs "dedup this NEW data against everything
+ever ingested" without rescanning the corpus. foreachBatch spelling:
+
+  1. in-batch canonicalization: lowest id per fingerprint inside the
+     micro-batch (hash agg, min_by);
+  2. anti-join the batch's fingerprints against the store — only
+     (fingerprint, id) rows participate, never documents, so the check
+     scales as the fingerprint count;
+  3. append the survivors' fingerprints to the store and the surviving
+     documents to the output sink.
+
+The store is append-only parquet of narrow fingerprint rows; at 100 TB
+partition/bucket it BY fingerprint so the anti-join co-locates (or swap
+in a transactional table format for compaction — the operator body is
+unchanged). Late/duplicate deliveries of the same document fold away:
+its fingerprint is already stored, the anti-join drops it — exactly-once
+OUTPUT from at-least-once input.
+
+No reference equivalent: Prajna has no streaming state at all
+(SURVEY §2.12); this is the north-star continuous-curation slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from prajna_spark.pipeline.textqa import fingerprint
+
+
+def start_incremental_dedup(
+    stream_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously emit first-seen documents (by content fingerprint)
+    from ``stream_docs``; duplicates — in-batch or vs any earlier batch —
+    are dropped."""
+
+    def dedupe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = batch_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        canon = (
+            fp.groupBy("fingerprint")
+            .agg(F.min_by(F.struct(*batch_df.columns), F.col(id_col)).alias("__c"))
+            .select("fingerprint", "__c.*")
+        )
+        try:
+            seen = spark.read.parquet(store_path).select("fingerprint")
+            fresh = canon.join(seen, "fingerprint", "left_anti")
+        except Exception:  # first batch: no store yet
+            fresh = canon
+        # Persist so the two sinks share one computation — and write the
+        # OUTPUT before the store: appending to store_path fires
+        # refreshByPath(store_path), which invalidates any cached plan
+        # scanning that path (this one). With output-first, even a cache
+        # miss re-executes against the PRE-append store on both writes, so
+        # correctness never depends on cache retention.
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(output_path)
+            fresh.select("fingerprint").write.mode("append").parquet(store_path)
+        finally:
+            fresh.unpersist(blocking=False)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(dedupe_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
