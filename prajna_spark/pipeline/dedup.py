@@ -256,6 +256,50 @@ def jaccard_pairs(
     )
 
 
+def ngram_collision_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact n-token-window collision pairs — substring-level dedup (the
+    Lee et al. 2022 'Deduplicating Training Data' criterion: two docs are
+    duplicates if they share ANY exact n-token span).
+
+    Plan: explode window START POSITIONS (the Generate barrier keeps the
+    tokenization evaluated once per row, not per window — the nested-HOF
+    trap documented on minhash_sig), hash each window to 32 hex chars,
+    then the same bucket/collect/double-explode pair expansion as
+    LSH banding: one shuffle keyed on the gram hash, narrow (id, hash)
+    rows only, ``max_bucket_size`` capping boilerplate grams.
+    """
+    staged = fan_out(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+    ).where(F.size("__tk") >= n)
+    positions = staged.select(
+        "id",
+        "__tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__tk") - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    grams = positions.select(
+        "id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), F.col("__i"), n))).alias("g"),
+    )
+    buckets = grams.groupBy("g").agg(F.collect_set("id").alias("ids"))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

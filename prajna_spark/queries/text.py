@@ -471,3 +471,35 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
     return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)
+
+
+@query(
+    "dedup_ngram_collisions",
+    oracle=f"""
+    -- exact 8-token-window collisions (substring-level dedup): two docs
+    -- pair iff they share ANY exact 8-token span
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - 7, 1) + 1),
+               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
+                                                   CAST(i AS INT) + 7), ' '))
+             )) AS g
+      FROM t WHERE len(tk) >= 8
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "ngram", "exact-substring"),
+)
+def dedup_ngram_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (pipeline.dedup.ngram_collision_pairs):
+    candidate pairs are docs sharing any exact 8-token window — the
+    strictest published dedup criterion (exact span reuse), complementing
+    MinHash (set similarity) and SimHash (weighted-token distance). Same
+    scale shape as LSH banding: shuffle key is the 128-bit gram hash,
+    never the text."""
+    docs = _docs(spark, sf_dir)
+    return dedup.ngram_collision_pairs(docs, "doc_id", "text", n=8)

@@ -107,3 +107,21 @@ def test_minhash_beyond_one_digest_is_nonempty_and_distinct(spark):
         for j in range(12):
             v = r[f"minhash_{j}"]
             assert isinstance(v, str) and len(v) == 4  # slice_len=4, never ''
+
+
+def test_ngram_collision_pairs_semantics(spark):
+    """Docs pair iff they share an exact n-token window; shorter docs and
+    partial overlaps below n do not pair."""
+    from prajna_spark.pipeline.dedup import ngram_collision_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # shares 4-gram 'c d e f' with 2
+            (2, "x c d e f y"),
+            (3, "c d e"),            # only 3 tokens: below n, never pairs
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, ngram_collision_pairs(docs, "doc_id", "text", n=4).collect()))
+    assert got == [(1, 2)]
