@@ -400,3 +400,63 @@ def test_mapi_partition_ordinals_restart_per_partition(spark):
         assert sorted(ords) == list(range(len(ords)))  # restart at 0, dense
     # (parti, ordinal) is a key: no duplicates across the dataset
     assert len({(r.parti, r.ordinal) for r in rows}) == 100
+
+
+def test_remote_exception_propagates_to_driver(spark):
+    """Reference 'Throw Remote Exception and catch locally'
+    (tests/CoreLib/DSet.fs:1605): a failure inside a task surfaces at the
+    driver as a catchable error carrying the original message."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from prajna_spark.dset import DSet
+
+    d = DSet(spark.range(10).toDF("id"))
+
+    def boom(batches):
+        for pdf in batches:
+            raise RuntimeError("prajna remote failure 42")
+            yield pdf  # pragma: no cover
+
+    with pytest.raises(PythonException, match="prajna remote failure 42"):
+        d.map_rows(boom, "id long").collect()
+
+
+def test_dset_reuse_computes_source_once(spark, tmp_path):
+    """Reference 'a DSet is reused' (DSet.fs:1395): a cached DSet feeds
+    several downstream actions from one materialization — the source is
+    not re-read."""
+    from prajna_spark.dset import DSet
+
+    src = str(tmp_path / "reuse")
+    spark.range(1000).selectExpr("id", "id % 10 AS k").write.parquet(src)
+    cached = DSet(spark.read.parquet(src)).cache_in_memory()
+    try:
+        assert cached.count() == 1000  # materializes
+        a = cached.df.groupBy("k").count().count()
+        b = cached.df.where("id < 100").count()
+        assert (a, b) == (10, 100)
+        # the shared plan reads the cache, not the files
+        plan = cached.df.where("id < 500")._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        cached.df.unpersist(blocking=True)
+
+
+def test_concurrent_reads_of_one_dset(spark):
+    """Reference 'Concurrent read of DSet' (DSet.fs:1650): simultaneous
+    actions on one DSet are safe and see identical data."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from prajna_spark.dset import DSet
+
+    d = DSet(spark.range(20_000).selectExpr("id", "id % 7 AS k")).cache_in_memory()
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(lambda: d.df.groupBy("k").count().count()) for _ in range(4)]
+            futs += [ex.submit(d.count) for _ in range(4)]
+            results = [f.result() for f in futs]
+        assert results[:4] == [7] * 4
+        assert results[4:] == [20_000] * 4
+    finally:
+        d.df.unpersist(blocking=True)
