@@ -324,6 +324,111 @@ def knn_lsh(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors + their centroid assignment,
+    written PARTITIONED BY centroid_id.
+
+    This is the production layout the in-memory ``knn_ivf`` docstring
+    promises: each inverted list is its own partition directory, so a
+    probe-time join on centroid_id triggers DYNAMIC PARTITION PRUNING —
+    the scan reads only the nprobe cells' files and the other
+    (n_centroids - nprobe)/n_centroids of the index is never opened.
+    Rebuild cost is one assignment pass (broadcast centroids, no
+    shuffle) plus the partitioned write."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    (
+        vectors.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """ANN top-k over a :func:`build_ivf_index` layout. The probe set
+    (query x nprobe nearest centroids) is broadcast; joining it to the
+    partitioned index on centroid_id lets Spark prune index partitions at
+    runtime (DPP) — I/O scales with nprobe, not index size. Scoring and
+    the per-query top-k window are identical to ``knn_ivf``, so results
+    match the in-memory operator exactly."""
+    c = with_norm(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        ),
+        "centroid_vec",
+        "__cn",
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        "q_norm",
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn(
+            "__csim",
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("centroid_vec"), F.col("q_norm"), F.col("__cn")
+                ),
+                sim_decimals,
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
+    )
+
+    inv = with_norm(
+        spark.read.parquet(path).select(
+            "centroid_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        "c_vec",
+        "c_norm",
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(
+                paired_cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                sim_decimals,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
