@@ -423,3 +423,54 @@ def cascade_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "t", ["event_type"], "value", resolutions=[60, 3600, 86400]
     )
     return out.withColumn("total_value", pround(F.col("total_value"), 2))
+
+
+@query(
+    "window_frames_suite",
+    oracle=f"""
+    -- the remaining §2.11 surface in one pass: distribution functions,
+    -- value-offset functions, and a numeric RANGE frame — all per-nation
+    SELECT c_custkey,
+           c_nationkey,
+           {R('''percent_rank() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey)''', 6)} AS pct_rank,
+           {R('''cume_dist() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey)''', 6)} AS cdist,
+           lead(c_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey) AS next_custkey,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_custkey,
+           {R('''sum(c_acctbal) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)''', 2)}
+                 AS near_balance_sum
+    FROM customer
+    """,
+    tags=("window", "percent-rank", "cume-dist", "nth-value", "range-frame"),
+)
+def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes §2.11: percent_rank/cume_dist (distribution), lead and
+    nth_value (value offsets, explicit full frame), and a numeric RANGE
+    frame (value-based moving sum). Every window PARTITIONs BY nation, so
+    the single shuffle key distributes; all five functions share one sort
+    order and Spark evaluates them in one WindowExec pass."""
+    tune(spark)
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_range = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_custkey"),
+        pround(F.sum("c_acctbal").over(w_range), 2).alias("near_balance_sum"),
+    )
