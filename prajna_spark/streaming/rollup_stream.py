@@ -89,3 +89,39 @@ def cascade_from_store(
     scan of O(buckets x batches) aggregate rows — never the raw events."""
     partials = spark.read.parquet(store_path).drop("batch_id")
     return cascade_from_partials(partials, dims, resolutions, merge=True)
+
+
+def compact_store(spark: SparkSession, store_path: str, dims: list[str]) -> int:
+    """Fold the store's accumulated per-batch delta rows into one row per
+    (bucket, dims) — the periodic maintenance that keeps read-side merge
+    cost O(buckets) no matter how many micro-batches have appended.
+
+    Deltas compose by sum, so compaction is a groupBy; the batch_id
+    column is retired to a sentinel (-1 marks compacted rows; later
+    deltas append alongside and the next compaction folds them in).
+    The rewrite stages to a sibling directory and swaps via rename, so a
+    crash mid-compact leaves the original store intact; swap-in is the
+    only non-atomic instant (run compaction when no cycle is active, or
+    use a transactional table format for online compaction).
+    Returns the compacted row count.
+    """
+    import os
+    import shutil
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("epoch_start", *dims)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    staging = store_path.rstrip("/") + ".compact"
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    old = store_path.rstrip("/") + ".old"
+    os.rename(store_path, old)
+    os.rename(staging, store_path)
+    shutil.rmtree(old)
+    return n

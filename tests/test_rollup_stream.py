@@ -66,3 +66,36 @@ def test_incremental_cascade_matches_batch(spark, tmp_path):
     deltas = spark.read.parquet(store)
     assert deltas.where("epoch_start = 0").count() == 2
     assert deltas.select("batch_id").distinct().count() >= 2
+
+
+def test_compaction_preserves_results_and_shrinks_store(spark, tmp_path):
+    from prajna_spark.streaming.rollup_stream import compact_store
+
+    src = str(tmp_path / "events_c")
+    store = str(tmp_path / "store_c")
+    ckpt = str(tmp_path / "ckpt_c")
+    # three cycles, each writing a delta for bucket 0
+    for i in range(3):
+        _write(spark, src, [(100 + i, "a", 1.0), (90000 + i, "b", 2.0)])
+        _run_cycle(spark, src, store, ckpt)
+    before = spark.read.parquet(store)
+    assert before.where("epoch_start = 0").count() == 3  # three deltas
+    with persist_scope():
+        expect = _snap(cascade_from_store(spark, store, ["k"], RES))
+
+    n = compact_store(spark, store, ["k"])
+    after = spark.read.parquet(store)
+    assert after.count() == n
+    assert after.where("epoch_start = 0").count() == 1  # folded
+    assert set(r.batch_id for r in after.collect()) == {-1}
+    with persist_scope():
+        assert _snap(cascade_from_store(spark, store, ["k"], RES)) == expect
+
+    # post-compaction ingest keeps composing
+    _write(spark, src, [(110, "a", 5.0)])
+    _run_cycle(spark, src, store, ckpt)
+    with persist_scope():
+        got = _snap(cascade_from_store(spark, store, ["k"], RES))
+    assert got != expect
+    a_hour0 = [r for r in got if r[0] == RES[0] and r[1] == 0 and r[2] == "a"][0]
+    assert a_hour0[3] == 4 and a_hour0[4] == 8.0  # 3 old + 1 new event
