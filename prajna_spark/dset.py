@@ -186,10 +186,23 @@ class DSet:
     parallel_map = async_map
 
     def print_rows(self, n: int = 20) -> None:
-        """Prajna ``printfn fmt`` (DSetGenerics.fs:498-518): debug print.
-        Driver-side show() — the distributed-print of the reference is a
-        debugging aid, not a dataflow op."""
+        """Quick debug print (driver-side show, truncated)."""
         self.df.show(n)
+
+    def printfn(self, fmt: Callable[..., str] = None, file=None) -> int:
+        """Prajna ``printfn fmt`` / ``LocalIter`` (DSetGenerics.fs:498-518):
+        read the ENTIRE DSet back to the client and print every row.
+        Faithful to the reference — including its caution that the whole
+        dataset streams to the local machine: ``toLocalIterator`` pulls
+        one partition at a time, so driver memory stays O(partition).
+        ``fmt`` maps a Row to a line (default: the Row repr). Returns the
+        number of rows printed (the reference's LocalIter is also used as
+        a counting drain in its tests)."""
+        count = 0
+        for row in self.df.toLocalIterator():
+            print(fmt(*row) if fmt else str(row), file=file)
+            count += 1
+        return count
 
     def mapi(self, order_by: Sequence[str], index_col: str = "idx") -> "DSet":
         """Prajna ``mapi`` (partition, ordinal) (DSetGenerics.fs:1041-1054)

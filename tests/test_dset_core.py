@@ -460,3 +460,19 @@ def test_concurrent_reads_of_one_dset(spark):
         assert results[4:] == [20_000] * 4
     finally:
         d.df.unpersist(blocking=True)
+
+
+def test_printfn_streams_all_rows_to_client(spark):
+    """Reference printfn = LocalIter + client-side print
+    (DSetGenerics.fs:498-518): every row is printed locally with the
+    format function, partition-at-a-time."""
+    import io
+
+    from prajna_spark.dset import DSet
+
+    d = DSet(spark.range(25).selectExpr("id", "id * 2 AS dbl").repartition(4))
+    buf = io.StringIO()
+    n = d.printfn(lambda i, dd: f"row {i}:{dd}", file=buf)
+    lines = buf.getvalue().strip().split("\n")
+    assert n == 25 and len(lines) == 25
+    assert "row 0:0" in lines and "row 24:48" in lines
