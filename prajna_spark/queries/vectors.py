@@ -299,3 +299,70 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = similarity.kmeans_centroids(emb, k=16, n_iter=3)
     return out.select("centroid_id", "n_assigned")
+
+
+@query(
+    "knn_label_consistency",
+    oracle=f"""
+    -- embedding-quality eval: fraction of each query's top-10 neighbours
+    -- sharing its label (kNN classifier agreement)
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.qid, q.qlabel, v.label AS nlabel,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               {R(f'''{_DOT.format(d=DIM, a="q.qe", b="v.e")}
+                 / (sqrt({_DOT.format(d=DIM, a="q.qe", b="q.qe")})
+                    * sqrt({_DOT.format(d=DIM, a="v.e", b="v.e")}))''', 6)} DESC,
+               v.vec_id) AS rk
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, qlabel AS query_label,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           {R('sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) / 1e1', 2)}
+             AS consistency
+    FROM scored WHERE rk <= 10
+    GROUP BY qid, qlabel
+    """,
+    tags=("similarity", "knn", "eval", "composition"),
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval composed from the primitives: exact kNN
+    (pipeline.similarity.knn_bruteforce) -> broadcast label attach ->
+    per-query agreement rate. The standard 'do nearest neighbours share
+    my label' check an embedding pipeline runs after every retrain;
+    everything JVM-side, labels broadcast twice (queries + neighbours)."""
+    emb = _emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    knn = similarity.knn_bruteforce(
+        emb, emb.where(F.col("vec_id") < 20), k=10, sim_decimals=6
+    )
+    joined = (
+        knn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("query_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("neighbor_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+    )
+    same = F.when(F.col("neighbor_label") == F.col("query_label"), 1).otherwise(0)
+    return joined.groupBy("query_id", "query_label").agg(
+        F.sum(same).cast("long").alias("n_same"),
+        pround(F.sum(same) / F.lit(10.0), 2).alias("consistency"),
+    )
