@@ -893,3 +893,65 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         n_salts=16,
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           {R('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           n.n_name AS nation_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch", "q10"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customer x orders x
+    lineitem x nation, revenue of returned items per customer, top 20.
+    The returnflag and date filters push into the scans BEFORE the joins;
+    nation (25 rows) broadcasts but customer does NOT — it is a
+    data-sized dimension at 100 TB, so it shuffle-joins on custkey and
+    AQE upgrades to broadcast only when the runtime size allows. The
+    top-20 compiles to TakeOrderedAndProject (per-partition heaps, no
+    global sort exchange). Covers the filter -> multi-join -> agg ->
+    top-k composition the reference could only express as chained
+    merge-joins + binSort (SURVEY §2.7-2.8)."""
+    cu, od, li, na = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    facts = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            od.where(F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    cust_dim = (
+        cu.select("c_custkey", "c_name", "c_nationkey")
+        .join(
+            F.broadcast(na.select("n_nationkey", F.col("n_name").alias("nation_name"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "nation_name")
+    )
+    enriched = facts.join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        enriched.groupBy("c_custkey", "c_name", "nation_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select("c_custkey", "c_name", "revenue", "nation_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
