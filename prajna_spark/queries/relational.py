@@ -955,3 +955,67 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           {R('o.o_totalprice', 2)} AS total_price,
+           {R('sum(l.l_quantity)', 2)} AS total_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d'), o.o_totalprice
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 50
+    """,
+    tags=("join", "having", "semi-join", "tpch", "q18"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the aggregation-filtered
+    semi-join — qualify orderkeys by a HAVING over lineitem, then rejoin
+    the facts. The qualifying-key aggregate is a partial-agg shuffle of
+    (orderkey, qty) pairs; its output (keys only, post-HAVING tiny) drives
+    a LEFT SEMI join on orders, so unqualified orders never reach the
+    final join/agg. The reference would need two materialized passes +
+    a hand merge-join; here it is one pipelined plan."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    qualified = od.join(
+        big, od.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        qualified.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "order_date"
+            ),
+            "o_totalprice",
+        )
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "order_date",
+            pround(F.col("o_totalprice"), 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
