@@ -1019,3 +1019,83 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle=f"""
+    -- pivot = conditional aggregation (the engine-portable spelling)
+    SELECT o_orderpriority AS priority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+           {R("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)", 2)}
+             AS open_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "agg", "upgrade"),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide cross-tab) — ``groupBy().pivot(col, values)``. The
+    explicit values list matters at scale: without it Spark runs an extra
+    pass to discover the pivot domain. Pivot compiles to the same
+    one-shuffle conditional aggregation the oracle spells with CASE —
+    no extra exchange versus a plain groupBy."""
+    (od,) = _t(spark, sf_dir, "orders")
+    piv = (
+        od.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    return piv.select(
+        "priority",
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+        F.coalesce("P_n", F.lit(0)).alias("n_P"),
+        pround(F.coalesce("O_rev", F.lit(0.0)), 2).alias("open_revenue"),
+    )
+
+
+@query(
+    "unpivot_lineitem_charges",
+    oracle=f"""
+    -- unpivot = stack the measure columns into (measure, value) rows
+    SELECT l_orderkey, l_linenumber, measure, {R('val', 2)} AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS measure,
+             l_extendedprice AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount_amt',
+             l_extendedprice * l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax_amt',
+             l_extendedprice * l_tax FROM lineitem
+    )
+    WHERE l_orderkey < 100
+    """,
+    tags=("unpivot", "melt", "upgrade"),
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — ``unpivot`` (F.stack equivalent): the three charge
+    measures become (measure, value) rows in one Generate pass, no
+    shuffle, no self-union of the scan (contrast the oracle's UNION ALL
+    spelling, which DuckDB also collapses to one scan). Long-form output
+    is the shape statistics layers want."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    narrow = li.where(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_amt"),
+    )
+    return narrow.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount_amt", "tax_amt"],
+        "measure",
+        "__v",
+    ).select("l_orderkey", "l_linenumber", "measure", pround(F.col("__v"), 2).alias("val"))
