@@ -503,3 +503,56 @@ def dedup_ngram_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the text."""
     docs = _docs(spark, sf_dir)
     return dedup.ngram_collision_pairs(docs, "doc_id", "text", n=8)
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle="""
+    -- blocking (first name token) -> in-block pairs -> edit-distance gate:
+    -- the scalable fuzzy-dedup funnel (never an all-pairs cross join)
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS block
+      FROM part WHERE p_partkey <= 400
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    tags=("fuzzy", "levenshtein", "blocking", "entity-resolution"),
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching with blocking — the entity-resolution funnel: block
+    key = first name token (an equi-join shuffle key, exactly like LSH
+    banding), exact edit distance computed ONLY within blocks, gate at
+    <= 12. All JVM (levenshtein is a built-in on both engines); at 100 TB
+    the only data-sized operation is the block-key shuffle, and hot
+    blocks are bounded the same way as LSH buckets."""
+    tune(spark)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") <= 400)
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "block",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 12)
+    )
