@@ -1099,3 +1099,43 @@ def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "__v",
     ).select("l_orderkey", "l_linenumber", "measure", pround(F.col("__v"), 2).alias("val"))
+
+
+@query(
+    "validate_orders_quality",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN coalesce(o_totalprice >= 0, FALSE)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS nonneg_price_violations,
+           CAST(sum(CASE WHEN coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS valid_status_violations,
+           CAST(sum(CASE WHEN coalesce(CAST(o_orderdate AS DATE)
+                                       BETWEEN DATE '1992-01-01' AND DATE '1999-12-31',
+                                       FALSE)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS date_range_violations,
+           CAST(sum(CASE WHEN coalesce(o_custkey IS NOT NULL, FALSE)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS custkey_notnull_violations
+    FROM orders
+    """,
+    tags=("validation", "data-quality", "pipeline"),
+)
+def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (pipeline.validate.check): every
+    expectation counted in ONE aggregation pass — conditional aggregates
+    with map-side partials, a single one-row-per-partition exchange.
+    Never one scan per rule; the shape an ingest gate runs on every
+    100 TB delivery."""
+    from prajna_spark.pipeline.validate import check
+
+    (od,) = _t(spark, sf_dir, "orders")
+    return check(
+        od,
+        {
+            "nonneg_price": F.col("o_totalprice") >= 0,
+            "valid_status": F.col("o_orderstatus").isin("F", "O", "P"),
+            "date_range": F.col("o_orderdate")
+            .cast("date")
+            .between("1992-01-01", "1999-12-31"),
+            "custkey_notnull": F.col("o_custkey").isNotNull(),
+        },
+    )

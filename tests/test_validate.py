@@ -1,0 +1,49 @@
+"""Data-quality validation: one-pass counting, NULL-as-violation, gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prajna_spark.pipeline.validate import check, enforce
+
+
+def test_check_counts_each_rule_in_one_row(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 7.0, "X")],
+        "id long, amt double, cat string",
+    )
+    row = check(
+        df,
+        {
+            "nonneg": F.col("amt") >= 0,
+            "known_cat": F.col("cat").isin("A", "B"),
+        },
+    ).first()
+    assert row.n_rows == 4
+    assert row.nonneg_violations == 2  # -5.0 and the NULL (unknown fails)
+    assert row.known_cat_violations == 1  # 'X'
+
+
+def test_check_plan_is_single_aggregation(spark):
+    df = spark.range(1000).selectExpr("id", "id % 5 AS k")
+    out = check(df, {"a": F.col("id") >= 0, "b": F.col("k") < 5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # partial + final, one pass
+    assert plan.count("Scan ") <= 1 or plan.count("Range") == 1
+
+
+def test_enforce_raises_naming_violated_rules(spark):
+    df = spark.createDataFrame([(1, -1.0)], "id long, amt double")
+    with pytest.raises(ValueError, match="nonneg.*1"):
+        enforce(df, {"nonneg": F.col("amt") >= 0, "haskey": F.col("id").isNotNull()})
+    # clean data passes silently
+    enforce(
+        spark.createDataFrame([(1, 1.0)], "id long, amt double"),
+        {"nonneg": F.col("amt") >= 0},
+    )
+
+
+def test_empty_rules_rejected(spark):
+    with pytest.raises(ValueError, match="at least one rule"):
+        check(spark.range(1), {})
