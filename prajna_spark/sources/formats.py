@@ -74,3 +74,16 @@ def write_folder_bytes(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     is parquet with the binary column intact (splittable, columnar
     metadata, no small-file explosion at 100 TB)."""
     df.write.mode(mode).parquet(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging — the read mode a long-lived
+    store needs once columns start being added: the returned schema is
+    the UNION of every file's schema, files missing a column yield NULLs.
+
+    mergeSchema costs a footer read per file at planning (why it is not
+    Spark's default); on a 100 TB store prefer declaring the current
+    schema explicitly (``spark.read.schema(...)``) and reserve this
+    reader for exploration / migration jobs."""
+    tune(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)

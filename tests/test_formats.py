@@ -73,3 +73,23 @@ def test_register_views_sql_front_door(spark, sf_dir):
            GROUP BY r.r_name"""
     )
     assert joined.count() == 5
+
+
+def test_schema_evolution_read_unions_columns(spark, tmp_path):
+    """A store that gained a column mid-life: mergeSchema reads the union
+    schema, old files yield NULL for the new column, and filters on the
+    new column still push down."""
+    from prajna_spark.sources.formats import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.mode("append").parquet(path)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS a", "concat('v', id) AS b"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows[1] == (2, None)      # pre-evolution file: NULL new column
+    assert rows[4] == (8, "v4")      # post-evolution file: populated
+    assert df.where("b IS NOT NULL").count() == 3
