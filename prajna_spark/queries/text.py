@@ -556,3 +556,88 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 12)
     )
+
+
+from prajna_spark.pipeline.sampling import hash_gate_sql as _hash_gate_sql
+
+_CORPUS_GATE = _hash_gate_sql("doc_id", 0.5, seed="corpus1")
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    -- the nightly corpus build end-to-end: gates -> dedup canon ->
+    -- deterministic sample -> md5 shuffle -> 512-token packing
+    WITH scored AS (
+      SELECT doc_id, lang,
+             md5({_NORM.format(c='text')}) AS fingerprint,
+             {_QUALITY_SQL} AS quality,
+             CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es')
+    ), canon AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT doc_id, n_tokens,
+             md5('corpus1|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM canon
+      WHERE {_CORPUS_GATE}
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM sampled
+    )
+    SELECT doc_id, n_tokens,
+           cum_before // 512 AS pack_id,
+           cum_before % 512 AS pack_offset
+    FROM c
+    """,
+    tags=("pipeline", "composition", "curation", "sampling", "packing"),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus build, end-to-end in ONE lazy plan: quality +
+    language gates -> exact-dedup canonicalization (min_by per
+    fingerprint) -> deterministic 50% hash-gate sample -> deterministic
+    md5 global shuffle -> 512-token concatenation packing. Every stage is
+    the already-verified operator (textqa / dedup / sampling / packing);
+    this query proves they COMPOSE: filters sit below the dedup shuffle,
+    the sample is scan-local, and the only global structure is the
+    two-pass prefix sum. What a user actually runs each night at 100 TB."""
+    from prajna_spark.pipeline import packing, sampling as sgate
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        textqa.fingerprint(t).alias("fingerprint"),
+        textqa.quality_score(t).alias("quality"),
+        textqa.token_count(t).cast("long").alias("n_tokens"),
+    )
+    gated = scored.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "es")
+    )
+    canon = (
+        gated.groupBy("fingerprint")
+        .agg(F.min_by(F.struct("doc_id", "n_tokens"), F.col("doc_id")).alias("__c"))
+        .select(
+            F.col("__c.doc_id").alias("doc_id"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
+    sampled = canon.where(sgate.hash_gate(F.col("doc_id"), 0.5, seed="corpus1"))
+    shuffled = sampled.withColumn(
+        "__h", F.md5(F.concat(F.lit("corpus1|"), F.col("doc_id").cast("string")))
+    )
+    packed = packing.pack_sequences(
+        shuffled, "n_tokens", 512, order_by=["__h", "doc_id"]
+    )
+    return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
