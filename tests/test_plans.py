@@ -94,3 +94,23 @@ def test_q5_broadcasts_dims(spark, sf_dir):
     plans.assert_broadcast_join(df, expect=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_no_accidental_cartesian_anywhere_in_catalog(spark, sf_dir):
+    """Catalog-wide plan lint: no CartesianProduct / BroadcastNestedLoopJoin
+    in ANY query except the ones whose operator IS a cross join (or a
+    broadcast cross join by design: brute-force kNN, IVF assignment,
+    k-means assignment — all bounded by a broadcast side)."""
+    allowed = {
+        "crossjoin_nation_region",
+        "crossjoin_fold_supplier_pairs",
+        "knn_bruteforce_cosine",
+        "knn_label_consistency",
+        "ann_ivf_topk",
+        "ivf_kmeans_centroids",
+    }
+    for name, fn in queries().items():
+        if name in allowed:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
