@@ -366,3 +366,85 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(same).cast("long").alias("n_same"),
         pround(F.sum(same) / F.lit(10.0), 2).alias("consistency"),
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    -- recall@10 of IVF(nprobe=4) against exact cosine top-10 per query:
+    -- the accuracy/cost dial every ANN deployment monitors
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+    exact AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_SIM("q.qe", "v.e")} DESC, v.vec_id) AS rk
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= 10
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SIM("v.e", "cent.ce")} DESC, cent.cid) AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, cent.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_SIM("q.qe", "cent.ce")} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 4
+    ),
+    approx AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT p.qid, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 {_SIM("q.qe", "v.e")} DESC, a.vec_id) AS rk
+        FROM probes p
+        JOIN asg a ON a.cid = p.cid
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN q ON q.qid = p.qid
+        WHERE a.vec_id <> p.qid
+      ) WHERE rk <= 10
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           {R('count(a.neighbor_id) / 1e1', 2)} AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.qid
+    """,
+    tags=("similarity", "ann", "eval", "recall"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against the exact brute-force top-10
+    per query — the accuracy/cost dial (nprobe, n_centroids) every ANN
+    deployment monitors after (re)building its index. Composed from the
+    two existing verified operators plus a semi-join-shaped hit count."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5)
+    cents = emb.where(F.col("vec_id") < 16)
+    exact = similarity.knn_bruteforce(emb, queries_df, k=10, sim_decimals=6).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf(emb, queries_df, cents, k=10, nprobe=4).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = exact.join(
+        F.broadcast(approx),
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("a_nid").cast("long").alias("n_hit"),
+        pround(F.count("a_nid") / F.lit(10.0), 2).alias("recall_at_10"),
+    )

@@ -107,6 +107,7 @@ def test_no_accidental_cartesian_anywhere_in_catalog(spark, sf_dir):
         "knn_bruteforce_cosine",
         "knn_label_consistency",
         "ann_ivf_topk",
+        "ann_recall_eval",
         "ivf_kmeans_centroids",
     }
     for name, fn in queries().items():
