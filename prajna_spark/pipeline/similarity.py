@@ -468,13 +468,24 @@ def kmeans_centroids(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("__id").orderBy(F.col("__d2").asc(), F.col("centroid_id"))
+        # argmin per vector as a HASH aggregate (min_by over the
+        # (d2, centroid_id) struct — lexicographic, so ties go to the
+        # lowest centroid id): no per-iteration sort, map-side partials.
         assigned = (
             v.crossJoin(F.broadcast(cent_df))
             .withColumn("__d2", d2)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("__id", "__v", "centroid_id")
+            .groupBy("__id")
+            .agg(
+                F.min_by(
+                    F.struct("centroid_id", "__v"),
+                    F.struct(F.col("__d2"), F.col("centroid_id")),
+                ).alias("__a")
+            )
+            .select(
+                "__id",
+                F.col("__a.__v").alias("__v"),
+                F.col("__a.centroid_id").alias("centroid_id"),
+            )
         )
         means = (
             assigned.select("centroid_id", F.posexplode("__v").alias("dim", "x"))
@@ -500,12 +511,16 @@ def kmeans_centroids(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("__id").orderBy(F.col("__d2").asc(), F.col("centroid_id"))
     final_assign = (
         v.crossJoin(F.broadcast(cent_df))
         .withColumn("__d2", d2)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.min_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__d2"), F.col("centroid_id")),
+            ).alias("centroid_id")
+        )
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_assigned"))
     )
