@@ -19,6 +19,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from prajna_spark.operators.lifecycle import persist_scope  # noqa: E402
 from prajna_spark.queries import registry  # noqa: E402
 from prajna_spark.session import get_spark  # noqa: E402
 from prajna_spark.sources.catalog import TABLES  # noqa: E402
@@ -78,7 +79,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+            # scope releases operators' internal persists (cascade,
+            # zip-index, prefix-sum) so an 80-query run doesn't
+            # accumulate executor storage
+            with persist_scope():
+                spark_pdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
