@@ -411,3 +411,44 @@ def verify_pairs_jaccard(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def blocked_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Generic blocking -> in-block ordered pairs, with a block-size cap.
+
+    The entity-resolution / fuzzy-dedup candidate generator: rows sharing a
+    block key become candidate pairs (id_a < id_b); ``payload_cols`` ride
+    along as ``<col>_a`` / ``<col>_b`` so the caller can apply an exact
+    comparator (edit distance, cosine, ...) without re-joining.
+
+    Scale shape is identical to ``lsh_band_pairs``: ONE shuffle keyed on the
+    block value, collect_list per block, pair expansion streams per bucket.
+    ``max_block_size`` drops blocks larger than the cap BEFORE the O(b^2)
+    pair expansion — a degenerate block (every record sharing the key) is
+    boilerplate the comparator would reject wholesale; dropping it bounds
+    the worst bucket at cap^2 pairs regardless of corpus size.
+    """
+    item = F.struct(
+        F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    blocks = df.groupBy(block_col).agg(F.collect_list(item).alias("items"))
+    if max_block_size is not None:
+        blocks = blocks.where(F.size("items") <= max_block_size)
+    pairs = (
+        blocks.where(F.size("items") > 1)
+        .select(F.explode("items").alias("a"), "items")
+        .select("a", F.explode("items").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+    )
+    return pairs.select(
+        F.col("a.id").alias(f"{id_col}_a"),
+        F.col("b.id").alias(f"{id_col}_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )

@@ -527,8 +527,10 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = first name token (an equi-join shuffle key, exactly like LSH
     banding), exact edit distance computed ONLY within blocks, gate at
     <= 12. All JVM (levenshtein is a built-in on both engines); at 100 TB
-    the only data-sized operation is the block-key shuffle, and hot
-    blocks are bounded the same way as LSH buckets."""
+    the only data-sized operation is the block-key shuffle, and hot blocks
+    are bounded by ``blocked_pairs``'s block-size cap — the same guard as
+    LSH buckets (the cap here, 10k, is far above any fixture block, so the
+    exact DuckDB oracle still matches)."""
     tune(spark)
     part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") <= 400)
     p = part.select(
@@ -536,26 +538,14 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.split(F.col("p_name"), " ").getItem(0).alias("block"),
     )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        "block",
+    pairs = dedup.blocked_pairs(
+        p, "block", "p_partkey", ("p_name",), max_block_size=10_000
     )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        "block",
-    )
-    return (
-        a.join(b, "block")
-        .where(F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
-        )
-        .where(F.col("edit_dist") <= 12)
-    )
+    return pairs.select(
+        F.col("p_partkey_a").alias("key_a"),
+        F.col("p_partkey_b").alias("key_b"),
+        F.levenshtein("p_name_a", "p_name_b").cast("long").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= 12)
 
 
 from prajna_spark.pipeline.sampling import hash_gate_sql as _hash_gate_sql

@@ -41,13 +41,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as raw nanos (TIMESTAMP(NANOS) parquet type); convert
-        # losslessly via integer division to micros. `div` stays exact where
-        # a double division would lose precision at ~1.7e18.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts arrives as raw nanos (TIMESTAMP(NANOS) parquet type);
+            # convert losslessly via integer division to micros. `div` stays
+            # exact where a double division would lose precision at ~1.7e18.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Plain parquet TIMESTAMP (isAdjustedToUTC=false) reads as NTZ;
+            # NTZ cannot cast to numeric, so normalize to session-local
+            # (UTC-pinned) timestamp here so downstream epoch math works and
+            # matches DuckDB's naive-timestamp epoch().
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -66,7 +66,11 @@ def _sessionize_fn(gap_sec: int):
         ts_all: list[int] = []
         val_all: list[float] = []
         for pdf in pdfs:
-            ts_all.extend((pdf["ts"].astype("int64") // 10**9).tolist())
+            # datetime64 unit varies by Arrow/pandas version (ns vs us);
+            # normalizing through datetime64[s] is unit-proof.
+            ts_all.extend(
+                pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64").tolist()
+            )
             val_all.extend(pdf["value"].tolist())
         order = sorted(range(len(ts_all)), key=ts_all.__getitem__)
 

@@ -24,20 +24,20 @@ from pyspark.sql import functions as F
 
 from prajna_spark.session import tune
 
-EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
 def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based readStream over the events table (ts arrives as raw
-    nanos — same nanos handling as the batch catalog, converted losslessly
-    to a timestamp via integer division)."""
+    """File-based readStream over the events table. The parquet stores a
+    plain TIMESTAMP (naive); declaring ``ts timestamp`` in the read schema
+    makes the scan produce session-local (UTC-pinned) timestamps directly,
+    matching the batch catalog's normalization in sources/catalog.py."""
     tune(spark)
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -125,3 +125,22 @@ def test_ngram_collision_pairs_semantics(spark):
     )
     got = sorted(map(tuple, ngram_collision_pairs(docs, "doc_id", "text", n=4).collect()))
     assert got == [(1, 2)]
+
+
+def test_blocked_pairs_cap_bounds_degenerate_block(spark):
+    """1k identical-key rows would be ~500k pairs; the cap drops the hot
+    block before pair expansion while normal blocks still pair up."""
+    from prajna_spark.pipeline.dedup import blocked_pairs
+
+    rows = [(i, "same", f"name {i}") for i in range(1000)]
+    rows += [(2000, "rare", "alpha"), (2001, "rare", "alphb")]
+    df = spark.createDataFrame(rows, "id long, block string, name string")
+
+    capped = blocked_pairs(
+        df, "block", "id", ("name",), max_block_size=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(2000, 2001)}
+    assert capped[0].name_a == "alpha" and capped[0].name_b == "alphb"
+
+    uncapped = blocked_pairs(df, "block", "id", max_block_size=None)
+    assert uncapped.count() == 1000 * 999 // 2 + 1
