@@ -17,7 +17,7 @@ north-star LLM-pipeline surface (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
@@ -319,7 +319,8 @@ def connected_components(
     iterations instead of O(diameter) — the difference between 4 and 40
     shuffles on a path-shaped component. Per iteration: edges⋈labels +
     groupBy min + the jump self-join; the change flag is computed INLINE
-    and counted on the checkpointed result (no extra join per round).
+    and harvested via ``observe()`` DURING the checkpoint job — no extra
+    count() job (or join) per round.
     Labels are localCheckpoint'ed each round — persist alone does NOT
     truncate the logical plan, and an iterative chain of joins otherwise
     grows a plan Catalyst can't even print (StackOverflow at ~15 rounds);
@@ -359,6 +360,7 @@ def connected_components(
         jump = one_hop.select(
             F.col("nid").alias("jnid"), F.col("label").alias("jlabel")
         )
+        obs = Observation()
         new_labels = (
             one_hop.join(jump, one_hop.label == jump.jnid, "left")
             .select(
@@ -371,9 +373,10 @@ def connected_components(
                     < F.col("old")
                 ).alias("__chg"),
             )
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("__chg")).count()
+        changed = obs.get["chg"] or 0
         labels = new_labels.select("nid", "label")
         if changed == 0:
             break

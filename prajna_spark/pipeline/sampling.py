@@ -82,3 +82,36 @@ def stratified_gate_sql(
         for v, r in sorted(rates.items())
     )
     return f"(CASE {cases} ELSE FALSE END)"
+
+
+def stratified_gate_join(
+    df,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    seed: str = "s0",
+):
+    """``stratified_gate`` as a broadcast join — the high-cardinality
+    spelling. The ``when``-chain variant builds an expression tree one level
+    deep per stratum: fine for tens of strata, pathological for a
+    thousand-language mixing recipe. Here the recipe lives in DATA — a tiny
+    (stratum, threshold_hex) frame broadcast to every executor — so the plan
+    depth is constant no matter how many strata the recipe names, and the
+    join stays a map-side BroadcastHashJoin (no shuffle of ``df``).
+
+    Semantics match ``stratified_gate`` exactly: absent strata drop (inner
+    join), each kept row passes its stratum's hash gate.
+    """
+    spark = df.sparkSession
+    recipe = spark.createDataFrame(
+        [(v, _threshold_hex(r)) for v, r in sorted(rates.items())],
+        f"{stratum_col} string, __thr string",
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(recipe), stratum_col)
+        .where(h <= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -476,3 +476,22 @@ def test_printfn_streams_all_rows_to_client(spark):
     lines = buf.getvalue().strip().split("\n")
     assert n == 25 and len(lines) == 25
     assert "row 0:0" in lines and "row 24:48" in lines
+
+
+def test_connected_components_early_exit_no_count_jobs(spark):
+    """The change flag is harvested via observe() during the checkpoint job
+    (no per-iteration count job), and a converged path graph early-exits
+    well before max_iter — pointer jumping needs O(log n) rounds."""
+    from prajna_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(16)], "id long")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    got = {
+        r.id: r.component_id
+        for r in connected_components(edges, nodes, max_iter=50).collect()
+    }
+    assert got == {i: 0 for i in range(16)}

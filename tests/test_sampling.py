@@ -83,3 +83,27 @@ def test_gate_pushes_to_scan(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_stratified_gate_join_matches_when_chain(spark):
+    """The broadcast-join spelling and the when-chain spelling are the same
+    gate: identical kept-row sets on a multi-stratum fixture, and the plan
+    is a broadcast join (no shuffle of the fact side)."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.sampling import stratified_gate, stratified_gate_join
+
+    rates = {"en": 0.7, "es": 0.3, "fr": 0.05}
+    rows = [(i, ["en", "es", "fr", "de"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    chain = df.where(
+        stratified_gate(F.col("lang"), F.col("doc_id"), rates, seed="mix1")
+    )
+    joined = stratified_gate_join(df, "lang", "doc_id", rates, seed="mix1")
+
+    got_chain = {r.doc_id for r in chain.collect()}
+    got_join = {r.doc_id for r in joined.collect()}
+    assert got_chain == got_join and got_chain  # same keeps, non-empty
+    assert not any(r.lang == "de" for r in joined.collect())  # absent stratum drops
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
