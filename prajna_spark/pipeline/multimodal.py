@@ -60,15 +60,29 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+try:  # real codec, if the environment ships one (this container doesn't)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - exercised only where PIL exists
+    _PILImage = None
+
+
 def decode_image(payload: bytes):
-    """Real image decode — STUB. The container ships no image libraries;
-    on a production cluster this body becomes ``PIL.Image.open(io.BytesIO(
-    payload))``. The Spark-side plumbing around it (schema, batching,
-    partitioning) is what this module actually tests."""
-    raise NotImplementedError(
-        "image codec libraries are not available in this environment; "
-        "decode_media_meta covers the fake-header path end-to-end"
-    )
+    """Real image decode, gated on PIL availability at import time.
+
+    With PIL present: decode and return (width, height, mode) — the
+    metadata contract ``decode_media_meta`` exposes. Without it: raise
+    NotImplementedError (the container ships no image libraries; the
+    Spark-side plumbing — schema, batching, partitioning — is covered by
+    the FAKEIMG path either way, so the catalog never depends on this)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image codec libraries are not available in this environment; "
+            "decode_media_meta covers the fake-header path end-to-end"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, img.mode
 
 
 def decode_media_meta(media: DataFrame) -> DataFrame:

@@ -548,6 +548,52 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("edit_dist") <= 12)
 
 
+@query(
+    "dedup_stream_firstseen",
+    oracle=f"""
+    -- batch twin of incremental ingest dedup: after AvailableNow drains
+    -- the source, the output sink holds exactly the first-seen (lowest
+    -- doc_id) document per content fingerprint
+    WITH f AS (
+      SELECT doc_id, lang, md5({_NORM.format(c='text')}) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id) AS doc_id,
+           min_by(lang, doc_id) AS lang
+    FROM f GROUP BY fingerprint
+    """,
+    tags=("dedup", "streaming", "incremental-ingest"),
+)
+def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup end-to-end through the PERSISTED path
+    (streaming.dedup_stream): readStream over documents -> in-batch canon
+    (min_by doc_id per fingerprint) -> anti-join vs the fingerprint store
+    -> append survivors. Driver-checked guarantee: output after drain ==
+    global first-seen set — exactly-once output from at-least-once input.
+    Only (fingerprint, id) rows ever shuffle; documents ride within their
+    batch."""
+    import tempfile
+
+    from prajna_spark.streaming.dedup_stream import start_incremental_dedup
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="dedup_stream_q_")
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = start_incremental_dedup(
+        docs, "doc_id", "text",
+        f"{base}/store", f"{base}/out", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("fingerprint", "doc_id", "lang")
+
+
 from prajna_spark.pipeline.sampling import hash_gate_sql as _hash_gate_sql
 
 _CORPUS_GATE = _hash_gate_sql("doc_id", 0.5, seed="corpus1")

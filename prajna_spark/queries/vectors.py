@@ -163,9 +163,11 @@ def _SIM(a: str, b: str) -> str:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+# Shared by ann_ivf_topk (in-memory) and search_ivf_index_persisted (the
+# partitioned on-disk layout): identical parameters (16 seed centroids,
+# 5 queries, nprobe=4, k=10), so one oracle verifies BOTH implementations
+# agree with DuckDB and, transitively, with each other.
+_IVF_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
     asg AS (
@@ -199,7 +201,12 @@ def _SIM(a: str, b: str) -> str:
         PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
       FROM cand
     ) WHERE rk <= 10
-    """,
+    """
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +220,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors=emb,
         queries=emb.where(F.col("vec_id") < 5),
         centroids=emb.where(F.col("vec_id") < 16),
+        k=10,
+        nprobe=4,
+    )
+
+
+@query(
+    "search_ivf_index_persisted",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "ann", "ivf", "index", "dpp"),
+)
+def search_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF path (pipeline.similarity.build_ivf_index /
+    search_ivf_index): materialize the index PARTITIONED BY centroid_id,
+    then probe it — the partition filter on centroid_id prunes the scan to
+    the nprobe cells (dynamic partition pruning; plan-asserted in
+    tests/test_ivf_index.py). Same parameters as ann_ivf_topk, same
+    oracle: the on-disk layout must return exactly the in-memory result."""
+    import tempfile
+
+    from prajna_spark.pipeline.similarity import build_ivf_index, search_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    cent = emb.where(F.col("vec_id") < 16)
+    path = tempfile.mkdtemp(prefix="ivf_index_q_") + "/index"
+    build_ivf_index(emb, cent, path)
+    return search_ivf_index(
+        spark,
+        path,
+        queries=emb.where(F.col("vec_id") < 5),
+        centroids=cent,
         k=10,
         nprobe=4,
     )

@@ -153,6 +153,61 @@ def telemetry_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_stream_hourly",
+    oracle=f"""
+    -- batch twin of the incremental delta-store rollup: after AvailableNow
+    -- drains the source and the store is compacted, cascade-on-read must
+    -- equal the one-shot batch rollup over the same events
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+           event_type,
+           count(*) AS n_events,
+           {R('sum(value)', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "continuous-aggregate", "compaction"),
+)
+def rollup_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate, end-to-end through the PERSISTED
+    path (streaming.rollup_stream): readStream -> per-batch delta append ->
+    compact_store -> cascade_from_store. The driver-checked guarantee is
+    store-state-after-drain == batch rollup — the invariant that makes the
+    delta store a valid continuous aggregate. Only aggregate rows ever
+    land on disk; the store stays O(buckets) regardless of stream length."""
+    import tempfile
+
+    from prajna_spark.streaming.rollup_stream import (
+        cascade_from_store,
+        compact_store,
+        start_incremental_rollup,
+    )
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="rollup_stream_q_")
+    ev = events_readstream(spark, sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "value"
+    )
+    q = start_incremental_rollup(
+        ev, "t", ["event_type"], "value", 3600,
+        f"{base}/store", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    compact_store(spark, f"{base}/store", ["event_type"])
+    return (
+        cascade_from_store(spark, f"{base}/store", ["event_type"], [3600])
+        .select(
+            # the store keys buckets by their start second; the oracle (and
+            # the batch twin) report the hour INDEX — exact division
+            F.floor(F.col("epoch_start") / 3600).cast("long").alias("epoch_hour"),
+            "event_type",
+            "n_events",
+            pround(F.col("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "window_ntile_dense_rank",
     oracle="""
     SELECT c_custkey,
@@ -274,6 +329,65 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
         F.col("value_asof").alias("view_value_asof"),
         F.col("t_asof").alias("view_ts_asof"),
+    )
+
+
+@query(
+    "asof_join_bucketed_clicks",
+    oracle="""
+    -- deliberately skewed key (user_id % 50: every key holds ~2% of the
+    -- table) checked against DuckDB's native ASOF JOIN; the purchase side
+    -- is deduped to one row per (shard, second) by max event_id so ties
+    -- are deterministic on both engines
+    WITH e AS (
+      SELECT event_id, user_id % 50 AS shard,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, value
+      FROM events
+    ), c AS (
+      SELECT event_id, shard, t FROM e WHERE event_type = 'click'
+    ), p AS (
+      SELECT shard, t AS pt, max_by(value, event_id) AS pvalue
+      FROM e WHERE event_type = 'purchase' GROUP BY shard, t
+    )
+    SELECT c.event_id, c.shard, c.t AS click_ts,
+           p.pvalue AS purchase_value_asof,
+           p.pt     AS purchase_ts_asof
+    FROM c ASOF LEFT JOIN p ON c.shard = p.shard AND c.t >= p.pt
+    """,
+    tags=("asof-join", "skew", "custom-operator", "upgrade"),
+)
+def asof_join_bucketed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of join (operators.asof.asof_join_bucketed): clicks
+    get the latest at-or-before purchase under a DELIBERATELY skewed key
+    (user_id % 50 — every key is hot). The one-shuffle as-of would put each
+    key's full history on one task; the bucketed variant windows within
+    (key, day) then carries bucket boundaries in a second O(#buckets) pass,
+    so the largest task holds one key-day, not one key."""
+    from prajna_spark.operators.asof import asof_join_bucketed
+
+    tune(spark)
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 50).alias("shard"),
+        F.col("ts").cast("long").alias("t"),
+        "event_type",
+        "value",
+    )
+    c = e.where(F.col("event_type") == "click").select("event_id", "shard", "t")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("shard", "t")
+        .agg(F.max_by("value", "event_id").alias("pvalue"))
+    )
+    out = asof_join_bucketed(
+        c, p, on=["shard"], ts="t", right_cols=["pvalue", "t"], bucket_width=86400
+    )
+    return out.select(
+        "event_id",
+        "shard",
+        F.col("t").alias("click_ts"),
+        F.col("pvalue_asof").alias("purchase_value_asof"),
+        F.col("t_asof").alias("purchase_ts_asof"),
     )
 
 

@@ -45,9 +45,18 @@ def test_decode_meta_matches_local(media):
         assert f"|w={d.width}|h={d.height}|".encode() in b[:30]
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"FAKEIMG|w=1|h=1|x")
+def test_decode_image_gated_on_pil():
+    """Stub raises without PIL; with PIL it returns (w, h, mode)."""
+    if multimodal._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"FAKEIMG|w=1|h=1|x")
+    else:
+        import io
+
+        img = multimodal._PILImage.new("RGB", (3, 2))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        assert multimodal.decode_image(buf.getvalue()) == (3, 2, "RGB")
 
 
 def test_frame_sample_covers_payload(media):
