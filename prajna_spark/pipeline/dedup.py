@@ -256,6 +256,83 @@ def jaccard_pairs(
     )
 
 
+def ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """(id, g) rows: one md5 per exact n-token window of the normalized
+    text. The shared candidate-key generator for substring-level dedup
+    (:func:`ngram_collision_pairs`) and cross-corpus decontamination
+    (:func:`decontaminate`). Narrow output — the text never leaves the
+    producing task."""
+    staged = fan_out(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+    ).where(F.size("__tk") >= n)
+    positions = staged.select(
+        "id",
+        "__tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__tk") - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    return positions.select(
+        "id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), F.col("__i"), n))).alias("g"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing any
+    exact ``n``-token span with the evaluation corpus (the train/test
+    overlap rule used for LLM pretraining sets — same criterion as
+    substring dedup, applied ACROSS corpora).
+
+    Plan: gram-hash both sides; eval grams are deduped and (by default)
+    broadcast — eval suites are tiny next to a training corpus, so the
+    contamination check is a map-side LEFT SEMI against a broadcast hash
+    set, never a shuffle of the training grams; the final LEFT ANTI
+    shuffles only contaminated ids (narrow). Set ``broadcast_eval=False``
+    if the eval side is itself corpus-sized (falls back to a shuffled
+    semi join on the gram hash)."""
+    train_grams = ngram_hashes(train, id_col, text_col, n)
+    eval_grams = ngram_hashes(eval_df, id_col, text_col, n).select("g").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    contaminated = (
+        train_grams.join(eval_grams, "g", "left_semi").select("id").distinct()
+    )
+    return train.join(
+        contaminated, train[id_col] == contaminated["id"], "left_anti"
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher/MassiveText-style
+    repeated-n-gram quality filter): per document, the fraction of n-gram
+    occurrences taken by the single most frequent n-gram, plus the total
+    occurrence count. High top-gram fraction = boilerplate/keyword-stuffed
+    text a quality gate should drop.
+
+    Two hash aggregations — (id, gram) counts, then per-id max/sum — both
+    with map-side partials; only (id, 32-hex, count) rows ever shuffle.
+    Documents with fewer than ``n`` tokens produce no row (no n-grams to
+    measure — callers treat absence as 'no repetition evidence')."""
+    grams = ngram_hashes(df, id_col, text_col, n)
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+        F.sum("c").alias("n_grams"),
+    )
+
+
 def ngram_collision_pairs(
     df: DataFrame,
     id_col: str,
@@ -274,20 +351,7 @@ def ngram_collision_pairs(
     LSH banding: one shuffle keyed on the gram hash, narrow (id, hash)
     rows only, ``max_bucket_size`` capping boilerplate grams.
     """
-    staged = fan_out(
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
-    ).where(F.size("__tk") >= n)
-    positions = staged.select(
-        "id",
-        "__tk",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__tk") - (n - 1), F.lit(1)))
-        ).alias("__i"),
-    )
-    grams = positions.select(
-        "id",
-        F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), F.col("__i"), n))).alias("g"),
-    )
+    grams = ngram_hashes(df, id_col, text_col, n)
     buckets = grams.groupBy("g").agg(F.collect_set("id").alias("ids"))
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)

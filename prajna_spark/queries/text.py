@@ -548,6 +548,86 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("edit_dist") <= 12)
 
 
+_GRAM8 = (
+    "list_transform(range(1, greatest(len(tk) - 7, 1) + 1), "
+    "i -> md5(array_to_string(list_slice(tk, CAST(i AS INT), "
+    "CAST(i AS INT) + 7), ' ')))"
+)
+
+
+@query(
+    "decontaminate_train_docs",
+    oracle=f"""
+    -- benchmark decontamination: training docs sharing ANY exact 8-token
+    -- span with the held-out slice (doc_id % 20 = 0) are dropped
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_GRAM8}) AS g
+      FROM t WHERE len(tk) >= 8
+    ), ev AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0
+    ), bad AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    tags=("decontamination", "dedup", "train-test-overlap"),
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (pipeline.dedup.decontaminate): the
+    held-out slice's 8-gram hashes are deduped and BROADCAST (eval suites
+    are tiny next to a training corpus), so contamination checking is a
+    map-side semi join — the training text never shuffles, and the final
+    anti join moves only contaminated ids."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    heldout = docs.where(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(train, heldout, "doc_id", "text", n=8).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "text_repetition_bigram",
+    oracle=f"""
+    -- Gopher-style repeated-n-gram quality signal: per doc, the share of
+    -- bigram occurrences taken by its most frequent bigram
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
+                                                   CAST(i AS INT) + 1), ' '))))
+               AS g
+      FROM t WHERE len(tk) >= 2
+    ), c AS (
+      SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           {R('CAST(max(c) AS DOUBLE) / sum(c)', 6)} AS top_gram_frac,
+           CAST(sum(c) AS BIGINT) AS n_grams
+    FROM c GROUP BY 1
+    """,
+    tags=("text-quality", "repetition", "gopher-filter"),
+)
+def text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scores (pipeline.dedup.repetition_scores,
+    n=2) — the repeated-n-gram fraction MassiveText-style quality gates
+    threshold on. Two partial-aggregated hash shuffles of narrow
+    (id, hash, count) rows; the text itself never leaves its scan task."""
+    docs = _docs(spark, sf_dir)
+    scores = dedup.repetition_scores(docs, "doc_id", "text", n=2)
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        pround(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
+        "n_grams",
+    )
+
+
 @query(
     "dedup_stream_firstseen",
     oracle=f"""

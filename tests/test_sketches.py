@@ -144,3 +144,46 @@ def test_blocked_pairs_cap_bounds_degenerate_block(spark):
 
     uncapped = blocked_pairs(df, "block", "id", max_block_size=None)
     assert uncapped.count() == 1000 * 999 // 2 + 1
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    """A training doc sharing an exact 8-token span with the eval set is
+    dropped; unrelated docs survive; sub-8-token docs are never flagged.
+    The eval gram set rides a broadcast join (no training-gram shuffle)."""
+    from prajna_spark.pipeline.dedup import decontaminate
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, f"clean document with its own unique words number one {'x ' * 8}"),
+            (2, f"leaked {span} appears inside this training document"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"benchmark question: {span} is the answer")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, eval_df, "doc_id", "text", n=8)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_scores_flags_boilerplate(spark):
+    from prajna_spark.pipeline.dedup import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # one bigram, 5 occurrences
+            (2, "all words here are fully distinct"),
+            (3, "tiny"),                            # < 2 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.top_gram_frac, r.n_grams) for r in
+           repetition_scores(df, "doc_id", "text", n=2).collect()}
+    assert got[1] == (1.0, 5)
+    assert got[2][0] == 1.0 / 5 and got[2][1] == 5
+    assert 3 not in got
