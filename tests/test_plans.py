@@ -115,3 +115,24 @@ def test_no_accidental_cartesian_anywhere_in_catalog(spark, sf_dir):
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
+    """Catalog-wide JVM-discipline lint (extends the headline-only check):
+    NO query may drop to row-at-a-time or Arrow Python evaluation except
+    the ones whose operator IS a pandas UDF by design — the Arrow-batched
+    multimodal decode and the grouped-pandas zscore (kept as the
+    documented applyInPandas exemplar; its JVM twin window_zscore_events
+    is the headline spelling)."""
+    allowed = {"grouped_zscore_pandas", "multimodal_decode_meta"}
+    for name, fn in queries().items():
+        if name in allowed:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for node in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+        ):
+            assert node not in plan, f"{name} drops to Python ({node})"
