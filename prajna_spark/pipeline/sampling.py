@@ -29,7 +29,7 @@ single scan with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 _SPACE = 16**8  # 8 hex digits
@@ -114,4 +114,37 @@ def stratified_gate_join(
         df.join(F.broadcast(recipe), stratum_col)
         .where(h <= F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def topk_per_stratum(df, stratum_col: str, key_col: str, k: int, seed: str = "s0"):
+    """Exact-k deterministic sample per stratum (fixed-SIZE per-group
+    samples — what ``stratified_gate``'s Bernoulli rates cannot promise):
+    rank each stratum's rows by their md5 draw and keep the k smallest.
+    Reproducible, partition-independent, engine-portable — the same
+    properties as the hash gates, plus an exact count.
+
+    Two-stage top-k so no task ever sorts a whole stratum:
+      1. rank within (stratum, input partition) — bounded by task data —
+         and keep the local top-k: at most k x #partitions survivors per
+         stratum;
+      2. rank the survivors per stratum — a window over O(k x P) rows,
+         never the stratum's full data.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
+    w_local = Window.partitionBy(
+        F.col(stratum_col), F.spark_partition_id()
+    ).orderBy(h.asc(), F.col(key_col))
+    survivors = (
+        df.withColumn("__h", h)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .where(F.col("__lrn") <= k)
+    )
+    w_global = Window.partitionBy(stratum_col).orderBy(
+        F.col("__h").asc(), F.col(key_col)
+    )
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w_global))
+        .where(F.col("__rn") <= k)
+        .drop("__h", "__lrn", "__rn")
     )

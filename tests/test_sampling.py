@@ -107,3 +107,22 @@ def test_stratified_gate_join_matches_when_chain(spark):
     assert got_chain == got_join and got_chain  # same keeps, non-empty
     assert not any(r.lang == "de" for r in joined.collect())  # absent stratum drops
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_per_stratum_exact_counts_and_determinism(spark):
+    """Exactly min(k, stratum size) rows per stratum, identical selection
+    across different partitionings (partition-independence is the whole
+    point), and a short stratum returns all its rows."""
+    from prajna_spark.pipeline.sampling import topk_per_stratum
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(3)]
+    df8 = spark.createDataFrame(rows, "id long, s string").repartition(8)
+    df1 = spark.createDataFrame(list(reversed(rows)), "id long, s string").coalesce(1)
+
+    got8 = {(r.id, r.s) for r in topk_per_stratum(df8, "s", "id", k=10).collect()}
+    got1 = {(r.id, r.s) for r in topk_per_stratum(df1, "s", "id", k=10).collect()}
+    assert got8 == got1  # partitioning/visit-order independent
+    assert sum(1 for _, s in got8 if s == "big") == 10
+    assert {(i, s) for i, s in got8 if s == "small"} == {
+        (1000, "small"), (1001, "small"), (1002, "small")
+    }

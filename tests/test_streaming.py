@@ -80,3 +80,71 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     # final (watermark 10:00-2h=08:00), hour 10 still open
     finalized = {r.epoch_start for r in spark.table(out_name).collect()}
     assert finalized == {0}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream self-join with an event-time interval constraint
+    (each purchase joined to the same user's views in the preceding hour),
+    both sides watermarked so join state is GC'd past the interval — the
+    streaming twin of the batch range join. After AvailableNow drains the
+    source, the result must equal the batch join."""
+    ev = events_readstream(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    q = (
+        p.join(v, cond, "inner")
+        .select("p_id", "v_id")
+        .writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.p_id, r.v_id) for r in spark.sql("SELECT * FROM t_ss_join").collect()}
+
+    from prajna_spark.sources import load_table
+
+    batch_events = load_table(spark, "events", sf_dir)
+    want = {
+        (r.p_id, r.v_id)
+        for r in batch_events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .join(
+            batch_events.where(F.col("event_type") == "view").select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("v_id"),
+            ),
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .collect()
+    }
+    assert got == want and want  # non-empty agreement
