@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
 from prajna_spark.operators.fanout import fan_out
+from prajna_spark.operators.lifecycle import scoped_persist
 from prajna_spark.pipeline.textqa import normalized, tokens
 
 #: Cap on characters fed to shingling — bounds per-row work at scale while
@@ -459,10 +460,16 @@ def verify_pairs_jaccard(
     computed ONLY on the candidate pairs (the LSH funnel's second stage —
     candidates are a vanishing fraction of n^2, so the exact comparator
     runs on a tiny join). Token sets are attached via two equi-joins on
-    the pair ids; the sets shuffle once each, never the documents."""
-    words = docs.select(
-        F.col(id_col).alias("__wid"),
-        F.array_distinct(tokens(F.col(text_col))).alias("__ws"),
+    the pair ids; the sets shuffle once each, never the documents. The
+    narrow (id, tokens) frame is scope-persisted (spill-capable) so the
+    corpus is scanned and tokenized ONCE for both join sides — the two
+    joins key on different ids, so Catalyst cannot reuse one exchange for
+    them and would otherwise recompute the scan per side."""
+    words = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("__wid"),
+            F.array_distinct(tokens(F.col(text_col))).alias("__ws"),
+        )
     )
     j = (
         pairs.join(words.withColumnRenamed("__wid", "id_a").withColumnRenamed("__ws", "ws_a"), "id_a")

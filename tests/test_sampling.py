@@ -126,3 +126,23 @@ def test_topk_per_stratum_exact_counts_and_determinism(spark):
     assert {(i, s) for i, s in got8 if s == "small"} == {
         (1000, "small"), (1001, "small"), (1002, "small")
     }
+
+
+def test_topk_per_stratum_plan_has_partial_group_limit(spark):
+    """The rank + filter spelling must trigger Spark's WindowGroupLimit
+    rewrite with a PARTIAL (pre-shuffle) limit — the property that bounds
+    a hot stratum's shuffle volume at k rows per map task — and exactly
+    one data exchange."""
+    from prajna_spark.pipeline.sampling import topk_per_stratum
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    plan = (
+        topk_per_stratum(df, "s", "id", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
