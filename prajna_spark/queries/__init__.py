@@ -52,9 +52,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _load_all() -> None:
     # Import side-effect registers every module's queries exactly once.
     # Order rotates least-recently-recorded families first: the driver's
-    # correctness gate records a bounded window of the registry per round,
-    # so the window/vector/text queries that rounds 1-3 never recorded
-    # register ahead of the relational bulk that is already multiply green.
+    # correctness gate records a bounded (50-row in rounds 1-3) window of
+    # the registry per round, so the window/vector/text queries that
+    # rounds 1-3 never recorded register ahead of the relational bulk that
+    # is already multiply green.
+    #
+    # ROUND-5 ROTATION NOTE: once round 4's window records the
+    # windows/vectors/text/sampling tier, move `relational` FIRST so the
+    # round-4 additions q4/q7/q12/q14/q19/q22 (registered at the relational
+    # tail, outside round 4's window) get driver-recorded; everything else
+    # will then have >= 1 recorded round across r1-r4.
     from prajna_spark.queries import (  # noqa: F401
         windows,
         vectors,

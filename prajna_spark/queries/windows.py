@@ -208,6 +208,31 @@ def rollup_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "telemetry_distinct_users_hll",
+    # rows-only by declared design: the estimates come from Apache
+    # DataSketches HLL, which DuckDB cannot reproduce bit-for-bit; the
+    # invariants (union-of-sketches == sketch-of-union; estimates within
+    # HLL tolerance of exact) are asserted in tests/test_rollup_cascade.py.
+    oracle=None,
+    tags=("streaming", "sketch", "hll", "continuous-aggregate"),
+)
+def telemetry_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type at hour AND day resolution from ONE
+    finest-level sketch pass (operators.sketch_rollup): distinct counts
+    are not additive, so the cascade stores mergeable HLL sketches and
+    unions them upward — the COUNT DISTINCT continuous-aggregate pattern
+    the plain rollup cannot express. All-JVM, map-side-combined."""
+    from prajna_spark.operators.sketch_rollup import hll_cascade, hll_partials
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "user_id"
+    )
+    hourly = hll_partials(ev, "t", ["event_type"], "user_id", 3600)
+    return hll_cascade(hourly, ["event_type"], [3600, 86400])
+
+
+@query(
     "window_ntile_dense_rank",
     oracle="""
     SELECT c_custkey,

@@ -44,3 +44,46 @@ def test_cascade_coarse_levels_read_cached_partials(spark):
     out.write.format("noop").mode("overwrite").save()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TableCacheQueryStage" in plan or "InMemoryTableScan" in plan
+
+
+def test_hll_cascade_union_equals_direct_and_brackets_exact(spark, sf_dir):
+    """(1) Unioning hourly sketches to daily gives EXACTLY the estimate of
+    sketching the day directly (same lgK — the sufficient-statistic
+    property that lets the raw events be discarded); (2) estimates bracket
+    the exact distinct counts within HLL tolerance."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.operators.sketch_rollup import hll_cascade, hll_partials
+    from prajna_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "user_id"
+    )
+    hourly = hll_partials(ev, "t", ["event_type"], "user_id", 3600)
+    out = hll_cascade(hourly, ["event_type"], [3600, 86400])
+    daily_est = {
+        (r.epoch_start, r.event_type): r.approx_distinct
+        for r in out.where(F.col("resolution") == 86400).collect()
+    }
+
+    direct = {
+        (r.epoch_start, r.event_type): r.approx_distinct
+        for r in hll_cascade(
+            hll_partials(ev, "t", ["event_type"], "user_id", 86400),
+            ["event_type"],
+            [86400],
+        ).collect()
+    }
+    assert daily_est == direct  # union-of-sketches == sketch-of-union
+
+    exact = {
+        (r.d * 86400, r.event_type): r.n
+        for r in ev.groupBy(
+            F.floor(F.col("t") / 86400).alias("d"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(daily_est) == set(exact)
+    for k, est in daily_est.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
