@@ -38,6 +38,10 @@ SAMPLE = [
     "session_window_users",
     "window_running_revenue",
     "asof_join_purchase_view",
+    # the stateful persisted paths: streaming drains + temp stores must
+    # also behave under a hostile session
+    "rollup_stream_hourly",
+    "dedup_stream_firstseen",
 ]
 
 FLOAT_DECIMALS = 6
