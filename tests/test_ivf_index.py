@@ -54,3 +54,37 @@ def test_search_plan_prunes_partitions_dynamically(spark, sf_dir, tmp_path):
     # the index scan carries a runtime pruning predicate on the partition
     # column — I/O is bounded by the probed cells, not the index size
     assert "dynamicpruning" in plan.lower()
+
+
+def test_streamed_index_build_matches_batch_build(spark, sf_dir, tmp_path):
+    """Draining a vector stream through start_incremental_ivf yields an
+    index whose search results EQUAL the batch-built index's — appends
+    commute (assignment is row-local, search reads whole cells), so the
+    index can be fed continuously without a rebuild."""
+    from prajna_spark.streaming.ann_stream import start_incremental_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 16)
+    src = str(tmp_path / "vec_src")
+    # two source files -> at least one multi-file drain through the sink
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(src, mode="overwrite")
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    streamed_path = str(tmp_path / "ivf_streamed")
+    q = start_incremental_ivf(
+        stream, cents, streamed_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(streamed_path).count() == emb.count()
+
+    batch_path = str(tmp_path / "ivf_batch")
+    build_ivf_index(emb, cents, batch_path)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sorted(map(tuple, search_ivf_index(
+        spark, streamed_path, queries, cents, k=10, nprobe=4).collect()))
+    want = sorted(map(tuple, search_ivf_index(
+        spark, batch_path, queries, cents, k=10, nprobe=4).collect()))
+    assert got == want and len(got) == 50
