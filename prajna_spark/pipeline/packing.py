@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.operators.lifecycle import scoped_persist
 
 
@@ -93,4 +94,57 @@ def pack_sequences(
     ).withColumn(
         "pack_offset",
         (F.col("cum_before") - F.col("pack_id") * budget).cast("long"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap (stride <
+    chunk_tokens) — the embedding-pipeline preprocessing step: long
+    documents become multiple windows so no content falls outside the
+    encoder's context, and the overlap keeps boundary-spanning phrases
+    intact in at least one chunk.
+
+    All JVM: tokenize once per row, explode chunk START positions
+    (1, 1+stride, 1+2*stride, ... — the Generate keeps tokenization
+    evaluated once, the same barrier pattern as ngram_hashes), slice and
+    re-join each window. Output grows by ~len/stride — the explode fans
+    out with the input partitioning, no shuffle at all; a chunk never
+    leaves the task that read its document."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}, {chunk_tokens}")
+    from prajna_spark.pipeline.textqa import tokens as _tokens
+
+    staged = fan_out(
+        df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk"))
+    ).where(F.size("__tk") > 0)
+    # start positions 1, 1+stride, ...: the last chunk starts at or before
+    # the final token, so every token lands in >= 1 chunk
+    starts = staged.select(
+        "id",
+        "__tk",
+        F.posexplode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("__tk") - (chunk_tokens - 1), F.lit(1))
+                + F.when(
+                    (F.size("__tk") > chunk_tokens)
+                    & ((F.size("__tk") - chunk_tokens) % stride != 0),
+                    F.lit(stride),
+                ).otherwise(F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("chunk_id", "__start"),
+    ).where(F.col("__start") <= F.size("__tk"))
+    piece = F.slice(F.col("__tk"), F.col("__start"), chunk_tokens)
+    return starts.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
     )

@@ -628,6 +628,50 @@ def text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "chunk_documents_windows",
+    oracle=f"""
+    -- fixed-token chunking with overlap (embedding preprocessing): starts
+    -- at 1, 1+stride, ...; one trailing start when the tail would
+    -- otherwise be uncovered; chunk_id = ordinal on the stride grid
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), s AS (
+      SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+    ), c AS (
+      SELECT doc_id, tk, n,
+             unnest(range(1,
+               greatest(n - {_CHUNK - 1}, 1)
+               + CASE WHEN n > {_CHUNK} AND (n - {_CHUNK}) % {_STRIDE} <> 0
+                      THEN {_STRIDE} ELSE 0 END + 1,
+               {_STRIDE})) AS start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tk, start, start + {_CHUNK - 1}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, start, start + {_CHUNK - 1})) AS BIGINT)
+             AS n_tokens
+    FROM c WHERE start <= n
+    """,
+    tags=("chunking", "embedding-prep", "pipeline"),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token document chunks
+    (pipeline.packing.chunk_documents, 64-token windows, stride 48) — the
+    encoder-context preprocessing step between curation and embedding.
+    Tokenization runs once per document behind a Generate barrier; the
+    explode fans out with the input partitioning, zero shuffles."""
+    from prajna_spark.pipeline.packing import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, "doc_id", "text", _CHUNK, _STRIDE)
+
+
 @query(
     "dedup_stream_firstseen",
     oracle=f"""

@@ -71,3 +71,34 @@ def test_pack_budget_validation(spark):
     df = spark.range(5).selectExpr("id", "1 AS t")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "t", 0, ["id"])
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token appears in at least one chunk (the trailing-start rule),
+    chunk_id is the stride-grid ordinal, stride == chunk gives disjoint
+    cover, and invalid strides raise."""
+    import pytest
+    from prajna_spark.pipeline.packing import chunk_documents
+
+    for n, chunk, stride in [(10, 4, 3), (11, 4, 3), (4, 4, 4), (3, 8, 8), (9, 3, 3)]:
+        text = " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", chunk, stride).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        seen = set()
+        for r in rows:
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.n_tokens <= chunk
+            seen.update(toks)
+        assert seen == {f"w{i}" for i in range(n)}, (n, chunk, stride)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        if stride == chunk:  # disjoint cover
+            assert sum(r.n_tokens for r in rows) == n
+
+    with pytest.raises(ValueError):
+        chunk_documents(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            "doc_id", "text", 4, 5,
+        )
