@@ -529,3 +529,30 @@ def kmeans_centroids(
         "centroid",
         F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the ANN index compression
+    step (4x memory/bandwidth vs float32): scale = max|x| / 127, each
+    component rounds to round(x / scale) in [-127, 127]; the scale rides
+    along for dequantization / asymmetric distance computation.
+
+    All JVM (aggregate + transform over the array); rounding is the
+    engine-portable floor(x + 0.5) spelling on MAGNITUDE (ties away from
+    zero on both engines), so the quantized codes are bit-identical to
+    the DuckDB oracle. Zero vectors quantize to zeros with scale 0."""
+    x = _as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = (max_abs / F.lit(127.0)).alias(f"{out_col}_scale")
+    codes = F.when(max_abs == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: (
+                F.signum(v)
+                * F.floor(F.abs(v) / (max_abs / F.lit(127.0)) + F.lit(0.5))
+            ).cast("int"),
+        )
+    )
+    return df.withColumn(f"{out_col}_scale", scale).withColumn(out_col, codes)

@@ -256,6 +256,55 @@ def search_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantize_embeddings_int8",
+    oracle=f"""
+    -- symmetric per-vector int8 quantization; codes leave as an md5 of
+    -- the comma-joined ints (catalog convention: arrays never leave raw)
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    ), q AS (
+      SELECT vec_id,
+             {R('mx / 127.0', 6)} AS q8_scale,
+             CASE WHEN mx = 0e0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(sign(x)
+                       * floor(abs(x) / (mx / 127.0) + 5e-1) AS INT))
+             END AS codes
+      FROM s
+    )
+    SELECT vec_id, q8_scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+             AS l1_norm
+    FROM q
+    """,
+    tags=("quantization", "int8", "ann", "compression"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (pipeline.similarity.quantize_int8) —
+    the 4x index-compression step before ANN serving. Codes are
+    bit-identical across engines (floor-on-magnitude rounding), verified
+    through an md5 digest of the code vector plus its L1 norm. Row-local
+    transforms only: no shuffle, scan-partitioned output."""
+    emb = _emb(spark, sf_dir)
+    q = similarity.quantize_int8(emb, "embedding", "q8")
+    return q.select(
+        "vec_id",
+        pround(F.col("q8_scale"), 6).alias("q8_scale"),
+        F.md5(F.concat_ws(",", F.transform("q8", lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.aggregate(
+            "q8", F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
+        ).alias("l1_norm"),
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     -- candidate generation restricted to SRP-bucket collisions (the exact

@@ -88,3 +88,26 @@ def test_streamed_index_build_matches_batch_build(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, search_ivf_index(
         spark, batch_path, queries, cents, k=10, nprobe=4).collect()))
     assert got == want and len(got) == 50
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Dequantized codes reconstruct components within scale/2 (the
+    symmetric-quantization error bound); codes stay in [-127, 127]; a zero
+    vector quantizes to zeros with scale 0."""
+    from prajna_spark.pipeline.similarity import quantize_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-3.5, 2.0, 1e-4, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.q8_scale, list(r.q8)) for r in
+           quantize_int8(df, "embedding").collect()}
+
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, codes = got[vid]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(vec, codes):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
