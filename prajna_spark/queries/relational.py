@@ -1391,3 +1391,38 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY 1, 2
+    """,
+    tags=("join", "distinct-agg", "tpch-q16-shape"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier variety per brand/size (the
+    synthetic schema has no partsupp, so lineitem supplies the
+    part-supplier pairs). Exercises the distinct-aggregate physical path:
+    Catalyst plans COUNT(DISTINCT) as a two-phase Expand + partial/final
+    aggregation, deduping map-side before the shuffle; part is broadcast
+    and its selective filters push to the scan."""
+    pa, li = _t(spark, sf_dir, "part", "lineitem")
+    p = pa.where(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -305,6 +305,84 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantized_knn_recall",
+    oracle=f"""
+    -- recall@10 of brute-force kNN over DEQUANTIZED int8 vectors vs the
+    -- float exact top-10: measures what the 4x compression costs in
+    -- neighbor quality (the dial a quantized ANN deployment monitors)
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS MATERIALIZED (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+    ), dq AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN mx = 0e0 THEN list_transform(e, x -> 0e0)
+                  ELSE list_transform(e, x -> CAST(sign(x)
+                       * floor(abs(x) / (mx / 127.0) + 5e-1) AS INT)
+                       * (mx / 127.0))
+             END AS d
+      FROM s
+    ), q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+    exact AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_SIM("q.qe", "v.e")} DESC, v.vec_id) AS rk
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= 10
+    ),
+    quant AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, dq.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_SIM("q.qe", "dq.d")} DESC, dq.vec_id) AS rk
+        FROM dq CROSS JOIN q WHERE dq.vec_id <> q.qid
+      ) WHERE rk <= 10
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           {R('count(a.neighbor_id) / 1e1', 2)} AS recall_at_10
+    FROM exact e
+    LEFT JOIN quant a
+      ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.qid
+    """,
+    tags=("similarity", "quantization", "eval", "recall"),
+)
+def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of kNN over the int8-dequantized vectors against the
+    float exact top-10 — the quality dial for the 4x-compressed index
+    (pipeline.similarity.quantize_int8). Quantization is row-local; both
+    kNN legs are the broadcast-queries brute-force operator; the hit
+    count is the same semi-join shape as ann_recall_eval."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5)
+    qz = similarity.quantize_int8(emb, "embedding", "q8")
+    deq = qz.select(
+        "vec_id",
+        F.transform(
+            "q8", lambda c: c.cast("double") * F.col("q8_scale")
+        ).alias("embedding"),
+    )
+    exact = similarity.knn_bruteforce(emb, queries_df, k=10, sim_decimals=6).select(
+        "query_id", "neighbor_id"
+    )
+    quant = similarity.knn_bruteforce(deq, queries_df, k=10, sim_decimals=6).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = exact.join(
+        F.broadcast(quant),
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("a_nid").cast("long").alias("n_hit"),
+        pround(F.count("a_nid") / F.lit(10.0), 2).alias("recall_at_10"),
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     -- candidate generation restricted to SRP-bucket collisions (the exact
