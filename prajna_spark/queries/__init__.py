@@ -57,17 +57,18 @@ def _load_all() -> None:
     # rounds 1-3 never recorded register ahead of the relational bulk that
     # is already multiply green.
     #
-    # ROUND-5 ROTATION NOTE: once round 4's window records the
-    # windows/vectors/text/sampling tier, move `relational` FIRST so the
-    # round-4 additions q4/q7/q12/q14/q19/q22 (registered at the relational
-    # tail, outside round 4's window) get driver-recorded; everything else
-    # will then have >= 1 recorded round across r1-r4.
+    # ROUND-5 ROTATION NOTE: round 4's first-50 window covers every
+    # never-recorded query EXCEPT corpus_build_pipeline and
+    # sample_topk_per_lang (both locally oracle-verified). Next round,
+    # register `sampling` and the text tail first to record those two;
+    # everything else then has >= 1 driver-recorded round across r1-r4.
     from prajna_spark.queries import (  # noqa: F401
         windows,
         vectors,
+        tpch_shapes,
         text,
-        multimodal,
         sampling,
+        multimodal,
         scalars,
         relational,
     )

@@ -1,0 +1,306 @@
+"""Round-4 TPC-H widening — the remaining canonical shapes expressible on
+the synthetic schema (no commitdate/receiptdate/shipmode/partsupp columns,
+so q4/q12/q16 substitute available predicates of the same relational
+shape).
+
+Registered as its own module so the rotation policy in
+``queries.__init__`` can schedule these into the driver's bounded
+correctness window independently of the (already multiply-recorded)
+relational bulk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R, pround
+from prajna_spark.queries import query
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune(spark)
+    return [load_table(spark, n, sf_dir) for n in names]
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+    tags=("semi-join", "exists", "tpch-q4-shape"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with an
+    equi key + inequality residual (shipped after ordering stands in for
+    commit<receipt — the synthetic lineitem has no commit/receipt dates).
+    The date filter prunes orders at the scan; the semi join never
+    duplicates orders however many lineitems match."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = od.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        o.join(li.select("l_orderkey", "l_shipdate"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {R('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "multi-join", "broadcast", "tpch-q7-shape"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. The two
+    fact tables join on their keys; supplier and both nation legs are
+    broadcast (sublinear dims), so the only data-sized shuffles are
+    lineitem⋈orders and the customer attach. The nation-pair disjunction
+    filters AFTER the broadcast attach — a row-local predicate."""
+    li, od, cu, su, na = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    j = (
+        li.join(od.select("o_orderkey", "o_custkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(su.select("s_suppkey", "s_nationkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .where(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE year(l.l_shipdate) = 1996
+    GROUP BY 1
+    """,
+    tags=("join", "conditional-agg", "tpch-q12-shape"),
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-category urgent/non-urgent line counts in ONE
+    conditional-aggregation pass (returnflag stands in for shipmode). Both
+    counts come from the same scan+join — never two passes; partial
+    aggregation collapses the counts map-side before the 3-group shuffle."""
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(F.year("l_shipdate") == 1996)
+        .select("l_orderkey", "l_returnflag")
+        .join(od.select("o_orderkey", "o_orderpriority"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT {R("1e2 * sum(CASE WHEN p.p_type = 'PROMO' "
+              "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0e0 END)"
+              " / sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 9
+    """,
+    tags=("join", "broadcast", "ratio-agg", "tpch-q14-shape"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. part is broadcast (fixed-size
+    dim), so the month of lineitem never shuffles — the ratio's two sums
+    fold in one partial-aggregated pass to a single row."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where((F.year("l_shipdate") == 1996) & (F.month("l_shipdate") == 9))
+        .join(F.broadcast(pa.select("p_partkey", "p_type")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            pround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {R('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1  AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 60)
+    """,
+    tags=("join", "disjunctive-predicate", "pushdown", "tpch-q19-shape"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of (brand, size, quantity) triples.
+    Catalyst extracts the common single-side conjuncts from the OR (brand
+    and size only touch part; quantity only lineitem), pushing partial
+    filters below the broadcast join — the scan reads less than the naive
+    post-join disjunction implies."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    j = li.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(pa.select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    clause = lambda b, s1, s2, q1, q2: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s1, s2)
+        & (F.col("l_quantity") >= q1)
+        & (F.col("l_quantity") <= q2)
+    )
+    return (
+        j.where(
+            clause("Brand#1", 1, 15, 1, 20)
+            | clause("Brand#2", 10, 30, 10, 40)
+            | clause("Brand#3", 20, 50, 20, 60)
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0e0)
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           {R('sum(c.c_acctbal)', 2)} AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.v
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+    GROUP BY 1
+    """,
+    tags=("anti-join", "scalar-subquery", "tpch-q22-shape"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no LARGE
+    orders (mktsegment stands in for phone country codes; the price floor
+    keeps the anti-join selective on this all-customers-order synthetic
+    data). The scalar average is a one-row aggregate broadcast onto
+    customer (never a collect), the NOT EXISTS is a LEFT ANTI join on
+    custkey, and the final rollup shuffles only surviving customers."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    return (
+        cu.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__ab"))
+        .join(od.where(F.col("o_totalprice") > 300000).select("o_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY 1, 2
+    """,
+    tags=("join", "distinct-agg", "tpch-q16-shape"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier variety per brand/size (the
+    synthetic schema has no partsupp, so lineitem supplies the
+    part-supplier pairs). Exercises the distinct-aggregate physical path:
+    Catalyst plans COUNT(DISTINCT) as a two-phase Expand + partial/final
+    aggregation, deduping map-side before the shuffle; part is broadcast
+    and its selective filters push to the scan."""
+    pa, li = _t(spark, sf_dir, "part", "lineitem")
+    p = pa.where(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
