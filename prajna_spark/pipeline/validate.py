@@ -48,3 +48,45 @@ def enforce(df: DataFrame, rules: dict[str, Column]) -> None:
     }
     if bad:
         raise ValueError(f"data-quality violations: {bad}")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile — the delivery-inspection companion to
+    ``check``: per column, null count, exact distinct count, and min/max
+    (as strings, so one long-format frame covers mixed types). ALL
+    columns profile in a single aggregation job: the distinct counts ride
+    Catalyst's Expand-based multi-distinct rewrite (one shuffle), the
+    rest are plain conditional aggregates with map-side partials — never
+    one scan per column.
+
+    Output: (column, n_rows, n_null, n_distinct, min_value, max_value),
+    one row per profiled column, deterministic order by unpivot.
+    """
+    cols = columns or df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            # aggregate in NATIVE type (numeric/temporal ordering), cast
+            # the single result to string for the long-format output
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -47,3 +47,19 @@ def test_enforce_raises_naming_violated_rules(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError, match="at least one rule"):
         check(spark.range(1), {})
+
+
+def test_profile_single_job_and_counts(spark):
+    """All columns profile in one aggregation (no per-column scans): nulls,
+    exact distincts, native-type min/max (numeric ordering, not string)."""
+    from prajna_spark.pipeline.validate import profile
+
+    df = spark.createDataFrame(
+        [(10, "b"), (2, None), (10, "a")], "n long, s string"
+    )
+    got = {r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_value, r.max_value)
+           for r in profile(df).collect()}
+    assert got["n"] == (3, 0, 2, "2", "10")   # numeric min: 2, not "10"
+    assert got["s"] == (3, 1, 2, "a", "b")
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0 and plan.count("Scan ExistingRDD") <= 1
