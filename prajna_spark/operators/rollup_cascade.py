@@ -102,3 +102,46 @@ def cascade_from_partials(
     return reduce(DataFrame.unionByName, levels).select(
         "resolution", "epoch_start", *dims, "n_events", "total_value"
     )
+
+
+def gapfill(
+    rollup: DataFrame,
+    dims: list[str],
+    width: int,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Densify a bucketed rollup: emit a row for EVERY bucket on each
+    dim-combination's [min, max] grid, filling absent buckets with the
+    given values (default 0) — the hypertable ``gapfill`` feature a
+    dashboard needs for honest time axes (a missing hour must chart as
+    zero, not be skipped).
+
+    Plan: per-dims min/max (tiny agg) -> ``sequence`` explodes the bucket
+    grid (O(#dims x #buckets) narrow rows, data-independent) -> LEFT join
+    the real rollup back on (dims, bucket). The grid side is bounded by
+    time-range/width, so at any corpus size the join's small side is the
+    GRID, not the data; rollup itself is already aggregated.
+
+    ``rollup`` must have ``epoch_start`` plus ``dims``; every other
+    column is a measure to fill.
+    """
+    measures = [c for c in rollup.columns if c != "epoch_start" and c not in dims]
+    fill = fill or {}
+    bounds = rollup.groupBy(*dims).agg(
+        F.min("epoch_start").alias("__lo"), F.max("epoch_start").alias("__hi")
+    )
+    grid = bounds.select(
+        *dims,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(width))
+        ).alias("epoch_start"),
+    )
+    joined = grid.join(rollup, [*dims, "epoch_start"], "left")
+    return joined.select(
+        *dims,
+        "epoch_start",
+        *[
+            F.coalesce(F.col(m), F.lit(fill.get(m, 0))).alias(m)
+            for m in measures
+        ],
+    )

@@ -208,6 +208,66 @@ def rollup_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "telemetry_gapfilled_hours",
+    oracle=f"""
+    -- densified hourly rollup: every hour on each type's [min, max] grid,
+    -- absent hours filled with zeros (the hypertable gapfill feature)
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS epoch_start,
+             count(*) AS n_events,
+             {R('sum(value)', 2)} AS total_value
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(epoch_start) AS lo, max(epoch_start) AS hi
+      FROM r GROUP BY 1
+    ), g AS (
+      SELECT event_type,
+             unnest(range(lo, hi + 3600, 3600)) AS epoch_start
+      FROM b
+    )
+    SELECT g.event_type, g.epoch_start,
+           coalesce(r.n_events, 0) AS n_events,
+           {R('coalesce(r.total_value, 0e0)', 2)} AS total_value
+    FROM g LEFT JOIN r
+      ON r.event_type = g.event_type AND r.epoch_start = g.epoch_start
+    """,
+    tags=("gapfill", "time-series", "rollup"),
+)
+def telemetry_gapfilled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (operators.rollup_cascade.gapfill): every
+    hour between each event type's first and last bucket appears, absent
+    hours as zeros — honest time axes for downsampled dashboards. The
+    grid side is bounded by time-range/width (data-independent), so the
+    left join's small side never grows with the corpus."""
+    from prajna_spark.operators.rollup_cascade import gapfill
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+            .cast("long")
+            .alias("epoch_start"),
+            "value",
+        )
+        .groupBy("event_type", "epoch_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = gapfill(hourly, ["event_type"], 3600)
+    return out.select(
+        "event_type",
+        "epoch_start",
+        "n_events",
+        pround(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
+@query(
     "telemetry_distinct_users_hll",
     # rows-only by declared design: the estimates come from Apache
     # DataSketches HLL, which DuckDB cannot reproduce bit-for-bit; the

@@ -87,3 +87,24 @@ def test_hll_cascade_union_equals_direct_and_brackets_exact(spark, sf_dir):
     assert set(daily_est) == set(exact)
     for k, est in daily_est.items():
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+def test_gapfill_plants_zero_rows(spark):
+    from pyspark.sql import functions as F
+
+    from prajna_spark.operators.rollup_cascade import gapfill
+
+    rollup = spark.createDataFrame(
+        [("a", 0, 5, 1.5), ("a", 7200, 2, 0.5), ("b", 3600, 1, 9.0)],
+        "event_type string, epoch_start long, n_events long, total_value double",
+    )
+    got = {
+        (r.event_type, r.epoch_start): (r.n_events, r.total_value)
+        for r in gapfill(rollup, ["event_type"], 3600).collect()
+    }
+    assert got == {
+        ("a", 0): (5, 1.5),
+        ("a", 3600): (0, 0.0),   # planted gap filled with zeros
+        ("a", 7200): (2, 0.5),
+        ("b", 3600): (1, 9.0),   # single-bucket dim: grid is one row
+    }
