@@ -57,17 +57,18 @@ def _load_all() -> None:
     # rounds 1-3 never recorded register ahead of the relational bulk that
     # is already multiply green.
     #
-    # ROUND-5 ROTATION NOTE: round 4's first-50 window covers every
-    # never-recorded query EXCEPT corpus_build_pipeline and
-    # sample_topk_per_lang (both locally oracle-verified). Next round,
-    # register `sampling` and the text tail first to record those two;
-    # everything else then has >= 1 driver-recorded round across r1-r4.
+    # ROUND-5 ROTATION NOTE: round 4's first-50 window covers ALL 40
+    # queries rounds 1-3 never recorded (module order + within-module
+    # placement were tuned for exactly this). If round 4's gate records
+    # its usual 50 rows, every catalog query will have >= 1 driver-
+    # recorded round across r1-r4; round 5 can then rotate freely (e.g.
+    # re-record the r1-only text/dedup tier).
     from prajna_spark.queries import (  # noqa: F401
         windows,
         vectors,
         tpch_shapes,
-        text,
         sampling,
+        text,
         multimodal,
         scalars,
         relational,

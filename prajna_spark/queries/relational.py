@@ -1139,46 +1139,3 @@ def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_notnull": F.col("o_custkey").isNotNull(),
         },
     )
-
-
-@query(
-    "profile_orders_columns",
-    oracle="""
-    -- one-pass long-format column profile (null/distinct/min/max per col)
-    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-           count(*) - count(o_orderkey) AS n_null,
-           count(DISTINCT o_orderkey) AS n_distinct,
-           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
-           CAST(max(o_orderkey) AS VARCHAR) AS max_value
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
-           count(DISTINCT o_orderstatus),
-           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
-           count(DISTINCT o_orderpriority),
-           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
-           count(DISTINCT o_totalprice),
-           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
-    FROM orders
-    """,
-    tags=("profiling", "validation", "pipeline"),
-)
-def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass column profile (pipeline.validate.profile): null counts,
-    exact distinct counts, and native-type min/max for four orders
-    columns in a SINGLE aggregation job — the multi-distinct Expand
-    rewrite gives one shuffle for all columns, where the naive spelling
-    (the oracle's UNION ALL) scans once per column. The
-    delivery-inspection step a 100 TB ingest runs before accepting data."""
-    from prajna_spark.pipeline.validate import profile
-
-    (od,) = _t(spark, sf_dir, "orders")
-    return profile(
-        od, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
-    )

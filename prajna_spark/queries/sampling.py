@@ -26,6 +26,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_topk_per_lang",
+    oracle="""
+    -- exact-k deterministic per-stratum sample: k smallest md5 draws per
+    -- language, key tiebreak (md5 collisions aside, ties are impossible)
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('evalset1|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("sampling", "stratified", "exact-k", "pipeline"),
+)
+def sample_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=20) deterministic sample per language
+    (pipeline.sampling.topk_per_stratum) — the held-out-eval-set builder:
+    Bernoulli gates give reproducible RATES, this gives reproducible
+    COUNTS. Two-stage rank keeps every window bounded: stage 1 ranks
+    within (stratum, input partition), stage 2 sees at most k x
+    #partitions survivors per stratum — a hot language never funnels its
+    full data through one task."""
+    docs = _docs(spark, sf_dir)
+    return sampling.topk_per_stratum(
+        docs, "lang", "doc_id", k=20, seed="evalset1"
+    ).select("doc_id", "lang")
+
+
+@query(
     "sample_documents_deterministic",
     oracle=f"""
     SELECT doc_id, lang, n_chars
@@ -132,33 +162,3 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.col("cum_before").cast("long").alias("cum_before"),
         "pack_id", "pack_offset",
     )
-
-
-@query(
-    "sample_topk_per_lang",
-    oracle="""
-    -- exact-k deterministic per-stratum sample: k smallest md5 draws per
-    -- language, key tiebreak (md5 collisions aside, ties are impossible)
-    SELECT doc_id, lang FROM (
-      SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5('evalset1|' || CAST(doc_id AS VARCHAR)), doc_id
-             ) AS rn
-      FROM documents
-    ) WHERE rn <= 20
-    """,
-    tags=("sampling", "stratified", "exact-k", "pipeline"),
-)
-def sample_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size (k=20) deterministic sample per language
-    (pipeline.sampling.topk_per_stratum) — the held-out-eval-set builder:
-    Bernoulli gates give reproducible RATES, this gives reproducible
-    COUNTS. Two-stage rank keeps every window bounded: stage 1 ranks
-    within (stratum, input partition), stage 2 sees at most k x
-    #partitions survivors per stratum — a hot language never funnels its
-    full data through one task."""
-    docs = _docs(spark, sf_dir)
-    return sampling.topk_per_stratum(
-        docs, "lang", "doc_id", k=20, seed="evalset1"
-    ).select("doc_id", "lang")
