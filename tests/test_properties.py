@@ -181,3 +181,38 @@ def test_packing_invariants(spark, tokens, budget):
     for i, t in enumerate(tokens):
         assert got[i] == (cum, cum // budget, cum - (cum // budget) * budget)
         cum += t
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 7, 50, 1000]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_naive_for_any_bin_width(
+    spark, points, intervals, width
+):
+    """The bin-quantized interval join is exact for ANY bin width —
+    including widths larger than the whole domain (every row in one bin)
+    and width 1 (maximal fan-out)."""
+    from prajna_spark.operators.rangejoin import interval_join
+
+    pts = sorted(set(points))
+    ivs = [(i, s, s + d) for i, (s, d) in enumerate(intervals)]
+    expected = {
+        (p, i) for p in pts for i, s, e in ivs if s <= p <= e
+    }
+    pdf = spark.createDataFrame([(p,) for p in pts], "p long")
+    idf = spark.createDataFrame(ivs, "iid long, s long, e long")
+    got = {
+        (r.p, r.iid)
+        for r in interval_join(pdf, "p", idf, "s", "e", bin_width=width).collect()
+    }
+    assert got == expected
