@@ -268,6 +268,72 @@ def telemetry_gapfilled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_purchase_views",
+    oracle="""
+    -- batch twin of the watermarked stream-stream self-join: each purchase
+    -- paired with the same user's views in the preceding hour
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type
+      FROM events
+    ), p AS (SELECT event_id AS p_id, user_id, t AS pt FROM e
+             WHERE event_type = 'purchase'),
+       v AS (SELECT event_id AS v_id, user_id, t AS vt FROM e
+             WHERE event_type = 'view')
+    SELECT p.p_id, v.v_id
+    FROM p JOIN v ON v.user_id = p.user_id
+                 AND v.vt >= p.pt - 3600 AND v.vt <= p.pt
+    """,
+    tags=("streaming", "stream-stream-join", "interval"),
+)
+def stream_stream_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval self-join, end-to-end through the
+    streaming engine (both sides watermarked so join state GCs past the
+    hour bound), drained with AvailableNow into a memory sink and checked
+    against the batch interval join — Spark's stream-stream join is the
+    §2.12 capability furthest beyond the reference's snapshot loop."""
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    ev = events_readstream(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    name = "q_ss_purchase_views"
+    q = (
+        p.join(v, cond, "inner")
+        .select("p_id", "v_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "telemetry_distinct_users_hll",
     # rows-only by declared design: the estimates come from Apache
     # DataSketches HLL, which DuckDB cannot reproduce bit-for-bit; the
