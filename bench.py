@@ -59,6 +59,25 @@ HEADLINE = [
     "curate_training_corpus",
 ]
 
+# Timed once, reported under "extended" (not in the headline total):
+# the round-4 persisted/streaming/pipeline tier.
+EXTENDED = [
+    "dedup_lsh_verified",
+    "dedup_connected_components",
+    "corpus_build_pipeline",
+    "decontaminate_train_docs",
+    "text_repetition_bigram",
+    "chunk_documents_windows",
+    "quantize_embeddings_int8",
+    "asof_join_bucketed_clicks",
+    "sample_topk_per_lang",
+    "profile_orders_columns",
+    "telemetry_gapfilled_hours",
+    "telemetry_distinct_users_hll",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +110,22 @@ def main() -> None:
             timings[name] = dt if prev is None or prev < 0 else min(prev, dt)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
+
+    # Secondary tier: heavier/newer operators timed once, reported under
+    # "extended" WITHOUT entering the headline total — keeps the headline
+    # comparable round-over-round while still publishing these numbers.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.time()
+        try:
+            catalog[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            extended[name] = round(time.time() - t0, 3)
+        except Exception as exc:
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            extended[name] = -1.0
+
     print(
         json.dumps(
             {
@@ -98,6 +133,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "sf": sf,
             }
         )
