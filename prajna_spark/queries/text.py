@@ -124,251 +124,6 @@ _QUALITY_SQL = f"""(
 ) / 4"""
 
 
-@query(
-    "dedup_ngram_collisions",
-    oracle=f"""
-    -- exact 8-token-window collisions (substring-level dedup): two docs
-    -- pair iff they share ANY exact 8-token span
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
-    ), g AS MATERIALIZED (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(
-               range(1, greatest(len(tk) - 7, 1) + 1),
-               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
-                                                   CAST(i AS INT) + 7), ' '))
-             )) AS g
-      FROM t WHERE len(tk) >= 8
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-    """,
-    tags=("dedup", "ngram", "exact-substring"),
-)
-def dedup_ngram_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup (pipeline.dedup.ngram_collision_pairs):
-    candidate pairs are docs sharing any exact 8-token window — the
-    strictest published dedup criterion (exact span reuse), complementing
-    MinHash (set similarity) and SimHash (weighted-token distance). Same
-    scale shape as LSH banding: shuffle key is the 128-bit gram hash,
-    never the text."""
-    docs = _docs(spark, sf_dir)
-    return dedup.ngram_collision_pairs(docs, "doc_id", "text", n=8)
-
-
-@query(
-    "fuzzy_match_parts",
-    oracle="""
-    -- blocking (first name token) -> in-block pairs -> edit-distance gate:
-    -- the scalable fuzzy-dedup funnel (never an all-pairs cross join)
-    WITH p AS MATERIALIZED (
-      SELECT p_partkey, p_name,
-             string_split(p_name, ' ')[1] AS block
-      FROM part WHERE p_partkey <= 400
-    )
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 12
-    """,
-    tags=("fuzzy", "levenshtein", "blocking", "entity-resolution"),
-)
-def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy matching with blocking — the entity-resolution funnel: block
-    key = first name token (an equi-join shuffle key, exactly like LSH
-    banding), exact edit distance computed ONLY within blocks, gate at
-    <= 12. All JVM (levenshtein is a built-in on both engines); at 100 TB
-    the only data-sized operation is the block-key shuffle, and hot blocks
-    are bounded by ``blocked_pairs``'s block-size cap — the same guard as
-    LSH buckets (the cap here, 10k, is far above any fixture block, so the
-    exact DuckDB oracle still matches)."""
-    tune(spark)
-    part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") <= 400)
-    p = part.select(
-        "p_partkey",
-        "p_name",
-        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
-    )
-    pairs = dedup.blocked_pairs(
-        p, "block", "p_partkey", ("p_name",), max_block_size=10_000
-    )
-    return pairs.select(
-        F.col("p_partkey_a").alias("key_a"),
-        F.col("p_partkey_b").alias("key_b"),
-        F.levenshtein("p_name_a", "p_name_b").cast("long").alias("edit_dist"),
-    ).where(F.col("edit_dist") <= 12)
-
-
-_GRAM8 = (
-    "list_transform(range(1, greatest(len(tk) - 7, 1) + 1), "
-    "i -> md5(array_to_string(list_slice(tk, CAST(i AS INT), "
-    "CAST(i AS INT) + 7), ' ')))"
-)
-
-
-@query(
-    "decontaminate_train_docs",
-    oracle=f"""
-    -- benchmark decontamination: training docs sharing ANY exact 8-token
-    -- span with the held-out slice (doc_id % 20 = 0) are dropped
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
-    ), g AS MATERIALIZED (
-      SELECT DISTINCT doc_id, unnest({_GRAM8}) AS g
-      FROM t WHERE len(tk) >= 8
-    ), ev AS (
-      SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0
-    ), bad AS (
-      SELECT DISTINCT doc_id FROM g
-      WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
-    )
-    SELECT d.doc_id, d.lang FROM documents d
-    WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-    """,
-    tags=("decontamination", "dedup", "train-test-overlap"),
-)
-def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination (pipeline.dedup.decontaminate): the
-    held-out slice's 8-gram hashes are deduped and BROADCAST (eval suites
-    are tiny next to a training corpus), so contamination checking is a
-    map-side semi join — the training text never shuffles, and the final
-    anti join moves only contaminated ids."""
-    docs = _docs(spark, sf_dir)
-    train = docs.where(F.col("doc_id") % 20 != 0)
-    heldout = docs.where(F.col("doc_id") % 20 == 0)
-    return dedup.decontaminate(train, heldout, "doc_id", "text", n=8).select(
-        "doc_id", "lang"
-    )
-
-
-@query(
-    "text_repetition_bigram",
-    oracle=f"""
-    -- Gopher-style repeated-n-gram quality signal: per doc, the share of
-    -- bigram occurrences taken by its most frequent bigram
-    WITH t AS (
-      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
-    ), g AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
-               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
-                                                   CAST(i AS INT) + 1), ' '))))
-               AS g
-      FROM t WHERE len(tk) >= 2
-    ), c AS (
-      SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           {R('CAST(max(c) AS DOUBLE) / sum(c)', 6)} AS top_gram_frac,
-           CAST(sum(c) AS BIGINT) AS n_grams
-    FROM c GROUP BY 1
-    """,
-    tags=("text-quality", "repetition", "gopher-filter"),
-)
-def text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition scores (pipeline.dedup.repetition_scores,
-    n=2) — the repeated-n-gram fraction MassiveText-style quality gates
-    threshold on. Two partial-aggregated hash shuffles of narrow
-    (id, hash, count) rows; the text itself never leaves its scan task."""
-    docs = _docs(spark, sf_dir)
-    scores = dedup.repetition_scores(docs, "doc_id", "text", n=2)
-    return scores.select(
-        F.col("id").alias("doc_id"),
-        pround(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
-        "n_grams",
-    )
-
-
-_CHUNK, _STRIDE = 64, 48
-
-
-@query(
-    "chunk_documents_windows",
-    oracle=f"""
-    -- fixed-token chunking with overlap (embedding preprocessing): starts
-    -- at 1, 1+stride, ...; one trailing start when the tail would
-    -- otherwise be uncovered; chunk_id = ordinal on the stride grid
-    WITH t AS (
-      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
-    ), s AS (
-      SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
-    ), c AS (
-      SELECT doc_id, tk, n,
-             unnest(range(1,
-               greatest(n - {_CHUNK - 1}, 1)
-               + CASE WHEN n > {_CHUNK} AND (n - {_CHUNK}) % {_STRIDE} <> 0
-                      THEN {_STRIDE} ELSE 0 END + 1,
-               {_STRIDE})) AS start
-      FROM s
-    )
-    SELECT doc_id,
-           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
-           array_to_string(list_slice(tk, start, start + {_CHUNK - 1}), ' ')
-             AS chunk_text,
-           CAST(len(list_slice(tk, start, start + {_CHUNK - 1})) AS BIGINT)
-             AS n_tokens
-    FROM c WHERE start <= n
-    """,
-    tags=("chunking", "embedding-prep", "pipeline"),
-)
-def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-token document chunks
-    (pipeline.packing.chunk_documents, 64-token windows, stride 48) — the
-    encoder-context preprocessing step between curation and embedding.
-    Tokenization runs once per document behind a Generate barrier; the
-    explode fans out with the input partitioning, zero shuffles."""
-    from prajna_spark.pipeline.packing import chunk_documents
-
-    docs = _docs(spark, sf_dir)
-    return chunk_documents(docs, "doc_id", "text", _CHUNK, _STRIDE)
-
-
-@query(
-    "dedup_stream_firstseen",
-    oracle=f"""
-    -- batch twin of incremental ingest dedup: after AvailableNow drains
-    -- the source, the output sink holds exactly the first-seen (lowest
-    -- doc_id) document per content fingerprint
-    WITH f AS (
-      SELECT doc_id, lang, md5({_NORM.format(c='text')}) AS fingerprint
-      FROM documents
-    )
-    SELECT fingerprint,
-           min(doc_id) AS doc_id,
-           min_by(lang, doc_id) AS lang
-    FROM f GROUP BY fingerprint
-    """,
-    tags=("dedup", "streaming", "incremental-ingest"),
-)
-def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup end-to-end through the PERSISTED path
-    (streaming.dedup_stream): readStream over documents -> in-batch canon
-    (min_by doc_id per fingerprint) -> anti-join vs the fingerprint store
-    -> append survivors. Driver-checked guarantee: output after drain ==
-    global first-seen set — exactly-once output from at-least-once input.
-    Only (fingerprint, id) rows ever shuffle; documents ride within their
-    batch."""
-    import tempfile
-
-    from prajna_spark.streaming.dedup_stream import start_incremental_dedup
-
-    tune(spark)
-    base = tempfile.mkdtemp(prefix="dedup_stream_q_")
-    docs = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    q = start_incremental_dedup(
-        docs, "doc_id", "text",
-        f"{base}/store", f"{base}/out", f"{base}/ckpt",
-    )
-    q.awaitTermination()
-    return spark.read.parquet(f"{base}/out").select("fingerprint", "doc_id", "lang")
-
-
 from prajna_spark.pipeline.sampling import hash_gate_sql as _hash_gate_sql
 
 _CORPUS_GATE = _hash_gate_sql("doc_id", 0.5, seed="corpus1")
@@ -801,3 +556,248 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
     return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)
+
+
+@query(
+    "dedup_ngram_collisions",
+    oracle=f"""
+    -- exact 8-token-window collisions (substring-level dedup): two docs
+    -- pair iff they share ANY exact 8-token span
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - 7, 1) + 1),
+               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
+                                                   CAST(i AS INT) + 7), ' '))
+             )) AS g
+      FROM t WHERE len(tk) >= 8
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "ngram", "exact-substring"),
+)
+def dedup_ngram_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (pipeline.dedup.ngram_collision_pairs):
+    candidate pairs are docs sharing any exact 8-token window — the
+    strictest published dedup criterion (exact span reuse), complementing
+    MinHash (set similarity) and SimHash (weighted-token distance). Same
+    scale shape as LSH banding: shuffle key is the 128-bit gram hash,
+    never the text."""
+    docs = _docs(spark, sf_dir)
+    return dedup.ngram_collision_pairs(docs, "doc_id", "text", n=8)
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle="""
+    -- blocking (first name token) -> in-block pairs -> edit-distance gate:
+    -- the scalable fuzzy-dedup funnel (never an all-pairs cross join)
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS block
+      FROM part WHERE p_partkey <= 400
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    tags=("fuzzy", "levenshtein", "blocking", "entity-resolution"),
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching with blocking — the entity-resolution funnel: block
+    key = first name token (an equi-join shuffle key, exactly like LSH
+    banding), exact edit distance computed ONLY within blocks, gate at
+    <= 12. All JVM (levenshtein is a built-in on both engines); at 100 TB
+    the only data-sized operation is the block-key shuffle, and hot blocks
+    are bounded by ``blocked_pairs``'s block-size cap — the same guard as
+    LSH buckets (the cap here, 10k, is far above any fixture block, so the
+    exact DuckDB oracle still matches)."""
+    tune(spark)
+    part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") <= 400)
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    pairs = dedup.blocked_pairs(
+        p, "block", "p_partkey", ("p_name",), max_block_size=10_000
+    )
+    return pairs.select(
+        F.col("p_partkey_a").alias("key_a"),
+        F.col("p_partkey_b").alias("key_b"),
+        F.levenshtein("p_name_a", "p_name_b").cast("long").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= 12)
+
+
+_GRAM8 = (
+    "list_transform(range(1, greatest(len(tk) - 7, 1) + 1), "
+    "i -> md5(array_to_string(list_slice(tk, CAST(i AS INT), "
+    "CAST(i AS INT) + 7), ' ')))"
+)
+
+
+@query(
+    "decontaminate_train_docs",
+    oracle=f"""
+    -- benchmark decontamination: training docs sharing ANY exact 8-token
+    -- span with the held-out slice (doc_id % 20 = 0) are dropped
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_GRAM8}) AS g
+      FROM t WHERE len(tk) >= 8
+    ), ev AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0
+    ), bad AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    tags=("decontamination", "dedup", "train-test-overlap"),
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (pipeline.dedup.decontaminate): the
+    held-out slice's 8-gram hashes are deduped and BROADCAST (eval suites
+    are tiny next to a training corpus), so contamination checking is a
+    map-side semi join — the training text never shuffles, and the final
+    anti join moves only contaminated ids."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    heldout = docs.where(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(train, heldout, "doc_id", "text", n=8).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "text_repetition_bigram",
+    oracle=f"""
+    -- Gopher-style repeated-n-gram quality signal: per doc, the share of
+    -- bigram occurrences taken by its most frequent bigram
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+               i -> md5(array_to_string(list_slice(tk, CAST(i AS INT),
+                                                   CAST(i AS INT) + 1), ' '))))
+               AS g
+      FROM t WHERE len(tk) >= 2
+    ), c AS (
+      SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           {R('CAST(max(c) AS DOUBLE) / sum(c)', 6)} AS top_gram_frac,
+           CAST(sum(c) AS BIGINT) AS n_grams
+    FROM c GROUP BY 1
+    """,
+    tags=("text-quality", "repetition", "gopher-filter"),
+)
+def text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scores (pipeline.dedup.repetition_scores,
+    n=2) — the repeated-n-gram fraction MassiveText-style quality gates
+    threshold on. Two partial-aggregated hash shuffles of narrow
+    (id, hash, count) rows; the text itself never leaves its scan task."""
+    docs = _docs(spark, sf_dir)
+    scores = dedup.repetition_scores(docs, "doc_id", "text", n=2)
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        pround(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
+        "n_grams",
+    )
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "chunk_documents_windows",
+    oracle=f"""
+    -- fixed-token chunking with overlap (embedding preprocessing): starts
+    -- at 1, 1+stride, ...; one trailing start when the tail would
+    -- otherwise be uncovered; chunk_id = ordinal on the stride grid
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+    ), s AS (
+      SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+    ), c AS (
+      SELECT doc_id, tk, n,
+             unnest(range(1,
+               greatest(n - {_CHUNK - 1}, 1)
+               + CASE WHEN n > {_CHUNK} AND (n - {_CHUNK}) % {_STRIDE} <> 0
+                      THEN {_STRIDE} ELSE 0 END + 1,
+               {_STRIDE})) AS start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tk, start, start + {_CHUNK - 1}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, start, start + {_CHUNK - 1})) AS BIGINT)
+             AS n_tokens
+    FROM c WHERE start <= n
+    """,
+    tags=("chunking", "embedding-prep", "pipeline"),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token document chunks
+    (pipeline.packing.chunk_documents, 64-token windows, stride 48) — the
+    encoder-context preprocessing step between curation and embedding.
+    Tokenization runs once per document behind a Generate barrier; the
+    explode fans out with the input partitioning, zero shuffles."""
+    from prajna_spark.pipeline.packing import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, "doc_id", "text", _CHUNK, _STRIDE)
+
+
+@query(
+    "dedup_stream_firstseen",
+    oracle=f"""
+    -- batch twin of incremental ingest dedup: after AvailableNow drains
+    -- the source, the output sink holds exactly the first-seen (lowest
+    -- doc_id) document per content fingerprint
+    WITH f AS (
+      SELECT doc_id, lang, md5({_NORM.format(c='text')}) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id) AS doc_id,
+           min_by(lang, doc_id) AS lang
+    FROM f GROUP BY fingerprint
+    """,
+    tags=("dedup", "streaming", "incremental-ingest"),
+)
+def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup end-to-end through the PERSISTED path
+    (streaming.dedup_stream): readStream over documents -> in-batch canon
+    (min_by doc_id per fingerprint) -> anti-join vs the fingerprint store
+    -> append survivors. Driver-checked guarantee: output after drain ==
+    global first-seen set — exactly-once output from at-least-once input.
+    Only (fingerprint, id) rows ever shuffle; documents ride within their
+    batch."""
+    import tempfile
+
+    from prajna_spark.streaming.dedup_stream import start_incremental_dedup
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="dedup_stream_q_")
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = start_incremental_dedup(
+        docs, "doc_id", "text",
+        f"{base}/store", f"{base}/out", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select("fingerprint", "doc_id", "lang")

@@ -347,3 +347,154 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         od, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    -- NATION_3 suppliers' share of revenue to ASIA customers per year
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           {R('''sum(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0e0 END)
+              / sum(l.l_extendedprice * (1 - l.l_discount))''', 6)}
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey  = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    tags=("join", "ratio-agg", "broadcast", "tpch-q8-shape"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside one region's
+    demand, per year. Supplier/nation/region legs broadcast; the share is
+    a conditional-sum ratio in the same aggregation pass (never two
+    scans)."""
+    li, od, cu, su, na, re = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region",
+    )
+    cn = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(od.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(re.where(F.col("r_name") == "ASIA")
+                          .select("r_regionkey")),
+              F.col("r_regionkey") == F.col("cn_reg"))
+        .join(F.broadcast(su.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    -- supplier(s) with the maximum half-year revenue: aggregate view +
+    -- scalar-max filter (ties all kept, deterministic)
+    WITH rev AS (
+      SELECT l_suppkey,
+             {R('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("join", "scalar-subquery", "aggregate-view", "tpch-q15-shape"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is computed once (scoped
+    persist — both the max and the filter read the aggregated frame, not
+    the raw join), the scalar max broadcasts back onto it, ties survive.
+    Rounding happens BEFORE the max comparison on both engines so the
+    equality is exact."""
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    rev = scoped_persist(
+        li.join(
+            od.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ).select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(su.select("s_suppkey", "s_name")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q20_supplier_concentration",
+    oracle=f"""
+    -- suppliers shipping > 15% of any part's total shipped quantity: the
+    -- share-of-group shape (partsupp availqty stands in as shipped share)
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, sum(qty) AS part_qty FROM ps GROUP BY 1
+    )
+    SELECT DISTINCT ps.l_suppkey AS s_suppkey
+    FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+    WHERE ps.qty > 15e-2 * tot.part_qty
+    """,
+    tags=("share-of-group", "two-level-agg", "tpch-q20-shape"),
+)
+def q20_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: share-of-group concentration — suppliers holding
+    > 15% of some part's shipped quantity. Two-level aggregation (the
+    coarse level derives from the fine level's partials, the cascade
+    trick) then an equi-join comparison; no window over the fact table."""
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ps = scoped_persist(
+        li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    return (
+        ps.join(tot, "l_partkey")
+        .where(F.col("qty") > 0.15 * F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
