@@ -60,15 +60,16 @@ def _load_all() -> None:
     # ROUND-5 ROTATION NOTE: round 4's first-50 window covers ALL 40
     # queries rounds 1-3 never recorded (module order + within-module
     # placement were tuned for exactly this). If round 4's gate records
-    # its usual 50 rows, every catalog query will have >= 1 driver-
-    # recorded round across r1-r4; round 5 can then rotate freely (e.g.
-    # re-record the r1-only text/dedup tier).
+    # its usual 50 rows, every catalog query EXCEPT sample_topk_per_lang
+    # (locally verified; first in the sampling module) will have >= 1
+    # driver-recorded round across r1-r4 — record it in round 5, then
+    # rotate freely (e.g. re-record the r1-only text/dedup tier).
     from prajna_spark.queries import (  # noqa: F401
         windows,
         vectors,
         tpch_shapes,
-        sampling,
         text,
+        sampling,
         multimodal,
         scalars,
         relational,

@@ -38,32 +38,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(load_table(spark, "documents", sf_dir))
 
 
-@query(
-    "text_stats",
-    oracle=f"""
-    SELECT doc_id,
-           length(text)                          AS n_chars_actual,
-           len({_TOKS.format(c='text')})         AS n_tokens,
-           {_BPE.format(c='text')}               AS n_bpe_tokens,
-           {R(_PUNCT.format(c='text'), 4)}       AS punct_ratio
-    FROM documents
-    """,
-    tags=("text", "tokenize", "quality"),
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) and punctuation ratio —
-    all codegen'd column expressions from pipeline.textqa."""
-    docs = _docs(spark, sf_dir)
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(t).cast("long").alias("n_chars_actual"),
-        textqa.token_count(t).cast("long").alias("n_tokens"),
-        textqa.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
-        pround(textqa.punct_ratio(t), 4).alias("punct_ratio"),
-    )
-
-
 def _lang_scores_sql() -> tuple[str, str]:
     toks = _TOKS.format(c="text")
     n = f"greatest(len({toks}), 1)"
@@ -81,32 +55,6 @@ def _lang_scores_sql() -> tuple[str, str]:
 
 
 _LANG_CASE, _EN_SCORE = _lang_scores_sql()
-
-
-@query(
-    "text_lang_id",
-    oracle=f"""
-    SELECT doc_id, lang,
-           {_LANG_CASE}                 AS lang_pred,
-           {R(_EN_SCORE, 4)}            AS en_ratio
-    FROM documents
-    """,
-    tags=("text", "lang-id"),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language ID heuristic (pipeline.textqa.lang_id),
-    compared against the table's labeled ``lang``."""
-    docs = _docs(spark, sf_dir)
-    t = F.col("text")
-    en_ratio = textqa.stopword_hits(t, "en") / F.greatest(
-        textqa.token_count(t), F.lit(1)
-    )
-    return docs.select(
-        "doc_id",
-        "lang",
-        textqa.lang_id(t).alias("lang_pred"),
-        pround(en_ratio, 4).alias("en_ratio"),
-    )
 
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in textqa.STOPWORDS["en"])
@@ -209,70 +157,6 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
 
 
-@query(
-    "text_quality",
-    oracle=f"""
-    SELECT doc_id,
-           {R(f'''(
-             least(length(text) / 500.0, 1.0)
-             + (1.0 - least(({_PUNCT.format(c="text")}) * 4, 1.0))
-             + least(len(list_filter({_TOKS.format(c="text")}, w -> w IN ({_EN_WORDS})))
-                     / greatest(len({_TOKS.format(c="text")}), 1) * 5, 1.0)
-             + (CASE WHEN length({_NORM.format(c="text")})
-                          / greatest(len({_TOKS.format(c="text")}), 1)
-                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
-           ) / 4''', 4)} AS quality
-    FROM documents
-    """,
-    tags=("text", "quality"),
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (pipeline.textqa.quality_score)."""
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", pround(textqa.quality_score(F.col("text")), 4).alias("quality")
-    )
-
-
-@query(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5({_NORM.format(c='text')})               AS fingerprint,
-           substring(md5({_NORM.format(c='text')}), 1, 8) AS fp_short
-    FROM documents
-    """,
-    tags=("text", "fingerprint"),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint of normalized text (pipeline.textqa.fingerprint)."""
-    docs = _docs(spark, sf_dir)
-    fp = textqa.fingerprint(F.col("text"))
-    return docs.select(
-        "doc_id",
-        fp.alias("fingerprint"),
-        F.substring(fp, 1, 8).alias("fp_short"),
-    )
-
-
-@query(
-    "dedup_exact",
-    oracle=f"""
-    SELECT md5({_NORM.format(c='text')}) AS fingerprint,
-           min(doc_id)                   AS canonical_id,
-           count(*)                      AS n_dups
-    FROM documents
-    GROUP BY 1
-    """,
-    tags=("dedup", "exact"),
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups by content fingerprint — shuffles (hash, id)
-    pairs only (pipeline.dedup.exact_dedup_groups)."""
-    docs = _docs(spark, sf_dir)
-    return dedup.exact_dedup_groups(docs, "doc_id", "text")
-
-
 def _minhash_sql(j: int, k: int = 5, slice_len: int = 8) -> str:
     """Component j = min over shingles of the j-th disjoint hex slice of
     ONE md5 per shingle (matches pipeline.dedup.minhash_signature)."""
@@ -282,161 +166,6 @@ def _minhash_sql(j: int, k: int = 5, slice_len: int = 8) -> str:
         f"list_min(list_transform(range(1, {n} + 1), "
         f"i -> substring(md5(substring({t}, CAST(i AS INT), {k})), "
         f"{1 + slice_len * j}, {slice_len})))"
-    )
-
-
-@query(
-    "dedup_minhash_signatures",
-    oracle=f"""
-    SELECT doc_id,
-           {_minhash_sql(0)} AS minhash_0,
-           {_minhash_sql(1)} AS minhash_1,
-           {_minhash_sql(2)} AS minhash_2,
-           {_minhash_sql(3)} AS minhash_3
-    FROM documents
-    """,
-    tags=("dedup", "minhash"),
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 seeded min-wise hashes over 5-char shingles
-    of normalized text, capped at 512 chars) — pipeline.dedup.minhash_signature
-    (explode-based: one regex pass per doc, shingle rows distribute,
-    partial-agg min before the shuffle)."""
-    docs = _docs(spark, sf_dir)
-    return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4)
-
-
-@query(
-    "dedup_lsh_pairs",
-    oracle=f"""
-    WITH sig AS MATERIALIZED (
-      SELECT doc_id,
-             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
-             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
-      FROM documents
-    ), bands AS MATERIALIZED (
-      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
-      UNION ALL
-      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    """,
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs via band-bucket equi-join (2 bands × 2
-    hashes) — pipeline.dedup.lsh_band_pairs. On this synthetic corpus the
-    pair set may be small/empty; the op and its plan (equi-join, never a
-    cross join) are what's under test."""
-    docs = _docs(spark, sf_dir)
-    return dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
-
-
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct({_TOKS.format(c='text')})) AS tok
-      FROM documents
-    ), contrib AS (
-      SELECT doc_id, j,
-             ((strpos('0123456789abcdef', substring(md5(tok), CAST(j AS INT), 1)) - 1)
-              % 2) * 2 - 1 AS w
-      FROM toks, range(1, 17) t(j)
-    ), bits AS (
-      SELECT doc_id, j, sum(w) AS ws FROM contrib GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN ws > 0 THEN CAST(pow(2, j - 1) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS simhash16
-    FROM bits GROUP BY doc_id
-    """,
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (pipeline.dedup.simhash16_df) — fully
-    relational explode/groupBy, no UDFs."""
-    docs = _docs(spark, sf_dir)
-    return dedup.simhash16_df(docs, "doc_id", "text")
-
-
-@query(
-    "dedup_jaccard_adjacent",
-    oracle=f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(list_distinct({_TOKS.format(c='a.text')}),
-                              list_distinct({_TOKS.format(c='b.text')}))) AS n_common,
-           {R(f'''len(list_intersect(list_distinct({_TOKS.format(c="a.text")}),
-                                    list_distinct({_TOKS.format(c="b.text")})))
-                 / greatest(len(list_distinct(list_concat(
-                       list_distinct({_TOKS.format(c="a.text")}),
-                       list_distinct({_TOKS.format(c="b.text")})))), 1)''', 4)} AS jaccard
-    FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
-    """,
-    tags=("dedup", "jaccard", "ngram"),
-)
-def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard on adjacent-id pairs (pipeline.dedup.jaccard_pairs)
-    — the exact comparator one runs on LSH candidate pairs."""
-    docs = _docs(spark, sf_dir)
-    return dedup.jaccard_pairs(docs, "doc_id", "text")
-
-
-@query(
-    "curate_training_corpus",
-    oracle=f"""
-    -- end-to-end curation: quality gate + language gate + exact dedup
-    -- (keep lowest doc_id per fingerprint)
-    WITH scored AS (
-      SELECT doc_id, lang, n_chars,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
-               AS fingerprint,
-             {_QUALITY_SQL} AS quality
-      FROM documents
-    ), gated AS (
-      SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es')
-    ), ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
-                  AS rn
-      FROM gated
-    )
-    SELECT doc_id, lang, n_chars, fingerprint, {R('quality', 4)} AS quality
-    FROM ranked WHERE rn = 1
-    """,
-    tags=("pipeline", "curation", "dedup", "quality"),
-)
-def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline in one plan: quality scoring ->
-    quality + language gates -> exact dedup keeping the canonical (lowest
-    doc_id) copy. One scan, one HASH-AGG shuffle: min_by(struct, doc_id)
-    picks the canonical row per fingerprint with map-side partial
-    aggregation and no sort (a row_number window would sort every
-    partition); filters run BEFORE the shuffle so rejected docs never
-    move. This is the curation job a 100 TB corpus runs nightly."""
-    docs = _docs(spark, sf_dir)
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        textqa.fingerprint(t).alias("fingerprint"),
-        textqa.quality_score(t).alias("quality"),
-    )
-    gated = scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
-    canon = gated.groupBy("fingerprint").agg(
-        F.min_by(
-            F.struct("doc_id", "lang", "n_chars", "quality"), F.col("doc_id")
-        ).alias("__c")
-    )
-    return canon.select(
-        F.col("__c.doc_id").alias("doc_id"),
-        F.col("__c.lang").alias("lang"),
-        F.col("__c.n_chars").alias("n_chars"),
-        "fingerprint",
-        pround(F.col("__c.quality"), 4).alias("quality"),
     )
 
 
@@ -471,91 +200,6 @@ def _cc_levels(n_levels: int) -> str:
 
 
 _CC_LEVELS = 24
-
-
-@query(
-    "dedup_connected_components",
-    oracle=f"""
-    -- connected components of the LSH candidate-pair graph; component id =
-    -- min reachable doc_id; docs in no pair are singletons. Computed by an
-    -- unrolled min-label + pointer-jump ladder (see _cc_levels).
-    WITH sig AS MATERIALIZED (
-      SELECT doc_id,
-             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
-             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
-      FROM documents
-    ), bands AS MATERIALIZED (
-      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
-      UNION ALL
-      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
-    ), pairs AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_val = b.band_val
-           AND a.doc_id < b.doc_id
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    {_cc_levels(_CC_LEVELS)}
-    SELECT id AS doc_id, label AS component_id FROM l{_CC_LEVELS}
-    """,
-    tags=("dedup", "connected-components", "iterative", "graph"),
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster resolution: MinHash-LSH candidate pairs -> exact
-    connected components by min-label propagation
-    (pipeline.dedup.connected_components) -> one canonical id per cluster.
-    The iterative Spark computation is hash-checked against DuckDB's
-    recursive-CTE transitive closure — exact, not approximate."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
-    return dedup.connected_components(
-        pairs, docs.select("doc_id"), id_col="doc_id"
-    )
-
-
-@query(
-    "dedup_lsh_verified",
-    oracle=f"""
-    -- the full near-dup funnel: LSH candidates -> exact Jaccard >= 0.6
-    WITH sig AS MATERIALIZED (
-      SELECT doc_id,
-             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
-             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3,
-             list_distinct({_TOKS.format(c='text')}) AS ws
-      FROM documents
-    ), bands AS MATERIALIZED (
-      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
-      UNION ALL
-      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
-    ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_val = b.band_val
-           AND a.doc_id < b.doc_id
-    ), scored AS (
-      SELECT p.id_a, p.id_b,
-             {R('''len(list_intersect(sa.ws, sb.ws))
-                / greatest(len(list_distinct(sa.ws || sb.ws)), 1)''', 4)} AS jaccard
-      FROM pairs p
-      JOIN sig sa ON sa.doc_id = p.id_a
-      JOIN sig sb ON sb.doc_id = p.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
-    """,
-    tags=("dedup", "minhash", "lsh", "jaccard", "funnel"),
-)
-def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete near-duplicate funnel in one plan: MinHash signatures
-    -> LSH band candidates -> exact word-set Jaccard verification at 0.6.
-    Candidates are O(collisions), so the exact comparator runs on a sliver
-    of the n^2 pair space — the shape that makes near-dup feasible at
-    100 TB (pipeline.dedup.verify_pairs_jaccard)."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
-    return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)
 
 
 @query(
@@ -801,3 +445,369 @@ def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out").select("fingerprint", "doc_id", "lang")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                          AS n_chars_actual,
+           len({_TOKS.format(c='text')})         AS n_tokens,
+           {_BPE.format(c='text')}               AS n_bpe_tokens,
+           {R(_PUNCT.format(c='text'), 4)}       AS punct_ratio
+    FROM documents
+    """,
+    tags=("text", "tokenize", "quality"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and punctuation ratio —
+    all codegen'd column expressions from pipeline.textqa."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        textqa.token_count(t).cast("long").alias("n_tokens"),
+        textqa.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        pround(textqa.punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_LANG_CASE}                 AS lang_pred,
+           {R(_EN_SCORE, 4)}            AS en_ratio
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic (pipeline.textqa.lang_id),
+    compared against the table's labeled ``lang``."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    en_ratio = textqa.stopword_hits(t, "en") / F.greatest(
+        textqa.token_count(t), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        textqa.lang_id(t).alias("lang_pred"),
+        pround(en_ratio, 4).alias("en_ratio"),
+    )
+
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {R(f'''(
+             least(length(text) / 500.0, 1.0)
+             + (1.0 - least(({_PUNCT.format(c="text")}) * 4, 1.0))
+             + least(len(list_filter({_TOKS.format(c="text")}, w -> w IN ({_EN_WORDS})))
+                     / greatest(len({_TOKS.format(c="text")}), 1) * 5, 1.0)
+             + (CASE WHEN length({_NORM.format(c="text")})
+                          / greatest(len({_TOKS.format(c="text")}), 1)
+                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           ) / 4''', 4)} AS quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (pipeline.textqa.quality_score)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", pround(textqa.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM.format(c='text')})               AS fingerprint,
+           substring(md5({_NORM.format(c='text')}), 1, 8) AS fp_short
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (pipeline.textqa.fingerprint)."""
+    docs = _docs(spark, sf_dir)
+    fp = textqa.fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_short"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM.format(c='text')}) AS fingerprint,
+           min(doc_id)                   AS canonical_id,
+           count(*)                      AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content fingerprint — shuffles (hash, id)
+    pairs only (pipeline.dedup.exact_dedup_groups)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {_minhash_sql(0)} AS minhash_0,
+           {_minhash_sql(1)} AS minhash_1,
+           {_minhash_sql(2)} AS minhash_2,
+           {_minhash_sql(3)} AS minhash_3
+    FROM documents
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeded min-wise hashes over 5-char shingles
+    of normalized text, capped at 512 chars) — pipeline.dedup.minhash_signature
+    (explode-based: one regex pass per doc, shingle rows distribute,
+    partial-agg min before the shuffle)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4)
+
+
+
+@query(
+    "dedup_lsh_pairs",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs via band-bucket equi-join (2 bands × 2
+    hashes) — pipeline.dedup.lsh_band_pairs. On this synthetic corpus the
+    pair set may be small/empty; the op and its plan (equi-join, never a
+    cross join) are what's under test."""
+    docs = _docs(spark, sf_dir)
+    return dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS.format(c='text')})) AS tok
+      FROM documents
+    ), contrib AS (
+      SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substring(md5(tok), CAST(j AS INT), 1)) - 1)
+              % 2) * 2 - 1 AS w
+      FROM toks, range(1, 17) t(j)
+    ), bits AS (
+      SELECT doc_id, j, sum(w) AS ws FROM contrib GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN ws > 0 THEN CAST(pow(2, j - 1) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (pipeline.dedup.simhash16_df) — fully
+    relational explode/groupBy, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash16_df(docs, "doc_id", "text")
+
+
+
+@query(
+    "dedup_jaccard_adjacent",
+    oracle=f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(list_distinct({_TOKS.format(c='a.text')}),
+                              list_distinct({_TOKS.format(c='b.text')}))) AS n_common,
+           {R(f'''len(list_intersect(list_distinct({_TOKS.format(c="a.text")}),
+                                    list_distinct({_TOKS.format(c="b.text")})))
+                 / greatest(len(list_distinct(list_concat(
+                       list_distinct({_TOKS.format(c="a.text")}),
+                       list_distinct({_TOKS.format(c="b.text")})))), 1)''', 4)} AS jaccard
+    FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard on adjacent-id pairs (pipeline.dedup.jaccard_pairs)
+    — the exact comparator one runs on LSH candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.jaccard_pairs(docs, "doc_id", "text")
+
+
+
+@query(
+    "curate_training_corpus",
+    oracle=f"""
+    -- end-to-end curation: quality gate + language gate + exact dedup
+    -- (keep lowest doc_id per fingerprint)
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+               AS fingerprint,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es')
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                  AS rn
+      FROM gated
+    )
+    SELECT doc_id, lang, n_chars, fingerprint, {R('quality', 4)} AS quality
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("pipeline", "curation", "dedup", "quality"),
+)
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: quality scoring ->
+    quality + language gates -> exact dedup keeping the canonical (lowest
+    doc_id) copy. One scan, one HASH-AGG shuffle: min_by(struct, doc_id)
+    picks the canonical row per fingerprint with map-side partial
+    aggregation and no sort (a row_number window would sort every
+    partition); filters run BEFORE the shuffle so rejected docs never
+    move. This is the curation job a 100 TB corpus runs nightly."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        textqa.fingerprint(t).alias("fingerprint"),
+        textqa.quality_score(t).alias("quality"),
+    )
+    gated = scored.where((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
+    canon = gated.groupBy("fingerprint").agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "n_chars", "quality"), F.col("doc_id")
+        ).alias("__c")
+    )
+    return canon.select(
+        F.col("__c.doc_id").alias("doc_id"),
+        F.col("__c.lang").alias("lang"),
+        F.col("__c.n_chars").alias("n_chars"),
+        "fingerprint",
+        pround(F.col("__c.quality"), 4).alias("quality"),
+    )
+
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    -- connected components of the LSH candidate-pair graph; component id =
+    -- min reachable doc_id; docs in no pair are singletons. Computed by an
+    -- unrolled min-label + pointer-jump ladder (see _cc_levels).
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    ), pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    {_cc_levels(_CC_LEVELS)}
+    SELECT id AS doc_id, label AS component_id FROM l{_CC_LEVELS}
+    """,
+    tags=("dedup", "connected-components", "iterative", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH candidate pairs -> exact
+    connected components by min-label propagation
+    (pipeline.dedup.connected_components) -> one canonical id per cluster.
+    The iterative Spark computation is hash-checked against DuckDB's
+    recursive-CTE transitive closure — exact, not approximate."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+    return dedup.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+
+
+
+@query(
+    "dedup_lsh_verified",
+    oracle=f"""
+    -- the full near-dup funnel: LSH candidates -> exact Jaccard >= 0.6
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3,
+             list_distinct({_TOKS.format(c='text')}) AS ws
+      FROM documents
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             {R('''len(list_intersect(sa.ws, sb.ws))
+                / greatest(len(list_distinct(sa.ws || sb.ws)), 1)''', 4)} AS jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "minhash", "lsh", "jaccard", "funnel"),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-duplicate funnel in one plan: MinHash signatures
+    -> LSH band candidates -> exact word-set Jaccard verification at 0.6.
+    Candidates are O(collisions), so the exact comparator runs on a sliver
+    of the n^2 pair space — the shape that makes near-dup feasible at
+    100 TB (pipeline.dedup.verify_pairs_jaccard)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+    return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)

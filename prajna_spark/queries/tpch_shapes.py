@@ -498,3 +498,118 @@ def q20_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s_suppkey"))
         .distinct()
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {R('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("scan-pushdown", "single-agg", "tpch-q6-shape"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-plus-aggregate classic. Every
+    predicate reaches the parquet scan (date + discount + quantity all in
+    PushedFilters), the aggregation is one map-side-combined pass to a
+    single row — at 100 TB this query is I/O-bound by exactly the
+    row-groups the filters can't skip, nothing else."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    -- customers-per-order-count histogram (LEFT join keeps zero-order
+    -- customers in the c_count = 0 bucket)
+    WITH oc AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM oc GROUP BY 1
+    """,
+    tags=("left-join", "two-level-agg", "histogram", "tpch-q13-shape"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution-of-counts double aggregation.
+    Level 1 counts orders per customer THROUGH a left join (zero-order
+    customers stay, with count 0); level 2 histograms those counts — a
+    tiny shuffle keyed on the count value. The join predicate lives in
+    the join condition, not a WHERE (which would silently drop the
+    zero-order bucket)."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    oc = (
+        cu.select("c_custkey")
+        .join(
+            od.where(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return oc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    -- revenue from lineitems under 40% of their part's average quantity:
+    -- the per-group-average threshold shape (correlated subquery
+    -- decorrelated to an aggregate + join)
+    WITH avgq AS (
+      SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1
+    )
+    SELECT {R('sum(l.l_extendedprice) / 7e0', 2)} AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 4e-1 * a.aq
+    """,
+    tags=("correlated-agg", "decorrelated-join", "tpch-q17-shape"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average-quantity threshold. The
+    correlated subquery decorrelates to ONE aggregate over the fact table
+    joined back on the part key — the fact table is scanned twice but
+    shuffled narrow both times ((partkey, avg) and the join); no window
+    over the fact table."""
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    slim = scoped_persist(
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avgq = slim.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        slim.join(avgq, "l_partkey")
+        .where(F.col("l_quantity") < 0.4 * F.col("aq"))
+        .agg(
+            pround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -16,73 +16,6 @@ from prajna_spark.sources import load_table
 
 
 @query(
-    "window_rank_orders",
-    oracle=f"""
-    SELECT o_custkey, o_orderkey, {R('o_totalprice', 2)} AS total_price, rk
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey
-             ) AS rk
-      FROM orders
-    ) WHERE rk <= 3
-    """,
-    tags=("window", "rank", "topk-per-key"),
-)
-def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer via row_number — the scalable per-key
-    top-k (one shuffle on o_custkey; rank filter evaluated streaming,
-    nothing materializes per group). Ties broken by o_orderkey."""
-    tune(spark)
-    od = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        od.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 3)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            pround(F.col("o_totalprice"), 2).alias("total_price"),
-            "rk",
-        )
-    )
-
-
-@query(
-    "window_lag_events",
-    oracle=f"""
-    SELECT user_id, event_id,
-           {R('value', 4)} AS value,
-           {R('value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 4)} AS delta,
-           CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-           ))) AS BIGINT) AS gap_seconds
-    FROM events
-    """,
-    tags=("window", "lag", "sessionize"),
-)
-def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event deltas via lag — the sessionization building block.
-    Event order disambiguated by (ts, event_id); timestamps compared as
-    raw epoch seconds (timezone-free)."""
-    tune(spark)
-    ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        pround(F.col("value"), 4).alias("value"),
-        pround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
-        (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        ).alias("gap_seconds"),
-    )
-
-
-@query(
     "window_running_revenue",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
@@ -738,4 +671,72 @@ def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("c_custkey").over(w).alias("next_custkey"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_custkey"),
         pround(F.sum("c_acctbal").over(w_range), 2).alias("near_balance_sum"),
+    )
+
+
+@query(
+    "window_rank_orders",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, {R('o_totalprice', 2)} AS total_price, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("window", "rank", "topk-per-key"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the scalable per-key
+    top-k (one shuffle on o_custkey; rank filter evaluated streaming,
+    nothing materializes per group). Ties broken by o_orderkey."""
+    tune(spark)
+    od = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            pround(F.col("o_totalprice"), 2).alias("total_price"),
+            "rk",
+        )
+    )
+
+
+
+@query(
+    "window_lag_events",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {R('value', 4)} AS value,
+           {R('value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)', 4)} AS delta,
+           CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ))) AS BIGINT) AS gap_seconds
+    FROM events
+    """,
+    tags=("window", "lag", "sessionize"),
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas via lag — the sessionization building block.
+    Event order disambiguated by (ts, event_id); timestamps compared as
+    raw epoch seconds (timezone-free)."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        pround(F.col("value"), 4).alias("value"),
+        pround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_seconds"),
     )
