@@ -216,3 +216,43 @@ def test_interval_join_matches_naive_for_any_bin_width(
         for r in interval_join(pdf, "p", idf, "s", "e", bin_width=width).collect()
     }
     assert got == expected
+
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    chunk=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_local_model(spark, n, chunk, data):
+    """chunk_documents == the local sliding-window model: starts at
+    1, 1+stride, ... plus one trailing start when the tail would
+    otherwise be uncovered; every token covered; chunk_id is the grid
+    ordinal."""
+    from prajna_spark.pipeline.packing import chunk_documents
+
+    stride = data.draw(st.integers(min_value=1, max_value=chunk))
+    toks = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk, stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+
+    # local model
+    expected = []
+    if n > 0:
+        starts = list(range(1, max(n - (chunk - 1), 1) + 1, stride))
+        last_end = starts[-1] + chunk - 1
+        if last_end < n:
+            starts.append(starts[-1] + stride)
+        starts = [s for s in starts if s <= n]
+        expected = [
+            (i, " ".join(toks[s - 1 : s - 1 + chunk]), min(chunk, n - s + 1))
+            for i, s in enumerate(starts)
+        ]
+
+    got = [(r.chunk_id, r.chunk_text, r.n_tokens) for r in rows]
+    assert got == expected
+    covered = {t for _, text, _ in got for t in text.split(" ") if t}
+    assert covered == set(toks)
