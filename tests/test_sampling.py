@@ -146,3 +146,19 @@ def test_topk_per_stratum_plan_has_partial_group_limit(spark):
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_gate_join_at_thousand_strata(spark):
+    """The broadcast-recipe spelling analyzes and runs at 1000-stratum
+    cardinality with constant plan depth (the when-chain variant builds a
+    1000-deep expression tree — the case this spelling exists for)."""
+    from prajna_spark.pipeline.sampling import stratified_gate_join
+
+    rates = {f"lang_{i:04d}": (i % 100) / 100.0 for i in range(1000)}
+    rows = [(i, f"lang_{i % 1000:04d}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_gate_join(df, "lang", "doc_id", rates, seed="big1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    n = out.count()
+    assert 0 < n < 5000  # gates actually applied, strata with rate 0 drop
