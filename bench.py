@@ -103,7 +103,9 @@ def main() -> None:
                 ).save()
             except Exception as exc:  # record, don't abort the suite
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                timings[name] = -1.0
+                # keep an earlier successful minimum if one exists: a flaky
+                # later rep must not evict a valid timing from the total
+                timings.setdefault(name, -1.0)
                 continue
             dt = round(time.time() - t0, 3)
             prev = timings.get(name)

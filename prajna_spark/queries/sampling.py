@@ -45,10 +45,12 @@ def sample_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size (k=20) deterministic sample per language
     (pipeline.sampling.topk_per_stratum) — the held-out-eval-set builder:
     Bernoulli gates give reproducible RATES, this gives reproducible
-    COUNTS. Two-stage rank keeps every window bounded: stage 1 ranks
-    within (stratum, input partition), stage 2 sees at most k x
-    #partitions survivors per stratum — a hot language never funnels its
-    full data through one task."""
+    COUNTS. A single row_number window that Spark rewrites to
+    WindowGroupLimit: a PARTIAL limit runs per input partition BEFORE the
+    shuffle, so at most k x #partitions survivors per stratum cross the
+    wire — a hot language never funnels its full data through one task.
+    (A hand-built two-stage rank measured strictly worse; see
+    topk_per_stratum's docstring and tests/test_sampling.py.)"""
     docs = _docs(spark, sf_dir)
     return sampling.topk_per_stratum(
         docs, "lang", "doc_id", k=20, seed="evalset1"

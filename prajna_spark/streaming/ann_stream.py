@@ -15,6 +15,13 @@ this sink yields an index whose search results are IDENTICAL to building
 the index from the same vectors in one batch — appends commute because
 assignment is row-local and search reads whole cells.
 
+Idempotency under at-least-once foreachBatch: each micro-batch writes its
+rows under its own ``ingest_batch=<batch_id>`` leaf partitions using
+dynamic partition overwrite, so a REPLAYED batch (retry after a committed
+write whose checkpoint offset was lost) overwrites exactly its own leaves
+instead of appending duplicates. The equivalence above therefore holds
+for any at-least-once delivery, not just a single clean drain.
+
 No reference equivalent: Prajna has neither vector search nor streaming
 state (SURVEY §2.12); this is the north-star continuous-curation slot for
 the embedding modality.
@@ -23,10 +30,34 @@ the embedding modality.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from prajna_spark.pipeline.similarity import ivf_assign
+
+
+def append_ivf_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign one micro-batch to its nearest centroids (broadcast argmax,
+    map-side) and write it under ``centroid_id=*/ingest_batch=<batch_id>/``
+    with dynamic partition overwrite. Calling this twice with the same
+    ``batch_id`` and rows is a no-op-equivalent overwrite — the replay
+    safety the streaming sink relies on (tested in test_ivf_index.py)."""
+    assign = ivf_assign(batch_df, centroids, id_col, vec_col)
+    (
+        batch_df.join(assign, id_col)
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id", "ingest_batch")
+        .parquet(index_path)
+    )
 
 
 def start_incremental_ivf(
@@ -44,13 +75,7 @@ def start_incremental_ivf(
     cheap continuous appends, periodic offline rebuilds)."""
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        assign = ivf_assign(batch_df, centroids, id_col, vec_col)
-        (
-            batch_df.join(assign, id_col)
-            .write.mode("append")
-            .partitionBy("centroid_id")
-            .parquet(index_path)
-        )
+        append_ivf_batch(batch_df, batch_id, centroids, index_path, id_col, vec_col)
 
     writer = (
         stream_vectors.writeStream.foreachBatch(append_batch)

@@ -25,14 +25,32 @@ from pyspark.sql import functions as F
 from prajna_spark.session import tune
 
 EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+EVENTS_SCHEMA_NANOS = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
 
 def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based readStream over the events table. The parquet stores a
-    plain TIMESTAMP (naive); declaring ``ts timestamp`` in the read schema
-    makes the scan produce session-local (UTC-pinned) timestamps directly,
-    matching the batch catalog's normalization in sources/catalog.py."""
+    """File-based readStream over the events table, handling BOTH physical
+    ts shapes the generator has produced across rounds (mirrors the batch
+    dual-branch in sources/catalog.py:load_table):
+
+    - plain TIMESTAMP (micros, r3+): declaring ``ts timestamp`` in the read
+      schema makes the scan produce session-local (UTC-pinned) timestamps;
+    - TIMESTAMP(NANOS) (r1-r2 shape, reads as bigint under nanosAsLong):
+      read ``ts`` as long and convert losslessly via integer division.
+
+    Shape detection is a batch footer peek (schema-only, no data scan) —
+    cheap, and the only way to branch since streaming needs the schema
+    declared up front."""
     tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

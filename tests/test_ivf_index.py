@@ -90,6 +90,39 @@ def test_streamed_index_build_matches_batch_build(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 50
 
 
+def test_streamed_append_is_idempotent_under_replay(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch can be re-delivered
+    after its write committed but before the checkpoint recorded it.
+    append_ivf_batch writes under ingest_batch=<id> leaves with dynamic
+    partition overwrite, so a replay rewrites its own leaves instead of
+    appending duplicates — and a genuinely new batch still appends."""
+    from prajna_spark.streaming.ann_stream import append_ivf_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivf_replay")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+
+    append_ivf_batch(b0, 0, cents, path)
+    n_after_first = spark.read.parquet(path).count()
+    append_ivf_batch(b0, 0, cents, path)  # replayed delivery
+    assert spark.read.parquet(path).count() == n_after_first == b0.count()
+
+    append_ivf_batch(b1, 1, cents, path)  # a new batch still appends
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # replay must not have corrupted search: matches a batch-built index
+    batch_path = str(tmp_path / "ivf_batch_ref")
+    build_ivf_index(emb, cents, batch_path)
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sorted(map(tuple, search_ivf_index(
+        spark, path, queries, cents, k=10, nprobe=4).collect()))
+    want = sorted(map(tuple, search_ivf_index(
+        spark, batch_path, queries, cents, k=10, nprobe=4).collect()))
+    assert got == want
+
+
 def test_quantize_int8_roundtrip_and_zero_vector(spark):
     """Dequantized codes reconstruct components within scale/2 (the
     symmetric-quantization error bound); codes stay in [-127, 127]; a zero
