@@ -11,7 +11,12 @@ warm-up so JVM/codegen startup isn't billed to the first query.
 $SPARK_GRAFT_BENCH_REPS (default 3) repetitions are run and the per-query
 MINIMUM is reported — min-of-N filters sandbox/load variance so
 round-over-round deltas are signal, not noise. A query that raises is
-recorded as -1 rather than aborting the suite.
+recorded as -1 rather than aborting the suite (an earlier successful rep's
+timing is kept).
+
+The first rep also records per-query shuffle/input VOLUME deltas
+(plans.metrics over AppStatusStore) under "shuffle" — the scale regression
+guard: wall-time hides a corpus-sized shuffle at sf0.1, bytes don't.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from prajna_spark.plans.metrics import stage_totals, totals_delta  # noqa: E402
 from prajna_spark.queries import queries  # noqa: E402
 from prajna_spark.session import get_spark  # noqa: E402
 
@@ -94,9 +100,11 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for _ in range(max(1, reps)):
+    shuffle: dict[str, dict] = {}
+    for rep in range(max(1, reps)):
         for name in HEADLINE:
             t0 = time.time()
+            before = stage_totals(spark) if rep == 0 else None
             try:
                 catalog[name](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
@@ -108,6 +116,20 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
                 continue
             dt = round(time.time() - t0, 3)
+            if before is not None:
+                # shuffle/input VOLUME per query (first rep): the scale
+                # regression guard — a query whose plan passes the shape
+                # lints but starts shuffling the corpus shows up here.
+                d = totals_delta(before, stage_totals(spark))
+                shuffle[name] = {
+                    k: d[k]
+                    for k in (
+                        "shuffle_write_bytes",
+                        "shuffle_read_bytes",
+                        "shuffle_write_records",
+                        "input_bytes",
+                    )
+                } if d["available"] else {}
             prev = timings.get(name)
             timings[name] = dt if prev is None or prev < 0 else min(prev, dt)
 
@@ -136,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extended": extended,
+                "shuffle": shuffle,
                 "sf": sf,
             }
         )

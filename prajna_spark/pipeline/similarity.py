@@ -442,9 +442,10 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     n_iter: int = 5,
+    round_decimals: int | None = None,
 ) -> DataFrame:
-    """Lloyd's k-means for IVF centroid refinement — the iterative,
-    genuinely non-SQL-expressible algorithm slot.
+    """Lloyd's k-means for IVF centroid refinement — the iterative
+    algorithm slot.
 
     Deterministic init: the k lowest-id vectors. Each iteration:
     broadcast the k centroids (tiny, k x dim doubles on the driver —
@@ -452,6 +453,15 @@ def kmeans_centroids(
     centroid by squared L2 (map-side, no shuffle), recompute means via
     posexplode -> groupBy (centroid, dim) -> partial-aggregated avg.
     Per-iteration shuffle carries k*dim aggregate rows, never vectors.
+
+    With ``round_decimals`` set, every centroid mean is rounded with the
+    engine-portable ``pround`` after each iteration. That makes the whole
+    run EXACTLY replayable on another engine that applies the same
+    rounding (fp aggregation-order noise ~1e-15 is absorbed at e.g. 6
+    decimals), which is how the catalog's DuckDB oracle verifies this
+    otherwise-iterative algorithm value-for-value. Distances are
+    sequential left-to-right folds, so identical inputs give bit-identical
+    d2 on any engine folding in the same order.
 
     Returns (centroid_id, centroid array<double>, n_assigned).
     """
@@ -494,10 +504,13 @@ def kmeans_centroids(
                 F.col("__a.centroid_id").alias("centroid_id"),
             )
         )
+        mean_expr = F.avg("x")
+        if round_decimals is not None:
+            mean_expr = pround(mean_expr, round_decimals)
         means = (
             assigned.select("centroid_id", F.posexplode("__v").alias("dim", "x"))
             .groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(

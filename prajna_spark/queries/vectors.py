@@ -448,21 +448,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> str:
+    """Full 3-iteration Lloyd replay in DuckDB SQL. Exactness contract
+    (mirrors pipeline.similarity.kmeans_centroids(round_decimals=dec)):
+    identical deterministic init (k lowest-id vectors), identical
+    left-associated squared-L2 term order, identical argmin tie-break
+    (lowest centroid_id), and centroid means rounded with the portable
+    R/pround spelling after every iteration — so fp aggregation-order
+    noise is absorbed and both engines walk the same centroid sequence."""
+
+    def sq(a: str, b: str) -> str:
+        return "(" + " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, d + 1)
+        ) + ")"
+
+    mean_list = "[" + ", ".join(R(f"avg(e[{i}])", dec) for i in range(1, d + 1)) + "]"
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+                 e AS c
+          FROM v ORDER BY vec_id LIMIT {k})""",
+    ]
+    for n in range(1, n_iter + 1):
+        ctes.append(f"""a{n} AS MATERIALIZED (
+          SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, p.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {sq("v.e", "p.c")}, p.centroid_id) AS rk
+            FROM v CROSS JOIN c{n - 1} p
+          ) WHERE rk = 1)""")
+        ctes.append(f"""m{n} AS MATERIALIZED (
+          SELECT centroid_id, {mean_list} AS c FROM a{n} GROUP BY centroid_id)""")
+        ctes.append(f"""c{n} AS MATERIALIZED (
+          SELECT p.centroid_id, coalesce(m.c, p.c) AS c
+          FROM c{n - 1} p LEFT JOIN m{n} m USING (centroid_id))""")
+    ctes.append(f"""af AS MATERIALIZED (
+      SELECT centroid_id FROM (
+        SELECT v.vec_id, p.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {sq("v.e", "p.c")}, p.centroid_id) AS rk
+        FROM v CROSS JOIN c{n_iter} p
+      ) WHERE rk = 1)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p.centroid_id, p.c AS centroid,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_assigned
+    FROM c{n_iter} p
+    LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY centroid_id) cnt
+      USING (centroid_id)
+    """
+
+
 @query(
     "ivf_kmeans_centroids",
-    oracle=None,  # iterative Lloyd's — genuinely non-SQL-expressible
-    tags=("iterative", "kmeans", "ivf", "no-oracle"),
+    oracle=_kmeans_oracle(),
+    tags=("iterative", "kmeans", "ivf"),
 )
 def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations refining 16 seed centroids
     (pipeline.similarity.kmeans_centroids). Driver holds only the k x dim
     centroid state between iterations; per-iteration shuffle carries
-    k*dim aggregate rows. Output: (centroid_id, n_assigned) — the
-    cluster-size histogram (centroid arrays omitted: fp aggregation order
-    makes their low bits run-dependent)."""
+    k*dim aggregate rows. Output: (centroid_id, centroid, n_assigned) —
+    hash-checked value-for-value against a DuckDB replay of the same
+    deterministic Lloyd run: per-iteration portable rounding
+    (round_decimals=6) absorbs fp aggregation-order noise, so even the
+    centroid ARRAYS match exactly (previously a rows-only entry)."""
     emb = _emb(spark, sf_dir)
-    out = similarity.kmeans_centroids(emb, k=16, n_iter=3)
-    return out.select("centroid_id", "n_assigned")
+    out = similarity.kmeans_centroids(emb, k=16, n_iter=3, round_decimals=6)
+    return out.select("centroid_id", "centroid", "n_assigned")
 
 
 @query(

@@ -1,0 +1,83 @@
+"""Shuffle VOLUME regression guards for the dedup tier.
+
+The plan lints (test_plans) catch shape regressions; these tests catch
+volume regressions by measuring actual stage metrics
+(plans.metrics.stage_totals): the dedup operators' shuffles must carry
+narrow keys (ids, digest slices, band buckets) — NEVER document text —
+so shuffle volume must be independent of document LENGTH and linear in
+document COUNT. Those two properties are exactly what keeps the tier
+viable at 100 TB: a corpus 1000x wider in bytes shuffles the same rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prajna_spark.pipeline import dedup
+from prajna_spark.plans.metrics import stage_totals, totals_delta
+
+
+def _measure(spark, df):
+    before = stage_totals(spark)
+    df.write.format("noop").mode("overwrite").save()
+    delta = totals_delta(before, stage_totals(spark))
+    if not delta["available"]:
+        pytest.skip("AppStatusStore metrics unavailable on this Spark build")
+    return delta
+
+
+def _corpus(spark, n_docs: int, repeat: int):
+    """n_docs synthetic docs; ``repeat`` scales LENGTH without changing
+    content entropy per position (distinct shingles still ~length)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog %d "
+        "pack my box with five dozen liquor jugs %d "
+    )
+    rows = [(i, (base % (i, i * 7)) * repeat) for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_shuffle_independent_of_doc_length(spark):
+    short = _corpus(spark, 400, repeat=2)    # ~180 chars/doc
+    long_ = _corpus(spark, 400, repeat=16)   # ~1.5k chars/doc (8x bytes)
+    d_short = _measure(spark, dedup.minhash_signature(short, "doc_id", "text"))
+    d_long = _measure(spark, dedup.minhash_signature(long_, "doc_id", "text"))
+
+    # 8x the text bytes must NOT mean 8x the shuffle: partial aggregation
+    # collapses shingles to one signature row per (doc, partition) before
+    # the exchange. Identical record counts; bytes within noise.
+    assert d_long["shuffle_write_records"] == d_short["shuffle_write_records"]
+    assert d_long["shuffle_write_bytes"] <= 1.5 * d_short["shuffle_write_bytes"]
+
+
+def test_minhash_shuffle_rows_are_narrow_and_linear_in_docs(spark):
+    small = _corpus(spark, 400, repeat=4)
+    big = _corpus(spark, 1600, repeat=4)
+    d_small = _measure(spark, dedup.minhash_signature(small, "doc_id", "text"))
+    d_big = _measure(spark, dedup.minhash_signature(big, "doc_id", "text"))
+
+    # records O(#docs) with a small constant (fan_out + partial-agg rows)
+    assert d_small["shuffle_write_records"] <= 10 * 400
+    assert d_big["shuffle_write_records"] <= 10 * 1600
+    ratio = d_big["shuffle_write_records"] / max(1, d_small["shuffle_write_records"])
+    assert 2.5 <= ratio <= 6.0  # ~4x docs -> ~4x rows
+    # narrow rows: id + 8 digest slices, never the text
+    assert d_big["shuffle_write_bytes"] / d_big["shuffle_write_records"] < 300
+
+
+def test_lsh_band_pairs_shuffle_bounded(spark):
+    docs = _corpus(spark, 400, repeat=4)
+    # inject exact-duplicate groups so candidate pairs exist
+    dupes = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    pairs = dedup.lsh_band_pairs(corpus, "doc_id", "text", max_bucket_size=50)
+    d = _measure(spark, pairs)
+    n_docs = 440
+    # band rows are O(#docs x n_bands) and pair rows are capped per bucket;
+    # the whole stage must stay within a small multiple of the corpus size
+    # and its rows must be key-width, not text-width.
+    assert d["shuffle_write_records"] <= 40 * n_docs
+    assert d["shuffle_write_bytes"] / max(1, d["shuffle_write_records"]) < 300
