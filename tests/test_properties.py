@@ -256,3 +256,219 @@ def test_chunk_documents_matches_local_model(spark, n, chunk, data):
     assert got == expected
     covered = {t for _, text, _ in got for t in text.split(" ") if t}
     assert covered == set(toks)
+
+
+# --- round-5 additions: LSH band math, sessionization, rollup cascade ---
+
+_texts_strategy = st.lists(
+    # tiny alphabet + short texts force shingle overlap, near-dups, and
+    # exact dups; '' and short-of-k texts hit the single-shingle edge
+    st.text(alphabet="ab ", min_size=0, max_size=24),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_texts_strategy, cap=st.sampled_from([None, 2, 5]))
+@settings(**SETTINGS)
+def test_lsh_band_pairs_matches_local_band_model(spark, texts, cap):
+    """lsh_band_pairs == the local banding model applied to the SAME
+    Spark-computed signatures: split into 4 bands of 2 hashes, ids
+    colliding on any band pair up, buckets over the cap drop wholesale.
+    Top of the monotonicity curve pinned exactly: identical texts have
+    identical signatures, so J=1 pairs ALWAYS collide when uncapped."""
+    from prajna_spark.pipeline import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {
+        r.doc_id: [r[f"minhash_{j}"] for j in range(8)]
+        for r in dedup.minhash_signature(corpus, "doc_id", "text").collect()
+    }
+
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, sig[2 * b] + sig[2 * b + 1]), []).append(i)
+    expected = set()
+    for ids in buckets.values():
+        if len(ids) < 2 or (cap is not None and len(ids) > cap):
+            continue
+        ids = sorted(ids)
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_band_pairs(
+            corpus, "doc_id", "text", max_bucket_size=cap
+        ).collect()
+    }
+    assert got == expected
+
+    if cap is None:
+        dup_pairs = {
+            (a, b)
+            for a in range(len(texts))
+            for b in range(a + 1, len(texts))
+            if texts[a] == texts[b]
+        }
+        assert dup_pairs <= got
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState — lets the stateful
+    sessionization fold run as a plain function, batch after batch."""
+
+    def __init__(self):
+        self._v = None
+        self._timed_out = False
+
+    @property
+    def hasTimedOut(self):
+        return self._timed_out
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=80),   # ts (seconds)
+            st.integers(min_value=0, max_value=9),    # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.integers(min_value=1, max_value=10),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_sessionize_fold_matches_local_gap_model(events, gap, data):
+    """The stateful sessionization fold (_sessionize_fn) over ANY split of
+    the event stream into micro-batches (watermark-ordered across batches,
+    arbitrary arrival order within a batch) produces exactly the sessions
+    of the local gap model on the globally sorted events — state carries
+    correctly across batches and the final timeout closes the last
+    session. Runs the real fold function with a fake GroupState, no
+    streaming harness needed."""
+    import numpy as np
+    import pandas as pd
+
+    from prajna_spark.streaming.sessions import _sessionize_fn
+
+    ordered = sorted(events)
+    # local gap model over the sorted stream
+    model = []
+    start = end = None
+    n = 0
+    total = 0.0
+    for t, v in ordered:
+        if start is None:
+            start, end, n, total = t, t, 1, float(v)
+        elif t - end >= gap:
+            model.append((start, end, n, total))
+            start, end, n, total = t, t, 1, float(v)
+        else:
+            end, n, total = t, n + 1, total + v
+    model.append((start, end, n, total))
+
+    # split into consecutive batches; shuffle order within each batch
+    n_cuts = data.draw(st.integers(min_value=0, max_value=min(4, len(ordered) - 1)))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(ordered) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+        if n_cuts
+        else []
+    )
+    batches = [
+        ordered[a:b] for a, b in zip([0] + cuts, cuts + [len(ordered)]) if a < b
+    ]
+
+    fn = _sessionize_fn(gap)
+    state = _FakeGroupState()
+    closed = []
+    for batch in batches:
+        batch = data.draw(st.permutations(batch))
+        pdf = pd.DataFrame(
+            {
+                "ts": np.array([t for t, _ in batch], dtype="datetime64[s]"),
+                "value": [float(v) for _, v in batch],
+            }
+        )
+        for out in fn((7,), iter([pdf]), state):
+            closed.extend(
+                (r.session_start, r.session_end, r.n_events, r.total_value)
+                for r in out.itertuples()
+                if r.status == "closed"
+            )
+    # watermark passes the last session's gap: event-time timeout fires
+    state._timed_out = True
+    for out in fn((7,), iter([]), state):
+        closed.extend(
+            (r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in out.itertuples()
+            if r.status == "closed"
+        )
+    assert not state.exists  # state GC'd after close
+    assert closed == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # ts epoch seconds
+            st.sampled_from(["x", "y"]),              # dim
+            st.integers(min_value=-5, max_value=9),   # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    resolutions=st.sampled_from([[5, 10, 50], [1, 60, 3600], [2, 4], [7, 49]]),
+)
+@settings(**SETTINGS)
+def test_cascade_rollup_matches_direct_aggregation(spark, rows, resolutions):
+    """Every level of cascade_rollup (computed by cascading the NEXT-FINER
+    level's partials) equals aggregating the raw events directly at that
+    level's width — the partials-compose invariant that lets a 100 TB
+    rollup read fine partials instead of rescanning the corpus."""
+    from prajna_spark.operators.rollup_cascade import cascade_rollup
+
+    df = spark.createDataFrame(rows, "ts long, dim string, value long")
+    got = {
+        (r.resolution, r.epoch_start, r.dim): (r.n_events, r.total_value)
+        for r in cascade_rollup(df, "ts", ["dim"], "value", resolutions).collect()
+    }
+
+    expected = {}
+    for width in resolutions:
+        agg: dict[tuple[int, str], list] = {}
+        for t, d, v in rows:
+            key = ((t // width) * width, d)
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += v
+        for (b, d), (n, s) in agg.items():
+            expected[(width, b, d)] = (n, float(s))
+    assert got == expected

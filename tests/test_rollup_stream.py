@@ -99,3 +99,31 @@ def test_compaction_preserves_results_and_shrinks_store(spark, tmp_path):
     assert got != expect
     a_hour0 = [r for r in got if r[0] == RES[0] and r[1] == 0 and r[2] == "a"][0]
     assert a_hour0[3] == 4 and a_hour0[4] == 8.0  # 3 old + 1 new event
+
+
+def test_arbitrarily_late_event_folds_exactly(spark, tmp_path):
+    """The delta-store rollup's late-data contract is FOLD, not drop —
+    there is no watermark because no streaming state exists: a late event
+    just appends another delta for its (old) bucket and the read-side
+    merge makes the bucket exact again. Contrast: the watermarked
+    in-stream rollup (test_streaming.test_late_rows_drop_vs_fold...)
+    DROPS below-watermark rows — the two operators cover the two ends of
+    the latency/completeness trade."""
+    src = str(tmp_path / "events")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(spark, src, [(100, "a", 1.0), (7 * 86400, "a", 2.0)])
+    _run_cycle(spark, src, store, ckpt)
+
+    # a week-late event for the very first bucket
+    _write(spark, src, [(200, "a", 40.0)])
+    _run_cycle(spark, src, store, ckpt)
+
+    got = {
+        (r.resolution, r.epoch_start): (r.n_events, r.total_value)
+        for r in cascade_from_store(spark, store, ["k"], RES).collect()
+    }
+    assert got[(3600, 0)] == (2, 41.0)          # folded, exact
+    assert got[(86400, 0)] == (2, 41.0)         # cascades fold it too
+    assert got[(3600, 7 * 86400)] == (1, 2.0)

@@ -148,3 +148,65 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and want  # non-empty agreement
+
+
+def test_late_rows_drop_vs_fold_across_cycles(spark, tmp_path):
+    """Explicit late-arrival conformance for the watermarked rollup, across
+    TWO AvailableNow cycles sharing a checkpoint (watermark persists):
+
+    cycle 1 sees hours 0 and 10 -> watermark 08:00, emits hour 0.
+    cycle 2 injects three arrivals:
+      - hour 1  (below watermark)  -> DROPPED: its window never appears;
+      - hour 9  (behind max event time but ABOVE watermark) -> FOLDED:
+        late-but-within-tolerance data still lands in its window;
+      - hour 20 -> advances watermark to 18:00, finalizing hours 9 and 10.
+    """
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink (not memory): it supports restart from the checkpoint,
+        # which is the whole point — the watermark must persist between
+        # cycles. Returns the CUMULATIVE finalized windows.
+        raw = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            hourly_rollup_stream(raw, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.epoch_start // 3600: (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    from prajna_spark.session import tune
+
+    tune(spark)
+    hr = 3600 * 10**9  # ns per hour
+    write([(1, 0 * hr + 10**9, 1, "click", 1.0, "{}"),
+           (2, 10 * hr, 1, "click", 2.0, "{}")], "overwrite")
+    assert drain() == {0: (1, 1.0)}
+
+    write([(3, 1 * hr, 1, "click", 100.0, "{}"),   # below watermark: drop
+           (4, 9 * hr, 1, "click", 4.0, "{}"),     # above watermark: fold
+           (5, 20 * hr, 1, "click", 5.0, "{}")], "append")
+    # hour 1 never appears (dropped); hour 9 was folded then finalized
+    assert drain() == {0: (1, 1.0), 9: (1, 4.0), 10: (1, 2.0)}

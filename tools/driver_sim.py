@@ -1,34 +1,37 @@
 """Driver simulation — verify at the __spark_entry__ boundary.
 
-Hostile conditions the real driver may impose:
-- non-UTC host timezone set BEFORE the JVM starts;
-- a plain SparkSession (none of prajna_spark.session's confs);
-- fresh process importing only __spark_entry__.
+Hostile conditions the real driver may impose, each exercised as a
+SCENARIO in its own subprocess (TZ/locale must be set before the JVM
+starts, so scenarios cannot share a process):
 
-Checks:
-1. entry(spark) runs and yields >= 0 rows with a stable schema.
-2. queries()/oracle_sql() load; a TZ/nanos-sensitive sample
-   (window_lag_events, telemetry_hourly_rollup, scalar_date_orders,
-   session_window_users) is hash-compared vs DuckDB at sf0.01 using the
-   same canonicalization as tools/check_parity.py.
+- ``hostile_tz``    non-UTC host timezone, plain SparkSession (none of
+                    prajna_spark.session's confs).
+- ``locale_c``      non-UTF8 POSIX locale on top of the hostile TZ —
+                    catches byte-vs-str and encoding assumptions.
+- ``tz_conf``       the driver's session arrives with its OWN
+                    ``spark.sql.session.timeZone`` (half-hour-offset zone);
+                    our tune() must re-pin UTC or every epoch extraction
+                    shifts.
+- ``int96``         events.parquet rewritten with INT96 timestamps (the
+                    third historical ts physical type after
+                    TIMESTAMP(NANOS)→bigint and plain TIMESTAMP→NTZ);
+                    the scan boundary must normalize all three.
+
+Checks per scenario: entry(spark) runs with a stable schema; a TZ/nanos-
+sensitive sample of queries() is hash-compared vs DuckDB at sf0.01 with
+the same canonicalization as tools/check_parity.py.
+
+Run ``python tools/driver_sim.py`` for all scenarios, or pass scenario
+names (e.g. ``python tools/driver_sim.py int96 locale_c``).
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 
-os.environ["TZ"] = "America/New_York"
-import time
-
-time.tzset()
-
 sys.path.insert(0, "/root/repo")
-
-import duckdb  # noqa: E402
-import numpy as np  # noqa: E402
-import pandas as pd  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 SAMPLE = [
@@ -43,11 +46,28 @@ SAMPLE = [
     "rollup_stream_hourly",
     "dedup_stream_firstseen",
 ]
+# events-reading subset for the INT96 rewrite scenario
+SAMPLE_EVENTS = [
+    "window_lag_events",
+    "telemetry_hourly_rollup",
+    "session_window_users",
+    "rollup_stream_hourly",
+]
+
+SCENARIOS = {
+    "hostile_tz": {"TZ": "America/New_York"},
+    "locale_c": {"TZ": "America/New_York", "LC_ALL": "C", "LANG": "C",
+                 "PYTHONIOENCODING": "ascii:replace"},
+    "tz_conf": {"TZ": "America/New_York"},
+    "int96": {"TZ": "America/New_York"},
+}
 
 FLOAT_DECIMALS = 6
 
 
-def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+def canonicalize(df):
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
@@ -59,48 +79,98 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main() -> None:
-    spark = (
-        SparkSession.builder.appName("driver-sim")
-        .master("local[4]")
-        .getOrCreate()
-    )
+def _build_int96_dir(spark) -> str:
+    """Mirror SF_DIR into a temp dir, rewriting events.parquet with INT96
+    timestamps (spark.sql.parquet.outputTimestampType=INT96). Returns the
+    new sf_dir; events becomes a directory of part files — both engines
+    glob it."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sf_int96_")
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{base}/{t}.parquet")
+    from prajna_spark.sources import load_table
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    ev = load_table(spark, "events", SF_DIR)  # ts normalized to TIMESTAMP
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/events.parquet")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    return base
+
+
+def run_scenario(name: str) -> None:
+    import time
+
+    time.tzset()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName(f"driver-sim-{name}").master("local[4]")
+    if name == "tz_conf":
+        # half-hour offset catches sign AND magnitude errors
+        builder = builder.config("spark.sql.session.timeZone", "Asia/Kolkata")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
 
     out = e.entry(spark)
     n = out.count()
-    print(f"entry(): {n} rows, schema={[f.name for f in out.schema.fields]}")
+    print(f"[{name}] entry(): {n} rows, schema={[f.name for f in out.schema.fields]}")
     assert n >= 0
 
     qs, oracles = e.queries(), e.oracle_sql()
-    print(f"queries: {len(qs)}, oracles: {len(oracles)}")
+    print(f"[{name}] queries: {len(qs)}, oracles: {len(oracles)}")
+
+    sf_dir, sample = SF_DIR, SAMPLE
+    if name == "int96":
+        sf_dir, sample = _build_int96_dir(spark), SAMPLE_EVENTS
 
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
 
     failed = []
-    for name in SAMPLE:
-        spark_pdf = canonicalize(qs[name](spark, SF_DIR).toPandas())
-        oracle_pdf = canonicalize(con.execute(oracles[name]).df())
+    for qname in sample:
+        spark_pdf = canonicalize(qs[qname](spark, sf_dir).toPandas())
+        oracle_pdf = canonicalize(con.execute(oracles[qname]).df())
         ok = (
             list(spark_pdf.columns) == list(oracle_pdf.columns)
             and len(spark_pdf) == len(oracle_pdf)
             and spark_pdf.astype(str).equals(oracle_pdf.astype(str))
         )
-        print(("PASS" if ok else "FAIL"), name, f"rows={len(spark_pdf)}")
+        print(("PASS" if ok else "FAIL"), qname, f"rows={len(spark_pdf)}")
         if not ok:
-            failed.append(name)
+            failed.append(qname)
     if failed:
-        raise SystemExit(f"driver-sim FAILED: {failed}")
-    print("driver-sim: all green under hostile TZ + plain session")
+        raise SystemExit(f"driver-sim[{name}] FAILED: {failed}")
+    print(f"driver-sim[{name}]: all green")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--run":
+        os.environ["TZ"] = os.environ.get("TZ", "America/New_York")
+        run_scenario(args[1])
+        return
+    names = args or list(SCENARIOS)
+    for name in names:
+        env = dict(os.environ)
+        env.update(SCENARIOS[name])
+        print(f"=== scenario: {name} {SCENARIOS[name]} ===", flush=True)
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--run", name], env=env
+        )
+        if rc != 0:
+            raise SystemExit(f"driver-sim scenario {name} failed (rc={rc})")
+    print(f"driver-sim: all scenarios green: {names}")
 
 
 if __name__ == "__main__":
