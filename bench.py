@@ -78,6 +78,10 @@ EXTENDED = [
     "asof_join_bucketed_clicks",
     "sample_topk_per_lang",
     "profile_orders_columns",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_stock",
+    "q21_waiting_suppliers",
     "telemetry_gapfilled_hours",
     "telemetry_distinct_users_hll",
     "q7_volume_shipping",

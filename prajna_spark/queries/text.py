@@ -811,3 +811,72 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
     return dedup.verify_pairs_jaccard(docs, pairs, threshold=0.6)
+
+
+def _pii_planted_spark() -> F.Column:
+    from pyspark.sql.functions import concat, lit, col
+
+    return concat(
+        col("text"),
+        lit(" contact_"),
+        col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".1 call +1 555-"),
+        (F.lit(1000000) + col("doc_id") % 1000000).cast("string"),
+        lit(" card "),
+        (F.lit(4000000000000000) + col("doc_id")).cast("string"),
+    )
+
+
+_PII_PLANTED_SQL = (
+    "text || ' contact_' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.1 call +1 555-' || CAST(1000000 + doc_id % 1000000 AS VARCHAR)"
+    " || ' card ' || CAST(4000000000000000 + doc_id AS VARCHAR)"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from prajna_spark.pipeline.pii import oracle_count_sql, oracle_redact_sql
+
+    counts = ", ".join(oracle_count_sql("planted"))
+    redacted = oracle_redact_sql("planted")
+    return f"""
+    -- PII scrub parity: the SAME pattern strings and replacement order
+    -- as pipeline.pii.PII_PATTERNS, applied by RE2 with 'g' (= Java
+    -- regex replace-all); planted PII is deterministic per doc_id
+    WITH planted_docs AS (
+      SELECT doc_id, {_PII_PLANTED_SQL} AS planted FROM documents
+    )
+    SELECT doc_id, {redacted} AS text, {counts}
+    FROM planted_docs
+    """
+
+
+@query(
+    "redact_pii_documents",
+    oracle=_pii_oracle_sql(),
+    tags=("pii", "redaction", "text", "pipeline"),
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pipeline.pii.redact_documents): emails / IPv4 / card
+    numbers / phone numbers replaced by placeholders, with per-category
+    match counts — the first gate of a 100 TB ingest. The corpus text has
+    no PII, so a deterministic per-doc_id PII suffix is planted first and
+    the oracle plants the identical suffix; the redaction itself is four
+    chained regexp_replace column expressions fused into one codegen
+    stage over the scan (no Python, no shuffle — embarrassingly parallel
+    at any scale). Pattern strings are shared verbatim with the DuckDB
+    oracle (dialect-intersection regexes; RE2 'g' == Java replace-all),
+    and counts are progressive (each category counted after earlier
+    categories were replaced) so their sum equals the number of
+    placeholder insertions."""
+    from prajna_spark.pipeline.pii import redact_documents
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select("doc_id", _pii_planted_spark().alias("text"))
+    out = redact_documents(planted, "text")
+    return out.select(
+        "doc_id", "text", "n_email", "n_ipv4", "n_card", "n_phone"
+    )

@@ -613,3 +613,278 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    -- minimum-cost supplier per part (Q2): the synthetic schema has no
+    -- partsupp, so the observed unit cost min(extendedprice/quantity)
+    -- per (part, supplier) from lineitem stands in for ps_supplycost
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l GROUP BY 1, 2
+    ), eligible AS (
+      SELECT c.l_partkey AS p_partkey, c.unit_cost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM costs c
+      JOIN part p ON p.p_partkey = c.l_partkey
+        AND p.p_type = 'SMALL' AND p.p_size IN (5, 10, 15, 20)
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.unit_cost
+    FROM eligible e
+    JOIN (SELECT p_partkey, min(unit_cost) AS min_cost
+          FROM eligible GROUP BY 1) m
+      ON m.p_partkey = e.p_partkey AND e.unit_cost = m.min_cost
+    """,
+    tags=("correlated-min", "decorrelated-join", "tpch-q2-shape"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part MIN-cost supplier within a region
+    (ref merge-join tier `src/CoreLib/DKV.fs:170-230` has no correlated
+    form at all — this is the decorrelated upgrade). No partsupp table in
+    the synthetic schema, so unit cost is derived from lineitem:
+    min(l_extendedprice / l_quantity) per (partkey, suppkey) — ONE
+    narrow-key shuffle over the fact table. Everything after that
+    aggregate is dimension-sized: part/supplier/nation/region are
+    broadcast, and the correlated `cost = (SELECT min ...)` decorrelates
+    to a per-part min aggregate joined back (broadcast — eligible is
+    bounded by |part|x|suppliers-per-part|). Division and min are exact
+    IEEE ops, so the equality join on unit_cost is engine-portable with
+    no rounding."""
+    li, pa, su, na, rg = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = pa.where(
+        (F.col("p_type") == "SMALL") & F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey")
+    sdim = (
+        su.join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            rg.where(F.col("r_name") == "ASIA"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = scoped_persist(
+        costs.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    mins = eligible.groupBy("p_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            F.broadcast(mins).withColumnRenamed("p_partkey", "m_partkey"),
+            (F.col("m_partkey") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    -- product-type profit measure (Q9): supply cost proxied as 60% of
+    -- p_retailprice (no partsupp in the synthetic schema); 'red' parts
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           {R("sum(l.l_extendedprice * (1 - l.l_discount)"
+              " - 6e-1 * p.p_retailprice * l.l_quantity)", 2)} AS profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    tags=("star-join", "broadcast", "tpch-q9-shape"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order-year over a
+    5-table join. part (LIKE-filtered, broadcast) prunes lineitem FIRST —
+    ~13% selectivity before the only fact⋈fact shuffle (lineitem⋈orders
+    on orderkey); supplier⋈nation is a broadcast dim. At 100x scale the
+    plan's single data-sized shuffle is the orderkey join, AQE-managed;
+    the rollup output is |nations|x|years| rows."""
+    li, pa, su, na, od = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    p = pa.where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sdim = su.join(na, F.col("n_nationkey") == F.col("s_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    facts = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_orderkey",
+            "nation",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        facts.join(
+            od.select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            pround(F.sum("amount"), 2).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    -- important stock identification (Q11): parts whose traded value
+    -- through NATION_3 suppliers exceeds 0.2% of that nation's total
+    WITH val AS (
+      SELECT l.l_partkey AS p_partkey,
+             sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        AND n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT p_partkey, {R('value', 2)} AS part_value
+    FROM val WHERE value > (SELECT sum(value) * 2e-3 FROM val)
+    """,
+    tags=("global-scalar", "broadcast", "tpch-q11-shape"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered against a GLOBAL
+    fraction-of-total threshold. The scalar subquery is a one-row
+    aggregate cross-joined back as a broadcast — never a collect()
+    (same spelling as q15's max-revenue scalar). One narrow shuffle
+    (partkey rollup of the nation-filtered fact slice); the threshold
+    re-aggregation runs over the per-part frame (|parts| rows), not the
+    fact table."""
+    li, su, na = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    sdim = su.join(
+        na.where(F.col("n_name") == "NATION_3"),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey")
+    val = scoped_persist(
+        li.join(F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = val.agg((F.sum("value") * F.lit(2e-3)).alias("threshold"))
+    return (
+        val.join(F.broadcast(threshold))
+        .where(F.col("value") > F.col("threshold"))
+        .select("p_partkey", pround(F.col("value"), 2).alias("part_value"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    -- suppliers who kept orders waiting (Q21): 'late' adapted to
+    -- shipped >60 days after ordering (no commit/receipt dates in the
+    -- synthetic lineitem); EXISTS/NOT EXISTS pair rewritten to exact
+    -- per-order distinct-supplier aggregates
+    WITH fl AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        AND o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM fl GROUP BY 1
+    ), culprit AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey FROM fl f WHERE f.late = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM culprit c
+    JOIN per_order po ON po.l_orderkey = c.l_orderkey
+      AND po.n_supp > 1 AND po.n_late = 1
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+    tags=("exists", "not-exists", "decorrelated-agg", "tpch-q21-shape"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS (another supplier on the order) +
+    NOT EXISTS (another LATE supplier) pair — the hardest correlated
+    shape in the suite — decorrelated to ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) instead of two extra
+    passes over lineitem. The fact⋈fact orderkey join happens once into
+    a scope-persisted slim frame feeding both the aggregate and the
+    culprit side; supplier/nation/region are broadcast. 'Late' is
+    shipdate > orderdate + 60 days (the synthetic schema has no
+    commit/receipt dates)."""
+    li, od, su, na, rg = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region"
+    )
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    fo = od.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    fl = scoped_persist(
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fo, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = fl.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    culprit = fl.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    sdim = (
+        su.join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            rg.where(F.col("r_name") == "EUROPE"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        culprit.withColumnRenamed("l_orderkey", "c_orderkey")
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("c_orderkey"),
+        )
+        .join(F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
