@@ -140,3 +140,50 @@ def topk_per_stratum(df, stratum_col: str, key_col: str, k: int, seed: str = "s0
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+_ES_SPACE = float(16**12)  # 12 hex digits = 48-bit uniform draw
+
+
+def es_key(key: Column, weight: Column, seed: str = "s0") -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: ``-ln(u) / w`` with
+    ``u`` a deterministic md5-derived uniform in (0, 1]. The k SMALLEST
+    keys are a weighted-without-replacement sample of size k
+    (inclusion probability increases with ``w``; u=md5 makes the draw
+    reproducible and partition-independent, same as :func:`hash_gate`).
+
+    Engine-portable: the 48-bit hex slice parses identically
+    (Spark ``conv(h,16,10)`` == DuckDB ``CAST('0x'||h AS BIGINT)``) and
+    ``ln`` is bit-identical libm on both engines (verified in
+    tests/test_sampling.py against the DuckDB oracle)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    draw = F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+    u = (draw + 1.0) / (_ES_SPACE + 1.0)
+    return -F.log(u) / weight
+
+
+def es_key_sql(key_sql: str, weight_sql: str, seed: str = "s0") -> str:
+    """The identical E-S key as DuckDB SQL (oracle twin)."""
+    h = f"md5('{seed}|' || CAST({key_sql} AS VARCHAR))"
+    draw = f"CAST('0x' || substring({h}, 1, 12) AS BIGINT)"
+    return f"(-ln(({draw} + 1e0) / (power(16, 12) + 1e0)) / ({weight_sql}))"
+
+
+def weighted_topk(df, key_col: str, weight_col: str, k: int, seed: str = "s0"):
+    """Fixed-size weighted-without-replacement sample: keep the k rows
+    with the smallest E-S keys. Heavier rows (bigger ``weight_col``) are
+    proportionally more likely to be kept — the corpus-mixing primitive
+    for 'sample documents proportionally to token count'.
+
+    Scale shape: orderBy(key).limit(k) plans as TakeOrderedAndProject —
+    every partition forwards only its local top-k, the driver merges
+    O(k x #partitions) — no global sort, no stratum funnel. Weights must
+    be > 0 (rows with NULL/non-positive weight produce NULL/negative
+    keys; filter first)."""
+    key = es_key(F.col(key_col), F.col(weight_col), seed)
+    return (
+        df.withColumn("__es", key)
+        .orderBy(F.col("__es").asc(), F.col(key_col))
+        .limit(k)
+        .drop("__es")
+    )

@@ -90,3 +90,33 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def profile_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation) — the distribution
+    companion to :func:`profile`'s min/max. One aggregation job: Spark's
+    ``percentile`` computes every requested quantile of a group in a
+    single sort-based aggregate (partial collections merge map-side), so
+    adding quantiles costs one shuffle of (group, value-sketch) rows —
+    never a per-quantile pass and never a window sort of the full table.
+
+    Exactness matters for the oracle gate: ``percentile`` (Spark) and
+    ``quantile_cont`` (DuckDB) both take the linearly-interpolated
+    order statistic, and sorting + interpolation is deterministic IEEE
+    arithmetic — results are bit-identical across engines, unlike any
+    approx_percentile sketch. At truly unbounded group sizes switch to
+    approx_percentile and drop the oracle; the exact form is right up to
+    groups of ~10^8 rows (the sort is per-group, distributed across the
+    shuffle).
+
+    Output: group_cols + ``p<q>`` columns (q as percent, e.g. p50, p95).
+    """
+    aggs = [
+        F.percentile(value_col, q).alias(f"p{int(round(q * 100))}") for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

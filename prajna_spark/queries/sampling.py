@@ -164,3 +164,68 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.col("cum_before").cast("long").alias("cum_before"),
         "pack_id", "pack_offset",
     )
+
+
+def _weighted_oracle() -> str:
+    key = sampling.es_key_sql("doc_id", "n_chars", seed="wsample1")
+    return f"""
+    -- Efraimidis-Spirakis weighted sample: k smallest -ln(u)/w keys,
+    -- u = 48-bit md5 slice (identical hex parse + bit-identical libm ln
+    -- on both engines, so the selected SET matches exactly)
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars, {key} AS es
+      FROM documents
+      ORDER BY es, doc_id LIMIT 300
+    )
+    """
+
+
+@query(
+    "sample_weighted_docs",
+    oracle=_weighted_oracle(),
+    tags=("sampling", "weighted", "exact-k", "pipeline"),
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-without-replacement sampling
+    (pipeline.sampling.weighted_topk): keep 300 documents with
+    inclusion probability scaling with n_chars — 'sample proportionally
+    to token count', the corpus-mixing primitive the Bernoulli gates
+    (uniform) and topk_per_stratum (per-group uniform) cannot express.
+    The Efraimidis-Spirakis key -ln(u)/w with a deterministic md5
+    uniform makes the draw reproducible, partition-independent, and
+    engine-portable (bit-identical libm ln, verified by this oracle).
+    Plans as TakeOrderedAndProject: each task forwards its local top-k
+    only — no global sort at any scale."""
+    docs = _docs(spark, sf_dir)
+    return sampling.weighted_topk(
+        docs, "doc_id", "n_chars", k=300, seed="wsample1"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "profile_events_quantiles",
+    oracle="""
+    -- exact grouped quantiles: Spark percentile == DuckDB quantile_cont
+    -- (both linearly-interpolated order statistics, bit-identical)
+    SELECT event_type,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY 1
+    """,
+    tags=("profiling", "quantiles", "validation", "pipeline"),
+)
+def profile_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (pipeline.validate.
+    profile_quantiles): p50/p95/p99 in ONE sort-based aggregation job —
+    the distribution profile an ingest gate reads before accepting a
+    delivery (latency percentiles, payload-size tails). Exact, not
+    sketched: Spark `percentile` and DuckDB `quantile_cont` compute the
+    same interpolated order statistic bit-identically, so this is
+    hash-checked like any relational query; swap to approx_percentile
+    only when a single group exceeds ~10^8 rows."""
+    from prajna_spark.pipeline.validate import profile_quantiles
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return profile_quantiles(ev, ["event_type"], "value", [0.50, 0.95, 0.99])

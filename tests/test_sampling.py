@@ -162,3 +162,45 @@ def test_stratified_gate_join_at_thousand_strata(spark):
     assert "BroadcastHashJoin" in plan
     n = out.count()
     assert 0 < n < 5000  # gates actually applied, strata with rate 0 drop
+
+
+def test_weighted_topk_favors_heavy_rows_and_is_deterministic(spark):
+    """E-S sampling: inclusion probability scales with weight — on a
+    two-class weight population (1 vs 100) the sample must be dominated
+    by heavy rows; the draw is a pure function of (seed, key), so
+    repartitioning cannot change the selected set."""
+    from prajna_spark.pipeline.sampling import weighted_topk
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_topk(df, "id", "w", k=200, seed="es-test")
+    ids = sorted(r["id"] for r in picked.collect())
+    assert len(ids) == 200
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # E[heavy] ~= 198 of 200 at a 100:1 weight ratio; 170 is ~6 sigma off
+    assert heavy > 170, heavy
+    ids_repart = sorted(
+        r["id"]
+        for r in weighted_topk(
+            df.repartition(17, "w"), "id", "w", k=200, seed="es-test"
+        ).collect()
+    )
+    assert ids == ids_repart
+
+
+def test_weighted_topk_plans_take_ordered(spark):
+    """orderBy(key).limit(k) must plan as TakeOrderedAndProject — each
+    task forwards its local top-k, no global sort exchange."""
+    from prajna_spark.pipeline.sampling import weighted_topk
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = (
+        weighted_topk(df, "id", "w", k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -63,3 +63,26 @@ def test_profile_single_job_and_counts(spark):
     assert got["s"] == (3, 1, 2, "a", "b")
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0 and plan.count("Scan ExistingRDD") <= 1
+
+
+def test_profile_quantiles_exact_interpolation(spark):
+    """percentile == the linearly-interpolated order statistic (numpy
+    'linear' method), exactly, per group, all quantiles in one job."""
+    import numpy as np
+    from prajna_spark.pipeline.validate import profile_quantiles
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 10]] + [
+        ("b", float(v)) for v in [5, 7, 11, 13, 17, 19, 23]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in profile_quantiles(df, ["g"], "v", [0.5, 0.95]).collect()
+    }
+    for g in ("a", "b"):
+        vals = np.array([v for gg, v in rows if gg == g])
+        want = (
+            float(np.quantile(vals, 0.5, method="linear")),
+            float(np.quantile(vals, 0.95, method="linear")),
+        )
+        assert got[g] == want, (g, got[g], want)
