@@ -82,6 +82,11 @@ EXTENDED = [
     "q9_profit_by_nation_year",
     "q11_important_stock",
     "q21_waiting_suppliers",
+    "redact_pii_documents",
+    "sample_weighted_docs",
+    "profile_events_quantiles",
+    "split_train_val_test",
+    "upsert_orders_snapshot",
     "telemetry_gapfilled_hours",
     "telemetry_distinct_users_hll",
     "q7_volume_shipping",

@@ -1,0 +1,105 @@
+"""Keyed snapshot upsert (CDC merge) — maintain a mutable logical table
+on immutable storage.
+
+The reference's datasets are immutable once stored (DSet save paths,
+`/root/reference/src/CoreLib/DSet.fs` store/saveToHDD tier; re-storing
+means rewriting the whole DSet). A 100 TB corpus cannot rewrite itself
+to apply a day of updates, so this module provides the merge primitive
+Spark-first:
+
+- :func:`upsert` — pure-DataFrame merge: rows in ``updates`` replace
+  same-key rows in ``base``; unseen keys insert. The base side is only
+  ANTI-JOINED against the update keyset — when updates are small
+  (the overwhelmingly common CDC case) the keyset broadcasts and the
+  base table is never shuffled at all.
+- :func:`upsert_partitioned` — the bounded-write-amplification form:
+  only partitions that actually contain updated keys are read, merged,
+  and dynamically overwritten; untouched partitions are not rewritten
+  (asserted in tests/test_upsert.py by file identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    updates: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Collapse an update stream to one row per key — the LAST write
+    wins by ``order_col``. row_number window on the key: narrow shuffle
+    of the updates only (WindowGroupLimit bounds it pre-shuffle)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    broadcast_keys: bool | None = None,
+) -> DataFrame:
+    """Merge ``updates`` into ``base`` by ``keys``: replace matches,
+    insert the rest. With ``order_col``, multi-row-per-key update
+    batches collapse to the latest first.
+
+    Scale shape: base is LEFT ANTI joined against the distinct update
+    keyset — never a full-outer join (which would shuffle BOTH sides on
+    the key). ``broadcast_keys=True`` forces the keyset broadcast (the
+    common small-CDC-batch case: the snapshot is then never shuffled at
+    all); the default ``None`` lets Catalyst/AQE pick, which broadcasts
+    automatically under the threshold and falls back to a shuffled anti
+    join for genuinely huge update batches."""
+    if order_col is not None:
+        updates = latest_per_key(updates, keys, order_col)
+    updates = updates.select(*base.columns)
+    keyset = updates.select(*keys).distinct()
+    if broadcast_keys:
+        keyset = F.broadcast(keyset)
+    survivors = base.join(keyset, keys, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """Apply ``updates`` to a ``partition_col``-partitioned parquet
+    snapshot in place, rewriting ONLY the partitions that contain
+    updated keys (plus any partitions new keys land in).
+
+    Mechanics: the distinct update partition values prune the snapshot
+    scan (partition filter — untouched partitions are never read), the
+    pruned slice merges via :func:`upsert`, and
+    ``partitionOverwriteMode=dynamic`` overwrites exactly the written
+    partition directories. Write amplification is O(touched partitions),
+    not O(table) — the property that makes daily CDC viable at 100 TB.
+
+    The update batch must carry ``partition_col`` (it is part of the
+    row). Updates that MOVE a key between partitions are out of scope
+    (delete-from-old-partition requires a tombstone feed; documented
+    limitation, same as Hive dynamic-partition merges).
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(base_path).where(
+        F.col(partition_col).isin(parts)
+    )
+    merged = upsert(base, updates, keys, order_col=order_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            base_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -187,3 +187,53 @@ def weighted_topk(df, key_col: str, weight_col: str, k: int, seed: str = "s0"):
         .limit(k)
         .drop("__es")
     )
+
+
+def split_assign(
+    key: Column, fractions: dict[str, float], seed: str = "s0"
+) -> Column:
+    """Deterministic dataset splitting: map each row to exactly one named
+    split (train/val/test, ...) by its md5 draw against cumulative
+    thresholds. Total coverage and disjointness hold by construction —
+    every 8-hex draw falls in exactly one half-open range, and the final
+    split's upper bound is the whole space, so fraction rounding can
+    never orphan a row. Same determinism contract as :func:`hash_gate`:
+    a pure function of (seed, key), immune to partitioning and retries.
+
+    ``fractions`` must sum to 1 (±1e-9); insertion order fixes the
+    ranges, so the same dict always yields the same assignment."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 8
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h <= F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    ).alias("split")
+
+
+def split_assign_sql(
+    key_sql: str, fractions: dict[str, float], seed: str = "s0"
+) -> str:
+    """The identical assignment as engine-portable SQL (oracle twin)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = f"substring(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+    names = list(fractions)
+    parts = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        parts.append(f"WHEN {h} <= '{_threshold_hex(cum)}' THEN '{name}'")
+    if not parts:
+        return f"'{names[0]}'"
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

@@ -1139,3 +1139,63 @@ def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_notnull": F.col("o_custkey").isNotNull(),
         },
     )
+
+
+@query(
+    "upsert_orders_snapshot",
+    oracle=f"""
+    -- CDC merge certificate: status update for 2001+ orders, 25 new
+    -- synthetic orders keyed from nation; rollup of the merged snapshot
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderdate >= '2001-01-01'
+      UNION ALL
+      SELECT 9000000000 + n_nationkey, CAST(n_nationkey AS BIGINT), 'N',
+             1e3 + n_nationkey, TIMESTAMP '2001-09-01', 'NEW'
+      FROM nation
+    ), merged AS (
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           {R('sum(o_totalprice)', 2)} AS total_price
+    FROM merged GROUP BY 1
+    """,
+    tags=("upsert", "cdc", "anti-join", "upgrade"),
+)
+def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot merge (operators.upsert.upsert): an update batch
+    (status flip for every 2001+ order) plus an insert batch (25 new
+    orders) applied to the orders snapshot — replace-matches /
+    insert-rest semantics the reference's immutable stored DSets cannot
+    express without a full rewrite (SURVEY §2.2). The snapshot is never
+    shuffled: the update keyset broadcasts into a LEFT ANTI join
+    (plan-asserted in tests/test_upsert.py) and the union is
+    partition-local; the rollup gives the oracle a compact certificate
+    of the merged state."""
+    od, na = _t(spark, sf_dir, "orders", "nation")
+    from prajna_spark.operators.upsert import upsert
+
+    upd_status = od.where(F.col("o_orderdate") >= "2001-01-01").withColumn(
+        "o_orderstatus", F.lit("A")
+    )
+    upd_insert = na.select(
+        (F.lit(9000000000) + F.col("n_nationkey")).cast("long").alias("o_orderkey"),
+        F.col("n_nationkey").cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.lit(1e3) + F.col("n_nationkey")).alias("o_totalprice"),
+        F.lit("2001-09-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    updates = upd_status.select(*od.columns).unionByName(upd_insert)
+    merged = upsert(od, updates, ["o_orderkey"], broadcast_keys=True)
+    return merged.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -229,3 +229,41 @@ def profile_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = load_table(spark, "events", sf_dir)
     return profile_quantiles(ev, ["event_type"], "value", [0.50, 0.95, 0.99])
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    -- deterministic 3-way split: cumulative md5-hex ranges, identical
+    -- CASE on both engines; per-split counts prove coverage+disjointness
+    SELECT {sampling.split_assign_sql('doc_id', _SPLITS, seed='split1')} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    tags=("sampling", "split", "pipeline"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (pipeline.sampling.split_assign): one md5 draw per document against
+    cumulative thresholds — every doc lands in EXACTLY one split (total
+    coverage and disjointness by construction), re-running on a grown
+    corpus keeps every previously-assigned document in its split (the
+    draw depends only on doc_id), and no shuffle happens at all: the
+    assignment is a row-local expression; the rollup here exists only to
+    give the oracle a compact certificate."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            sampling.split_assign(F.col("doc_id"), _SPLITS, seed="split1"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

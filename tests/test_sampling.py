@@ -204,3 +204,31 @@ def test_weighted_topk_plans_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_split_assign_covers_and_is_stable_under_growth(spark):
+    """Every row lands in exactly one split; fractions are honored; and
+    growing the corpus never reassigns an existing row (the incremental
+    rebuild property the seed-keyed draw exists for)."""
+    from prajna_spark.pipeline.sampling import split_assign
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(2000).select(F.col("id"))
+    big = spark.range(6000).select(F.col("id"))
+    s_small = {r["id"]: r["split"]
+               for r in small.select("id", split_assign(F.col("id"), fr)).collect()}
+    s_big = {r["id"]: r["split"]
+             for r in big.select("id", split_assign(F.col("id"), fr)).collect()}
+    assert set(s_small.values()) == {"train", "val", "test"}
+    assert all(s_big[i] == s for i, s in s_small.items())
+    n = len(s_big)
+    train_frac = sum(1 for s in s_big.values() if s == "train") / n
+    assert abs(train_frac - 0.8) < 0.03
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    import pytest
+    from prajna_spark.pipeline.sampling import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(F.col("id"), {"a": 0.5, "b": 0.4})

@@ -1,0 +1,78 @@
+"""operators.upsert — CDC snapshot merge semantics + write-amplification
+bounds."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.upsert import upsert, upsert_partitioned
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+
+
+def test_upsert_replaces_and_inserts(spark):
+    ups = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, s string, v long"
+    )
+    got = {r["id"]: (r["s"], r["v"]) for r in upsert(_base(spark), ups, ["id"]).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_upsert_last_write_wins(spark):
+    ups = spark.createDataFrame(
+        [(2, "old", 1, 1), (2, "new", 2, 5), (2, "mid", 3, 3)],
+        "id long, s string, v long, ts long",
+    )
+    base = _base(spark).withColumn("ts", F.lit(0))
+    got = {r["id"]: r["s"] for r in upsert(base, ups, ["id"], order_col="ts").collect()}
+    assert got[2] == "new" and got[1] == "a"
+
+
+def test_upsert_broadcasts_keyset_no_base_shuffle(spark):
+    """With broadcast_keys=True the snapshot side must not shuffle: the
+    anti join is a BroadcastHashJoin and no Exchange hashpartitioning
+    appears above the base scan."""
+    ups = spark.createDataFrame([(2, "B", 200)], "id long, s string, v long")
+    plan = (
+        upsert(_base(spark), ups, ["id"], broadcast_keys=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only exchange is the keyset distinct (narrow: key column only);
+    # the base/snapshot side reaches the anti join unshuffled
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"s{i}", i % 3) for i in range(30)], "id long, s string, p int"
+    )
+    base.write.partitionBy("p").parquet(path)
+
+    def files(p):
+        d = os.path.join(path, f"p={p}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {p: files(p) for p in range(3)}
+    # touch partition 1 only: one replace, one insert
+    ups = spark.createDataFrame(
+        [(1, "UPDATED", 1), (100, "NEW", 1)], "id long, s string, p int"
+    )
+    upsert_partitioned(spark, path, ups, ["id"], "p")
+
+    got = {r["id"]: r["s"] for r in spark.read.parquet(path).collect()}
+    assert got[1] == "UPDATED" and got[100] == "NEW" and got[0] == "s0"
+    assert len(got) == 31
+    # untouched partitions keep their exact original files
+    assert files(0) == before[0] and files(2) == before[2]
+    # touched partition was rewritten
+    assert files(1) != before[1]
