@@ -66,6 +66,35 @@ def upsert(
     return survivors.unionByName(updates)
 
 
+def upsert_versioned(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Newest-wins merge: for each key keep the single highest-``version_col``
+    row WHETHER IT COMES FROM BASE OR UPDATES (base wins version ties —
+    re-applying an already-applied batch must be a no-op). Unlike
+    :func:`upsert`, a stale update can never clobber a newer snapshot
+    row, which makes the merge idempotent under ARBITRARY redelivery —
+    the property the streaming CDC sink relies on.
+
+    Cost: the union shuffles on the key (row_number window) — apply it
+    to the TOUCHED slice of the snapshot (see :func:`upsert_partitioned`),
+    never the whole table."""
+    tagged = base.select(*base.columns).withColumn(
+        "__src", F.lit(0)
+    ).unionByName(updates.select(*base.columns).withColumn("__src", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").asc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     base_path: str,
@@ -73,6 +102,7 @@ def upsert_partitioned(
     keys: list[str],
     partition_col: str,
     order_col: str | None = None,
+    version_col: str | None = None,
 ) -> None:
     """Apply ``updates`` to a ``partition_col``-partitioned parquet
     snapshot in place, rewriting ONLY the partitions that contain
@@ -85,16 +115,25 @@ def upsert_partitioned(
     partition directories. Write amplification is O(touched partitions),
     not O(table) — the property that makes daily CDC viable at 100 TB.
 
+    With ``version_col`` the merge is :func:`upsert_versioned`
+    (newest-wins against the snapshot itself — idempotent under any
+    redelivery); otherwise :func:`upsert` (updates always win — the
+    cheaper plan, correct for exactly-once feeds).
+
     The update batch must carry ``partition_col`` (it is part of the
     row). Updates that MOVE a key between partitions are out of scope
     (delete-from-old-partition requires a tombstone feed; documented
-    limitation, same as Hive dynamic-partition merges).
+    limitation, same as Hive dynamic-partition merges). The driver-side
+    partition list is bounded by #touched partitions.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path).where(
         F.col(partition_col).isin(parts)
     )
-    merged = upsert(base, updates, keys, order_col=order_col)
+    if version_col is not None:
+        merged = upsert_versioned(base, updates, keys, version_col)
+    else:
+        merged = upsert(base, updates, keys, order_col=order_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -64,6 +64,7 @@ def _load_all() -> None:
         multimodal,
         scalars,
         relational,
+        funnels,
     )
 
 

@@ -76,3 +76,78 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert files(0) == before[0] and files(2) == before[2]
     # touched partition was rewritten
     assert files(1) != before[1]
+
+
+def test_upsert_versioned_replay_and_stale_safety(spark):
+    """Newest-wins: a stale update cannot clobber a newer snapshot row;
+    re-applying an identical batch is a no-op (base wins ties)."""
+    from prajna_spark.operators.upsert import upsert_versioned
+
+    base = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "id long, s string, ver long"
+    )
+    ups = spark.createDataFrame(
+        [(1, "stale", 3), (2, "newer", 7), (3, "insert", 1)],
+        "id long, s string, ver long",
+    )
+    once = upsert_versioned(base, ups, ["id"], "ver")
+    got = {r["id"]: (r["s"], r["ver"]) for r in once.collect()}
+    assert got == {1: ("a", 5), 2: ("newer", 7), 3: ("insert", 1)}
+    twice = upsert_versioned(once, ups, ["id"], "ver")
+    assert {r["id"]: (r["s"], r["ver"]) for r in twice.collect()} == got
+
+
+def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
+    """Draining an update stream through start_cdc_apply yields the same
+    snapshot as one batch versioned merge of all updates — and replaying
+    the drain (fresh checkpoint, same files) changes nothing."""
+    from prajna_spark.operators.upsert import upsert_versioned
+    from prajna_spark.streaming.upsert_stream import start_cdc_apply
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"s{i}", i % 4, 0) for i in range(40)],
+        "id long, s string, p int, ver long",
+    )
+    base.write.partitionBy("p").parquet(snap)
+
+    src = str(tmp_path / "updates")
+    u1 = spark.createDataFrame(
+        [(3, "u1", 3, 1), (100, "new1", 0, 1)], "id long, s string, p int, ver long"
+    )
+    u2 = spark.createDataFrame(
+        [(3, "u2", 3, 2), (101, "new2", 1, 1)], "id long, s string, p int, ver long"
+    )
+    u1.write.parquet(src, mode="overwrite")
+    u2.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, s string, p int, ver long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_cdc_apply(
+        stream, snap, str(tmp_path / "ck1"), ["id"], "p", "ver"
+    )
+    q.awaitTermination()
+
+    want_df = upsert_versioned(
+        base, u1.unionByName(u2), ["id"], "ver"
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    got = sorted(
+        map(tuple, spark.read.parquet(snap).select("id", "s", "p", "ver").collect())
+    )
+    assert got == want
+    assert dict((r[0], r[1]) for r in got)[3] == "u2"
+
+    # full redelivery: fresh checkpoint, same update files — no change
+    stream2 = spark.readStream.schema(
+        "id long, s string, p int, ver long"
+    ).parquet(src)
+    q2 = start_cdc_apply(
+        stream2, snap, str(tmp_path / "ck2"), ["id"], "p", "ver"
+    )
+    q2.awaitTermination()
+    again = sorted(
+        map(tuple, spark.read.parquet(snap).select("id", "s", "p", "ver").collect())
+    )
+    assert again == want
