@@ -273,3 +273,40 @@ def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vals_sum"
         ),
     )
+
+
+@query(
+    "stats_corr_lineitem",
+    oracle=f"""
+    -- statistical aggregate surface: correlation / sample covariance /
+    -- sample stddev per return flag, one aggregation pass; both engines
+    -- use the textbook two-pass-free formulas so values agree to ~1e-11
+    -- and round identically at 6/3 decimals
+    SELECT l_returnflag,
+           {R('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {R('covar_samp(l_quantity, l_extendedprice)', 3)} AS qty_price_covar,
+           {R('stddev_samp(l_extendedprice)', 3)} AS price_stddev,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("scalar", "statistics", "corr"),
+)
+def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SURVEY §2.10 scalar surface: the
+    moment-based tier beyond sum/avg): Pearson correlation, sample
+    covariance and sample stddev per group in ONE hash-aggregation pass
+    — Spark's corr/covar/stddev are single-pass co-moment partials that
+    merge map-side like any algebraic aggregate (no per-group sort, no
+    second scan). The profiling step that catches a broken feature
+    column (constant => NULL corr, scale drift => stddev jump) before a
+    100 TB training run."""
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        pround(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias(
+            "qty_price_covar"
+        ),
+        pround(F.stddev_samp("l_extendedprice"), 3).alias("price_stddev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

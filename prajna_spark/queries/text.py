@@ -880,3 +880,79 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "text", "n_email", "n_ipv4", "n_card", "n_phone"
     )
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=f"""
+    -- the dedup DECISION: per multi-doc near-dup cluster, keep the
+    -- longest member (doc_id tiebreak); same CC ladder as
+    -- dedup_connected_components
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    ), pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    {_cc_levels(_CC_LEVELS)}
+    , comp AS (
+      SELECT c.label AS component_id, c.id AS doc_id, d.n_chars
+      FROM l{_CC_LEVELS} c JOIN documents d ON d.doc_id = c.id
+    ), ranked AS (
+      SELECT component_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component_id) AS n_members
+      FROM comp
+    )
+    SELECT component_id, doc_id AS kept_doc_id, n_chars AS kept_chars,
+           n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+    tags=("dedup", "canonical-selection", "graph", "pipeline"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step — what actually ships to training: for
+    every multi-document near-dup cluster (LSH pairs -> connected
+    components), keep the longest member (doc_id tiebreak) and record
+    the cluster size. Composition of verified operators: lsh_band_pairs
+    (capped buckets) -> connected_components (O(log d) min-label +
+    pointer jump) -> a per-component row_number window that Spark
+    bounds pre-shuffle via WindowGroupLimit. Everything shuffled is
+    (id, label, n_chars) rows — never text."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_band_pairs(docs, "doc_id", "text", n_hashes=4, band_size=2)
+    comp = dedup.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+    from pyspark.sql import Window
+
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where((F.col("__rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "component_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+    )
