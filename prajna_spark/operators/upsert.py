@@ -142,3 +142,39 @@ def upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """CDC GENERATION — the inverse of :func:`upsert`: diff two keyed
+    snapshots into a change feed. Output = key columns + ``change_type``
+    ('insert' | 'delete' | 'update'); unchanged rows are dropped.
+
+    Implementation: one full-outer join on the key with null-safe
+    struct comparison of the non-key columns — change detection is a
+    single JVM expression, no hashing round-trip, and the join is the
+    unavoidable shuffle (both sides keyed; AQE handles skew). Feeding
+    the output's update+insert slice to :func:`upsert` reproduces
+    ``new`` from ``old`` exactly (asserted in tests/test_upsert.py)."""
+    val_cols = [c for c in old.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, keys, "full_outer")
+    o_key = F.col(f"o.{keys[0]}")
+    n_key = F.col(f"n.{keys[0]}")
+    o_val = F.struct(*[F.col(f"o.{c}") for c in val_cols])
+    n_val = F.struct(*[F.col(f"n.{c}") for c in val_cols])
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(o_key.isNull(), "insert")
+            .when(n_key.isNull(), "delete")
+            .when(~o_val.eqNullSafe(n_val), "update"),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
+            "change_type",
+        )
+    )

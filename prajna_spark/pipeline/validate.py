@@ -120,3 +120,20 @@ def profile_quantiles(
         F.percentile(value_col, q).alias(f"p{int(round(q * 100))}") for q in qs
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def check_referential(
+    fact: DataFrame, dim: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Referential-integrity check: one row (n_rows, n_orphans) counting
+    fact rows whose ``fk`` has no match in ``dim.pk`` (NULL fks are
+    orphans — unknown is not a pass, matching :func:`check`). The probe
+    is a LEFT ANTI join against the distinct key column only: the dim
+    reduces to its key (column-pruned scan) and broadcasts when small,
+    so the fact table is never shuffled in the common dim-check case."""
+    orphans = fact.select(fk).join(
+        dim.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    n = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+    o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    return n.join(o)

@@ -1199,3 +1199,110 @@ def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         pround(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    -- CDC generation certificate: diff the orders snapshot against a
+    -- deterministically mutated successor (drops, status updates,
+    -- synthetic inserts); per-change-type counts
+    WITH new_o AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderdate >= '2001-01-01' THEN 'A'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT 9000000000 + n_nationkey, CAST(n_nationkey AS BIGINT), 'N',
+             1e3 + n_nationkey, TIMESTAMP '2001-09-01', 'NEW'
+      FROM nation
+    ), d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                  THEN 'update' END AS change_type
+      FROM orders o FULL OUTER JOIN new_o n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_changes
+    FROM d WHERE change_type IS NOT NULL GROUP BY 1
+    """,
+    tags=("cdc", "diff", "full-outer", "upgrade"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed generation (operators.upsert.snapshot_diff): diff two
+    keyed snapshots into insert/delete/update rows — the producer side
+    of the CDC loop whose consumer is upsert_orders_snapshot. One
+    full-outer join on the key with a null-safe struct equality for
+    change detection (single JVM expression, no hashing round-trip).
+    The 'new' snapshot is derived deterministically (drop keys % 97,
+    archive 2001+ statuses, insert 25 nation-keyed rows) so the oracle
+    can build the identical successor."""
+    od, na = _t(spark, sf_dir, "orders", "nation")
+    from prajna_spark.operators.upsert import snapshot_diff
+
+    inserts = na.select(
+        (F.lit(9000000000) + F.col("n_nationkey")).cast("long").alias("o_orderkey"),
+        F.col("n_nationkey").cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.lit(1e3) + F.col("n_nationkey")).alias("o_totalprice"),
+        F.lit("2001-09-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    new_o = (
+        od.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderdate") >= "2001-01-01", "A").otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(inserts)
+    )
+    diff = snapshot_diff(od, new_o, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_changes")
+    )
+
+
+@query(
+    "validate_fk_integrity",
+    oracle="""
+    -- referential-integrity certificate over the star schema's two
+    -- fact->dim edges (exactly zero orphans proves the generator's FKs;
+    -- the operator's non-zero path is unit-tested with planted orphans)
+    SELECT 'orders.o_custkey->customer' AS fk,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    """,
+    tags=("validation", "referential", "anti-join", "pipeline"),
+)
+def validate_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate (pipeline.validate.check_referential):
+    orphan counts for two fact->dim edges, each a LEFT ANTI probe
+    against the pruned, deduped dim key (broadcast when small — the fact
+    table never shuffles). The ingest-acceptance check that catches a
+    partial dim delivery before a join silently drops fact rows at
+    100 TB."""
+    from prajna_spark.pipeline.validate import check_referential
+
+    od, cu, li, pa = _t(spark, sf_dir, "orders", "customer", "lineitem", "part")
+    a = check_referential(od, cu, "o_custkey", "c_custkey").select(
+        F.lit("orders.o_custkey->customer").alias("fk"), "n_rows", "n_orphans"
+    )
+    b = check_referential(li, pa, "l_partkey", "p_partkey").select(
+        F.lit("lineitem.l_partkey->part").alias("fk"), "n_rows", "n_orphans"
+    )
+    return a.unionByName(b)

@@ -151,3 +151,41 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
         map(tuple, spark.read.parquet(snap).select("id", "s", "p", "ver").collect())
     )
     assert again == want
+
+
+def test_snapshot_diff_detects_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "id long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", None), (5, "e", 50)],
+        "id long, s string, v long",
+    )
+    from prajna_spark.operators.upsert import snapshot_diff
+
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (dropped), 4 unchanged-with-null (eqNullSafe), 2 update,
+    # 3 delete, 5 insert
+    assert got == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_feeds_upsert_roundtrip(spark):
+    """diff(old, new) applied back to old reproduces new exactly:
+    upsert the update+insert rows, anti-join away the deletes."""
+    from prajna_spark.operators.upsert import snapshot_diff, upsert
+
+    old = spark.createDataFrame(
+        [(i, f"s{i}", i) for i in range(50)], "id long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(i, ("X" if i % 7 == 0 else f"s{i}"), i) for i in range(10, 60)],
+        "id long, s string, v long",
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    upserts = new.join(
+        diff.where(F.col("change_type") != "delete").select("id"), "id", "left_semi"
+    )
+    deletes = diff.where(F.col("change_type") == "delete").select("id")
+    rebuilt = upsert(old, upserts, ["id"]).join(deletes, "id", "left_anti")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

@@ -86,3 +86,20 @@ def test_profile_quantiles_exact_interpolation(spark):
             float(np.quantile(vals, 0.95, method="linear")),
         )
         assert got[g] == want, (g, got[g], want)
+
+
+def test_check_referential_counts_orphans_and_broadcasts(spark):
+    from prajna_spark.pipeline.validate import check_referential
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "pk long")
+    out = check_referential(fact, dim, "fk", "pk")
+    row = out.first()
+    assert row["n_rows"] == 4 and row["n_orphans"] == 2  # 99 and NULL
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the orphan probe is an anti join against the pruned key column
+    # (broadcast at runtime when the dim is small — AQE decides; local
+    # createDataFrame stats are not representative, so assert shape only)
+    assert "LeftAnti" in plan

@@ -1,0 +1,71 @@
+"""operators.zorder — Morton clustering tightens per-file min/max on
+EVERY clustered column (the data-skipping property), unlike a
+single-column sort."""
+
+from __future__ import annotations
+
+import glob
+import statistics
+
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.zorder import morton_key, zorder
+
+
+def _rel_spans(spark, path, gspan):
+    out = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        out.append(((r[1] - r[0]) / gspan[0], (r[3] - r[2]) / gspan[1]))
+    return out
+
+
+def test_zorder_localizes_all_columns(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    g = li.agg(
+        F.max("l_partkey") - F.min("l_partkey"),
+        F.max("l_suppkey") - F.min("l_suppkey"),
+    ).first()
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder(li, ["l_partkey", "l_suppkey"], bits=8, num_files=8).write.parquet(zpath)
+    li.repartitionByRange(8, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(spath)
+
+    z = _rel_spans(spark, zpath, g)
+    s = _rel_spans(spark, spath, g)
+    # measured at sf0.01: zorder ~(0.50, 0.32); partkey-sort ~(0.13, 1.0)
+    assert statistics.median(a for a, _ in z) <= 0.7
+    assert statistics.median(b for _, b in z) <= 0.7
+    assert statistics.median(b for _, b in s) >= 0.9  # single sort can't
+
+    # layout only — row multiset unchanged
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == sorted(
+        map(tuple, li.collect())
+    )
+
+
+def test_morton_key_interleaves(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(
+        morton_key([F.col("a"), F.col("b")], bits=3).alias("z")
+    ).first()["z"]
+    # a bits -> even positions (j=0), b bits -> odd: a=101, b=011
+    # z = sum: a0<<0, b0<<1, a1<<2, b1<<3, a2<<4, b2<<5
+    want = (1 << 0) + (1 << 1) + (0 << 2) + (1 << 3) + (1 << 4) + (0 << 5)
+    assert got == want
+
+
+def test_zorder_rejects_overflow(spark):
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError):
+        zorder(df, ["a", "b"], bits=32)
