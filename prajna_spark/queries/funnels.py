@@ -142,3 +142,55 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    -- signup -> first purchase conversion latency percentiles (hours)
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY 1
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont((epoch_us(p.p_ts) - epoch_us(s.s_ts)) / 3.6e9, 0.5) AS p50_hours,
+           quantile_cont((epoch_us(p.p_ts) - epoch_us(s.s_ts)) / 3.6e9, 0.95) AS p95_hours
+    FROM p JOIN s ON s.user_id = p.user_id
+    """,
+    tags=("funnel", "latency", "quantiles", "events", "analytics"),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the funnel and quantile tiers: time from signup to
+    first subsequent purchase, p50/p95 in hours — the conversion-latency
+    readout product teams watch. Same user-cardinality reduction as the
+    funnel (two conditional min-aggregates + a narrow join), then ONE
+    exact percentile aggregate over |converted users| rows; epoch
+    arithmetic and interpolation are bit-identical across engines."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = p.join(s, "user_id").select(
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(3.6e9)
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("hours", 0.5).alias("p50_hours"),
+        F.percentile("hours", 0.95).alias("p95_hours"),
+    )

@@ -1306,3 +1306,45 @@ def validate_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lineitem.l_partkey->part").alias("fk"), "n_rows", "n_orphans"
     )
     return a.unionByName(b)
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    -- fixed-width 20-bin histogram of o_totalprice over [min, max]:
+    -- engine-portable floor arithmetic (no width_bucket dialect drift)
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 2e1)),
+                      19) AS BIGINT) AS bucket,
+           count(*) AS n_orders
+    FROM orders, b
+    GROUP BY 1
+    """,
+    tags=("histogram", "profiling", "pipeline"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the distribution-shape profile companion
+    to quantiles): 20 equal bins over the observed [min, max], bounds
+    from a one-row aggregate broadcast back over the scan — two passes,
+    no shuffle wider than the 20-row rollup. The bucket expression is
+    identical floor arithmetic on both engines (width_bucket's edge
+    conventions differ between dialects; floor doesn't)."""
+    tune(spark)
+    od = load_table(spark, "orders", sf_dir)
+    bounds = od.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    return (
+        od.join(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(19)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -472,3 +472,131 @@ def test_cascade_rollup_matches_direct_aggregation(spark, rows, resolutions):
         for (b, d), (n, s) in agg.items():
             expected[(width, b, d)] = (n, float(s))
     assert got == expected
+
+
+# ---- snapshot_diff vs a local dict model ------------------------------
+
+snap_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key
+        st.integers(min_value=0, max_value=3),   # value
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old=snap_strategy, new=snap_strategy)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    from prajna_spark.operators.upsert import snapshot_diff
+
+    schema = "id long, v long"
+    odf = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(odf, ndf, ["id"]).collect()}
+    om, nm = dict(old), dict(new)
+    want = {}
+    for k in om.keys() | nm.keys():
+        if k not in om:
+            want[k] = "insert"
+        elif k not in nm:
+            want[k] = "delete"
+        elif om[k] != nm[k]:
+            want[k] = "update"
+    assert got == want
+
+
+# ---- Efraimidis-Spirakis weighted_topk vs an exact local replay -------
+
+weights_strategy = st.lists(
+    st.integers(min_value=1, max_value=1000),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(ws=weights_strategy, k=st.integers(min_value=1, max_value=10))
+@settings(**SETTINGS)
+def test_weighted_topk_matches_local_md5_ln_replay(spark, ws, k):
+    """The selected SET equals an exact local recomputation of the E-S
+    keys (hashlib md5 + math.log are the same IEEE ops as the JVM's) —
+    the engine-portability claim tested outside DuckDB too."""
+    import hashlib
+    import math
+
+    from prajna_spark.pipeline.sampling import weighted_topk
+
+    rows = [(i, float(w)) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(
+        r["id"] for r in weighted_topk(df, "id", "w", k=k, seed="prop").collect()
+    )
+
+    space = float(16**12)
+    def es_key(i, w):
+        h = hashlib.md5(f"prop|{i}".encode()).hexdigest()[:12]
+        u = (float(int(h, 16)) + 1.0) / (space + 1.0)
+        return -math.log(u) / w
+
+    want = sorted(
+        i for i, w in rows
+        if (es_key(i, w), i) in sorted(((es_key(j, wj), j) for j, wj in rows))[:k]
+    )
+    assert got == want and len(got) == min(k, len(rows))
+
+
+# ---- split_assign: coverage, disjointness, fraction accuracy ----------
+
+fractions_strategy = st.lists(
+    st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=5
+).map(lambda fs: {f"s{i}": f / sum(fs) for i, f in enumerate(fs)})
+
+
+@given(fr=fractions_strategy)
+@settings(**SETTINGS)
+def test_split_assign_partitions_the_keyspace(spark, fr):
+    from prajna_spark.pipeline.sampling import split_assign
+
+    n = 3000
+    df = spark.range(n)
+    counts = {
+        r["split"]: r["c"]
+        for r in df.select(split_assign(F.col("id"), fr, seed="p2"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert sum(counts.values()) == n  # total coverage, no row dropped
+    for name, frac in fr.items():
+        got = counts.get(name, 0) / n
+        assert abs(got - frac) < 0.05, (name, got, frac)
+
+
+# ---- morton_key vs a local bit-interleave model -----------------------
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_key_matches_local_interleave(spark, pairs):
+    from prajna_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            morton_key([F.col("a"), F.col("b")], bits=8).alias("z")
+        ).collect()
+    ]
+
+    def local(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert sorted(got) == sorted(local(a, b) for a, b in pairs)
