@@ -69,3 +69,44 @@ def test_zorder_rejects_overflow(spark):
     df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
     with pytest.raises(ValueError):
         zorder(df, ["a", "b"], bits=32)
+
+
+def test_zorder_skips_files_on_either_column(spark, sf_dir, tmp_path):
+    """The payoff test: a point-range filter on EITHER clustered column
+    touches a fraction of the z-ordered files (files producing rows,
+    via input_file_name), while a random layout touches ~all of them."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    zorder(li, ["l_partkey", "l_suppkey"], bits=8, num_files=8).write.parquet(zpath)
+    li.repartition(8).write.parquet(rpath)
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path)
+            .where(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    # ~2-5% slices of each key's observed range (data-size independent)
+    pk_hi = b[0] + max(1, (b[1] - b[0]) // 50)
+    sk_hi = b[2] + max(1, (b[3] - b[2]) // 20)
+    for cond in [
+        f"l_partkey BETWEEN {b[0]} AND {pk_hi}",
+        f"l_suppkey BETWEEN {b[2]} AND {sk_hi}",
+    ]:
+        z = files_touched(zpath, cond)
+        r = files_touched(rpath, cond)
+        assert r >= 7, (cond, r)  # random layout: essentially all files
+        # z-order: materially fewer on EITHER column (exact count varies
+        # with range-sampler quantization at tiny fixtures; 8-file 2-d
+        # curve ideal is ~3)
+        assert z <= 5 and z <= r - 3, (cond, z, r)
