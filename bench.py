@@ -87,6 +87,15 @@ EXTENDED = [
     "profile_events_quantiles",
     "split_train_val_test",
     "upsert_orders_snapshot",
+    "snapshot_diff_orders",
+    "validate_fk_integrity",
+    "stats_corr_lineitem",
+    "dedup_canonical_docs",
+    "funnel_signup_view_purchase",
+    "cohort_weekly_retention",
+    "funnel_conversion_latency",
+    "histogram_order_totals",
+    "cdc_apply_orders_stream",
     "telemetry_gapfilled_hours",
     "telemetry_distinct_users_hll",
     "q7_volume_shipping",

@@ -1348,3 +1348,103 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "cdc_apply_orders_stream",
+    oracle=f"""
+    -- streaming CDC end-state certificate: base snapshot (ver 0) + two
+    -- update batches (archive 2001+ at ver 1; re-flag the %3 slice at
+    -- ver 2; 25 inserts) merged newest-wins — the closed form below is
+    -- what the drained snapshot must equal
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= '2001-01-01' AND o_orderkey % 3 = 0
+                    THEN 'Z'
+                  WHEN o_orderdate >= '2001-01-01' THEN 'A'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderdate >= '2001-01-01' AND o_orderkey % 3 = 0
+                    THEN 2
+                  WHEN o_orderdate >= '2001-01-01' THEN 1
+                  ELSE 0 END AS ver,
+             o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT 9000000000 + n_nationkey, 'N', 1, 1e3 + n_nationkey FROM nation
+    )
+    SELECT status, count(*) AS n_orders,
+           CAST(sum(ver) AS BIGINT) AS total_ver,
+           {R('sum(o_totalprice)', 2)} AS total_price
+    FROM final GROUP BY 1
+    """,
+    tags=("cdc", "streaming", "upsert", "upgrade"),
+)
+def cdc_apply_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply, end-to-end through the PERSISTED path
+    (streaming.upsert_stream.start_cdc_apply): a partitioned orders
+    snapshot is continuously merged from a 2-batch update stream via
+    foreachBatch + the versioned newest-wins upsert. The certificate is
+    the drained snapshot's rollup — and because the merge is
+    version-ordered, the result is INDEPENDENT of batch arrival order
+    and of redelivery, which is exactly the contract the oracle's closed
+    form encodes. Per batch only touched partitions rewrite."""
+    import tempfile
+
+    from prajna_spark.streaming.upsert_stream import start_cdc_apply
+
+    od, na = _t(spark, sf_dir, "orders", "nation")
+    base = tempfile.mkdtemp(prefix="cdc_apply_q_")
+    snap_path, src, ckpt = f"{base}/snap", f"{base}/updates", f"{base}/ckpt"
+
+    snap = od.withColumn(
+        "part", (F.col("o_orderkey") % 8).cast("int")
+    ).withColumn("ver", F.lit(0).cast("long"))
+    snap.write.partitionBy("part").parquet(snap_path)
+
+    recent = od.where(F.col("o_orderdate") >= "2001-01-01")
+    batch1 = (
+        recent.withColumn("o_orderstatus", F.lit("A"))
+        .withColumn("part", (F.col("o_orderkey") % 8).cast("int"))
+        .withColumn("ver", F.lit(1).cast("long"))
+        .select(*snap.columns)
+    )
+    inserts = na.select(
+        (F.lit(9000000000) + F.col("n_nationkey")).cast("long").alias("o_orderkey"),
+        F.col("n_nationkey").cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.lit(1e3) + F.col("n_nationkey")).alias("o_totalprice"),
+        F.lit("2001-09-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("NEW").alias("o_orderpriority"),
+        ((F.lit(9000000000) + F.col("n_nationkey")) % 8).cast("int").alias("part"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    batch2 = (
+        recent.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("Z"))
+        .withColumn("part", (F.col("o_orderkey") % 8).cast("int"))
+        .withColumn("ver", F.lit(2).cast("long"))
+        .select(*snap.columns)
+        .unionByName(inserts.select(*snap.columns))
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cdc_apply(
+        stream, snap_path, ckpt, ["o_orderkey"], "part", "ver"
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(snap_path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("ver").alias("total_ver"),
+            pround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
