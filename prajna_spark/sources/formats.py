@@ -87,3 +87,67 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     reader for exploration / migration jobs."""
     tune(spark)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/column-pruning story as parquet (built
+    into Spark; useful when upstream systems hand over ORC)."""
+    tune(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — gated: the spark-avro module is EXTERNAL (not bundled
+    in this environment). Raises with the exact fix rather than failing
+    deep inside a job."""
+    tune(spark)
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "Avro needs the external spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "it is not bundled in this environment"
+        ) from exc
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """JSON-lines scan that QUARANTINES malformed rows instead of
+    nulling them silently (PERMISSIVE + ``_corrupt_record``): good rows
+    parse into the declared schema, bad rows surface whole in
+    ``_corrupt_record`` for the dead-letter path. At 100 TB a malformed
+    delivery is a certainty; dropping it silently (DROPMALFORMED) or
+    failing the job (FAILFAST) are both wrong defaults for ingest."""
+    tune(spark)
+    full = schema.rstrip() + ", _corrupt_record string"
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) split of a permissive read: bad rows carry the raw
+    line for replay after the producer is fixed.
+
+    The parsed frame is cached here: Spark disallows referencing ONLY
+    ``_corrupt_record`` against the raw scan (the parser would need a
+    second pass to know what failed) — caching materializes the parse
+    once for both branches, which the dead-letter pattern wants anyway.
+    Caller unpersists when done (or lets it age out)."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return good, bad

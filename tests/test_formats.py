@@ -93,3 +93,40 @@ def test_schema_evolution_read_unions_columns(spark, tmp_path):
     assert rows[1] == (2, None)      # pre-evolution file: NULL new column
     assert rows[4] == (8, "v4")      # post-evolution file: populated
     assert df.where("b IS NOT NULL").count() == 3
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from prajna_spark.sources.formats import read_orc, write_orc
+
+    df = spark.range(100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_gated_with_actionable_error(spark, tmp_path):
+    import pytest
+
+    from prajna_spark.sources.formats import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope"))
+
+
+def test_json_permissive_quarantines_bad_rows(spark, tmp_path):
+    from prajna_spark.sources.formats import read_json_permissive, split_quarantine
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "x.json").write_text(
+        '{"a": 1, "s": "ok"}\n'
+        '{"a": oops}\n'
+        '{"a": 3, "s": "fine"}\n'
+        "not json at all\n"
+    )
+    df = read_json_permissive(spark, str(p), "a long, s string")
+    good, bad = split_quarantine(df)
+    assert sorted(r["a"] for r in good.collect()) == [1, 3]
+    raw = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert raw == ['{"a": oops}', "not json at all"]
