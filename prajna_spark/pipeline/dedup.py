@@ -408,13 +408,21 @@ def connected_components(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    # Every join below is hinted SHUFFLE_HASH: the label/neighbour frames
+    # are corpus-cardinality, so at scale a broadcast build is never the
+    # right plan — and in local mode AQE's attempted driver-side broadcast
+    # builds (one per iteration, inside each checkpoint job) exhausted the
+    # shared heap on a dense 16M-edge graph. Shuffle-hash keeps per-round
+    # memory bounded by a partition, not a table.
     for _ in range(max_iter):
         neigh_min = (
-            e.join(labels, e.src == labels.nid)
+            e.join(labels.hint("SHUFFLE_HASH"), e.src == labels.nid)
             .groupBy("dst")
             .agg(F.min("label").alias("nl"))
         )
-        one_hop = labels.join(neigh_min, labels.nid == neigh_min.dst, "left").select(
+        one_hop = labels.join(
+            neigh_min.hint("SHUFFLE_HASH"), labels.nid == neigh_min.dst, "left"
+        ).select(
             "nid",
             F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
@@ -427,7 +435,7 @@ def connected_components(
         )
         obs = Observation()
         new_labels = (
-            one_hop.join(jump, one_hop.label == jump.jnid, "left")
+            one_hop.join(jump.hint("SHUFFLE_HASH"), one_hop.label == jump.jnid, "left")
             .select(
                 "nid",
                 F.least(
@@ -442,11 +450,25 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = obs.get["chg"] or 0
+        # Release the superseded checkpoint NOW: each localCheckpoint pins
+        # its RDD in storage memory, and in local mode driver+executors
+        # share one heap — 20 pinned generations starved AQE's broadcast
+        # builds at 10x data (observed: "Not enough memory to build and
+        # broadcast" inside the loop). Bounded to 2 live generations.
+        prev = labels
         labels = new_labels.select("nid", "label")
+        prev.unpersist()
         if changed == 0:
             break
 
-    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("component_id"))
+    out = labels.select(
+        F.col("nid").alias(id_col), F.col("label").alias("component_id")
+    ).localCheckpoint(eager=True)
+    # the returned frame is its own checkpoint; the loop's last label
+    # generation and the doubled edge list are no longer reachable
+    labels.unpersist()
+    e.unpersist()
+    return out
 
 
 def verify_pairs_jaccard(
