@@ -432,13 +432,20 @@ def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     base = tempfile.mkdtemp(prefix="dedup_stream_q_")
-    docs = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    # the table may be a single FILE (driver testdata — glob the parent
+    # dir) or a DIRECTORY of part files (scaled fixtures — stream it
+    # directly; the glob would match no part file and yield an empty
+    # stream). Same dual-shape branch as streaming.telemetry.
+    import os
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
     )
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        docs = reader.parquet(path)
+    else:
+        docs = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     q = start_incremental_dedup(
         docs, "doc_id", "text",
         f"{base}/store", f"{base}/out", f"{base}/ckpt",

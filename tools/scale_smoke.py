@@ -1,0 +1,50 @@
+"""Scale smoke: run EVERY catalog query end-to-end at a scaled fixture
+(default /tmp/prajna_scale/sf1.0 from tools/gen_scale.py) with the noop
+sink. No oracle — correctness lives at sf0.01; this is the
+does-it-survive-10x net that caught the connected-components broadcast
+OOM. Prints one line per query and a final summary; exit 1 on any
+failure.
+
+Usage: python tools/scale_smoke.py [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prajna_spark.queries import queries  # noqa: E402
+from prajna_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prajna_scale/sf1.0"
+    only = sys.argv[2:]
+    spark = get_spark("prajna-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = []
+    attempted = 0
+    cat = queries()
+    for name, fn in cat.items():
+        if only and not any(s in name for s in only):
+            continue
+        attempted += 1
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            print(f"OK   {name} [{time.time() - t0:.1f}s]", flush=True)
+        except Exception as exc:
+            failed.append(name)
+            msg = str(exc).split("\n")[0][:160]
+            print(f"FAIL {name}: {msg}", flush=True)
+    print(f"\n{len(failed)} failed of {attempted} attempted ({len(cat)} in catalog)")
+    if failed:
+        print("failed:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
