@@ -96,6 +96,7 @@ EXTENDED = [
     "funnel_conversion_latency",
     "histogram_order_totals",
     "cdc_apply_orders_stream",
+    "mix_corpus_temperature",
     "telemetry_gapfilled_hours",
     "telemetry_distinct_users_hll",
     "q7_volume_shipping",

@@ -237,3 +237,71 @@ def split_assign_sql(
     if not parts:
         return f"'{names[0]}'"
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def _threshold_hex_col(rate: Column) -> Column:
+    """Column form of :func:`_threshold_hex` — the keep-threshold as an
+    8-hex string computed IN THE PLAN from a rate column. floor() before
+    the BIGINT cast is load-bearing for portability: double->int casts
+    TRUNCATE in Spark but ROUND in DuckDB; floor agrees everywhere.
+    Rates below 2^-32 clamp to the minimal one-in-2^32 gate rather than
+    underflowing to a negative hex."""
+    n = F.floor(F.least(rate * F.lit(float(_SPACE)), F.lit(float(_SPACE))))
+    n = F.greatest(n, F.lit(1)).cast("long")
+    return F.lower(F.lpad(F.hex(n - 1), 8, "0"))
+
+
+def threshold_hex_sql(rate_sql: str) -> str:
+    """The identical in-plan threshold as DuckDB SQL (oracle twin)."""
+    n = f"greatest(CAST(floor(least(({rate_sql}) * 4294967296e0, 4294967296e0)) AS BIGINT), 1)"
+    return f"lower(lpad(to_hex({n} - 1), 8, '0'))"
+
+
+def temperature_rates(
+    df, stratum_col: str, alpha: float, target_rows: int
+):
+    """Per-stratum keep rates for TEMPERATURE-based corpus mixing
+    (multilingual rebalancing): sampling share p_s ∝ n_s^alpha, so
+    alpha=1 keeps natural proportions, alpha=0 equalizes strata, and
+    0<alpha<1 up-weights the tail — the standard knob for rebalancing a
+    head-heavy corpus. rate_s = min(1, target_rows * p_s / n_s),
+    computed ENTIRELY in the plan (one stratum rollup + a one-row
+    broadcast of the normalizer) — no driver round-trip, so the recipe
+    recomputes correctly as the corpus grows."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    return counts.join(F.broadcast(norm)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows))
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.col("__z")
+            / F.col("__n").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def temperature_gate(
+    df,
+    stratum_col: str,
+    key_col: str,
+    alpha: float,
+    target_rows: int,
+    seed: str = "s0",
+):
+    """Apply :func:`temperature_rates` as a deterministic gate: the rate
+    frame (|strata| rows) broadcasts onto the corpus and each row's md5
+    draw compares against its stratum's in-plan hex threshold — one scan,
+    one broadcast join, zero shuffles of the corpus."""
+    rates = temperature_rates(df, stratum_col, alpha, target_rows)
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(h <= _threshold_hex_col(F.col("rate")))
+        .drop("rate")
+    )

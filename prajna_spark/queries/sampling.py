@@ -267,3 +267,49 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _temp_mix_oracle(alpha: float, target: int, seed: str) -> str:
+    rate = (
+        f"least(1e0, {float(target)} * pow(CAST(n AS DOUBLE), {alpha}) / z"
+        f" / CAST(n AS DOUBLE))"
+    )
+    thr = sampling.threshold_hex_sql("rate")
+    return f"""
+    -- temperature-mixing certificate: p_s ∝ n_s^{alpha}, rates and hex
+    -- thresholds computed in-plan with the identical floor/hex spelling
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY 1
+    ), norm AS (
+      SELECT sum(pow(CAST(n AS DOUBLE), {alpha})) AS z FROM counts
+    ), rates AS (
+      SELECT lang, {rate} AS rate FROM counts, norm
+    )
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE substring(md5('{seed}|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          <= {thr}
+    GROUP BY 1
+    """
+
+
+@query(
+    "mix_corpus_temperature",
+    oracle=_temp_mix_oracle(0.5, 300, "temp1"),
+    tags=("sampling", "temperature", "mixing", "pipeline"),
+)
+def mix_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus rebalancing
+    (pipeline.sampling.temperature_gate, alpha=0.5, target≈300): keep
+    rates p_s ∝ n_s^0.5 up-weight tail languages — the standard
+    multilingual mixing knob — with BOTH the rates and the md5 gate
+    thresholds computed inside the plan (a |strata|-row broadcast; no
+    driver round-trip, so the recipe tracks corpus growth). The oracle
+    recomputes the identical floor/hex threshold spelling: double->int
+    casts truncate in Spark but round in DuckDB, so floor() before the
+    cast is what keeps the gates bit-identical."""
+    docs = _docs(spark, sf_dir)
+    kept = sampling.temperature_gate(
+        docs, "lang", "doc_id", alpha=0.5, target_rows=300, seed="temp1"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -232,3 +232,37 @@ def test_split_assign_rejects_bad_fractions(spark):
 
     with pytest.raises(ValueError):
         split_assign(F.col("id"), {"a": 0.5, "b": 0.4})
+
+
+def test_temperature_rates_alpha_extremes(spark):
+    """alpha=1 reproduces natural proportions (uniform rate across
+    strata); alpha=0 equalizes expected kept counts regardless of
+    stratum size."""
+    from prajna_spark.pipeline.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    r1 = {r["s"]: r["rate"] for r in temperature_rates(df, "s", 1.0, 500).collect()}
+    assert abs(r1["big"] - r1["small"]) < 1e-12  # natural: same rate
+
+    r0 = {r["s"]: r["rate"] for r in temperature_rates(df, "s", 0.0, 200).collect()}
+    # equalized: expected kept = rate * n identical across strata
+    assert abs(r0["big"] * 900 - r0["small"] * 100) < 1e-9
+
+
+def test_temperature_gate_upweights_tail(spark):
+    """alpha=0.5 keeps the tail stratum at a HIGHER rate than the head
+    (the rebalancing the knob exists for), with totals near target."""
+    from prajna_spark.pipeline.sampling import temperature_gate
+
+    rows = [(i, "head" if i < 1800 else "tail") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = temperature_gate(df, "s", "id", alpha=0.5, target_rows=400)
+    counts = {r["s"]: r["c"] for r in
+              kept.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    head_rate = counts.get("head", 0) / 1800
+    tail_rate = counts.get("tail", 0) / 200
+    assert tail_rate > 2 * head_rate, (head_rate, tail_rate)
+    total = sum(counts.values())
+    assert abs(total - 400) < 80, total
