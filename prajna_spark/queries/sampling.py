@@ -313,3 +313,40 @@ def mix_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "doc_id", alpha=0.5, target_rows=300, seed="temp1"
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "split_grouped_by_source",
+    oracle=f"""
+    -- leakage-safe splitting: the split key is the SOURCE, not the doc,
+    -- so every document of a source lands in the same split (group-aware
+    -- holdout); certificate proves source-level purity per split
+    SELECT {sampling.split_assign_sql('source', _SPLITS, seed='gsplit3')} AS split,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+    tags=("sampling", "split", "leakage", "pipeline"),
+)
+def split_grouped_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test splitting: the md5 draw keys on
+    ``source`` instead of ``doc_id``, so all documents from one source
+    land in the same split — the leakage guard for near-duplicate
+    content within a source (a per-doc split leaks template text across
+    train and eval; a grouped split cannot). Same zero-shuffle
+    row-local assignment as split_train_val_test; the certificate's
+    count(DISTINCT source) per split proves the partition is
+    source-pure (the three counts sum to the corpus's distinct-source
+    total)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            sampling.split_assign(F.col("source"), _SPLITS, seed="gsplit3"),
+            "source",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
