@@ -1,0 +1,183 @@
+"""Lexical retrieval: inverted postings, BM25 scoring, salient-term query
+extraction, and reciprocal-rank fusion for hybrid (lexical + vector) search.
+
+The training-data-curation use: retrieval-based quality filtering, targeted
+decontamination ("find everything that looks like this eval set"), and the
+hybrid BM25+ANN recall stage of a RAG-corpus build. The reference has no
+retrieval surface at all (its text work lives in .NET sample closures,
+WordCount.fs:36); this module is the declared Spark-native upgrade.
+
+Scale design (what survives 100 TB):
+- the inverted index is ``tokens -> explode -> groupBy(doc, term)`` — two
+  narrow-key shuffles carrying (doc_id, term, tf) rows, never document text;
+- query terms are broadcast and postings are PRUNED to them *before* any
+  aggregation, so df/idf/scoring all run over postings-of-query-terms only
+  (classic postings-list retrieval — corpus-sized work happens once, at
+  index build, not per query);
+- corpus-level scalars (N, avgdl) ride a one-row broadcast cross join, never
+  a driver collect;
+- top-k per query is a row_number window that Spark rewrites to
+  WindowGroupLimit (partial pre-shuffle limit — same plan shape as
+  ``sampling.topk_per_stratum``).
+
+Engine-portable determinism: scores are summed over <= |query terms| float
+contributions, rounded via the portable ``pround`` spelling BEFORE ranking,
+with doc_id tiebreaks — so DuckDB replays the exact ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import pround
+from prajna_spark.pipeline import textqa
+
+#: Lucene/Robertson BM25 defaults
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted postings ``(doc_id, term, tf, dl)`` in ONE pass: tokenize,
+    attach the document length, explode, count per (doc, term). ``dl``
+    rides the explode so no second join against a lengths table is needed."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        textqa.tokens(F.col(text_col)).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row frame ``(n_docs, avgdl)`` — joined in by broadcast cross
+    join wherever the BM25 formula needs corpus scalars (in-plan; no
+    driver round-trip, so the stats track the corpus)."""
+    return docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(textqa.token_count(F.col(text_col))).alias("avgdl"),
+    )
+
+
+def bm25_scores(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BM25 score per (query_id, doc_id) over ``query_terms (query_id,
+    term)``. Postings are pruned to query terms FIRST (broadcast hash
+    join on the tiny query side), so document frequency and scoring
+    aggregate only postings that can contribute."""
+    pruned = postings.join(
+        F.broadcast(query_terms.select("term").distinct()), "term"
+    )
+    dfreq = pruned.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        pruned.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(query_terms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    tf_part = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        scored.select("query_id", "doc_id", (idf * tf_part).alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k documents per query by BM25: ``(query_id, doc_id, score, rk)``.
+    ``exclude_self`` drops doc_id == query_id matches (more-like-this mode,
+    where queries are themselves corpus documents)."""
+    scores = bm25_scores(
+        doc_postings(docs, id_col, text_col),
+        corpus_stats(docs, text_col),
+        query_terms,
+        k1=k1,
+        b=b,
+        score_decimals=score_decimals,
+    )
+    if exclude_self:
+        scores = scores.where(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def salient_terms(
+    docs: DataFrame,
+    n_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``n_terms`` highest-tf terms of each document (ties by term) —
+    a deterministic "more like this" query representation: feed the result
+    into :func:`bm25_topk` as ``query_terms`` with query_id = doc_id.
+    Same WindowGroupLimit top-k shape as every rank+filter here."""
+    p = doc_postings(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_terms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    rank_col: str = "rk",
+    doc_col: str = "doc_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fused(q, d) = sum over
+    systems of 1 / (c + rank). Each input holds (query_id, ``doc_col``,
+    ``rank_col``); a doc absent from a system's list simply contributes
+    nothing (union-then-aggregate — no outer join). The union carries only
+    (query, doc, contrib) rows — k·|queries|·|systems| of them — so fusion
+    cost is independent of corpus size."""
+    contribs = None
+    for r in ranked_lists:
+        part = r.select(
+            "query_id",
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+    fused = contribs.groupBy("query_id", "doc_id").agg(
+        pround(F.sum("contrib"), score_decimals).alias("rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         tpch_shapes,
         text,
         sampling,
+        retrieval,
         multimodal,
         scalars,
         relational,

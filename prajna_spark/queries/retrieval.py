@@ -1,0 +1,215 @@
+"""Lexical + hybrid retrieval catalog queries over ``documents`` and
+``embeddings`` (north-star LLM-pipeline surface: retrieval-based curation,
+targeted decontamination, hybrid RAG-corpus recall).
+
+Oracle parity technique: BM25 contributions are computed with the IDENTICAL
+arithmetic spelling on both engines (constant subexpressions pre-folded the
+way Python folds them, natural log, portable rounding before ranking,
+doc_id tiebreaks), so ranked lists — and the RRF fusion built on them —
+match hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R
+from prajna_spark.pipeline import retrieval, similarity
+from prajna_spark.queries import query
+from prajna_spark.queries.vectors import DIM, _DOT
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+# DuckDB mirror of textqa.tokens (same spelling as the proven
+# sampling/packing oracles): lower -> strip non-alnum -> split -> drop ''.
+_TOKS = (
+    "list_filter(string_split_regex("
+    "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),"
+    " w -> w <> '')"
+)
+
+#: fixed literal query set for the BM25 catalog query: a common-term query,
+#: a rare-term query ('dup' appears in ~5% of docs), and a mid-band query.
+_BM25_QUERIES: list[tuple[str, str]] = [
+    ("q_hash", "hash"),
+    ("q_hash", "join"),
+    ("q_hash", "fast"),
+    ("q_rare", "dup"),
+    ("q_rare", "scan"),
+    ("q_stream", "stream"),
+    ("q_stream", "window"),
+    ("q_stream", "batch"),
+]
+
+# Shared BM25 oracle CTEs (postings/stats over the full corpus). The
+# contribution spelling pre-folds constants exactly as Python does in
+# pipeline.retrieval.bm25_scores: tf*(k1+1) = tf*2.2; k1*(1-b + b*dl/avgdl)
+# = 1.2*(0.25 + (0.75*dl)/avgdl).
+_BM25_CTES = f"""
+    toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    p AS MATERIALIZED (
+      SELECT doc_id, term, count(*) AS tf, first(dl) AS dl FROM (
+        SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks
+      ) GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM toks
+    )
+"""
+
+
+_BM25_SUM = R(
+    "sum("
+    " ln(1e0 + ((s.n_docs - d.df) + 5e-1) / (d.df + 5e-1))"
+    " * (CAST(p.tf AS DOUBLE) * 2.2)"
+    "   / (CAST(p.tf AS DOUBLE)"
+    "      + 1.2 * (2.5e-1 + (7.5e-1 * CAST(p.dl AS DOUBLE)) / s.avgdl))"
+    ")",
+    6,
+)
+
+
+def _bm25_scored_cte(qt_cte: str) -> str:
+    """CTE computing (query_id, doc_id, score) for query-term CTE ``qt``."""
+    return f"""
+    dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM p WHERE term IN (SELECT term FROM {qt_cte}) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id, {_BM25_SUM} AS score
+      FROM p
+      JOIN dfq d USING (term)
+      JOIN {qt_cte} q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, "documents", sf_dir)
+
+
+_QT_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    -- BM25 top-10 per query over the inverted postings of `documents`
+    WITH {_BM25_CTES},
+    qt AS (SELECT * FROM (VALUES {_QT_VALUES}) AS t(query_id, term)),
+    {_bm25_scored_cte("qt")}
+    SELECT query_id, doc_id, score, rk FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    tags=("retrieval", "bm25", "text", "pipeline"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 documents for three fixed term queries
+    (pipeline.retrieval.bm25_topk). The plan is postings-list retrieval:
+    the inverted index is built with two narrow-key shuffles, query terms
+    are broadcast and prune postings BEFORE df/score aggregation, corpus
+    scalars ride a one-row broadcast, and the final top-k is a
+    WindowGroupLimit window — per-query work is proportional to the
+    pruned postings, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return retrieval.bm25_topk(docs, qt, k=10).select(
+        "query_id", "doc_id", "score", "rk"
+    )
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    -- reciprocal-rank fusion of BM25 (salient-term more-like-this) and
+    -- exact cosine kNN for 4 query documents (doc_id == vec_id alignment)
+    WITH {_BM25_CTES},
+    qt AS (
+      SELECT query_id, term FROM (
+        SELECT doc_id AS query_id, term,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY tf DESC, term
+               ) AS rn
+        FROM p WHERE doc_id < 4
+      ) WHERE rn <= 3
+    ),
+    {_bm25_scored_cte("qt")},
+    bm25 AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rk
+        FROM scored WHERE doc_id <> query_id
+      ) WHERE rk <= 20
+    ),
+    v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 4),
+    knn AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT q.qid AS query_id, v.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {R(f'''{_DOT.format(d=DIM, a="q.qe", b="v.e")}
+                   / (sqrt({_DOT.format(d=DIM, a="q.qe", b="q.qe")})
+                      * sqrt({_DOT.format(d=DIM, a="v.e", b="v.e")}))''', 6)} DESC,
+                 v.vec_id) AS rk
+        FROM v CROSS JOIN q
+        WHERE v.vec_id <> q.qid
+      ) WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             {R("sum(1e0 / (6e1 + CAST(rk AS DOUBLE)))", 6)} AS rrf,
+             CAST(count(*) AS BIGINT) AS n_systems
+      FROM (
+        SELECT * FROM bm25 UNION ALL SELECT * FROM knn
+      ) GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf, n_systems, frk FROM (
+      SELECT query_id, doc_id, rrf, n_systems,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS BIGINT) AS frk
+      FROM fused
+    ) WHERE frk <= 10
+    """,
+    tags=("retrieval", "hybrid", "rrf", "vectors", "pipeline"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: for 4 query documents, fuse (a) BM25 over each
+    query's 3 highest-tf salient terms (deterministic more-like-this) and
+    (b) exact cosine kNN on the id-aligned embedding, via reciprocal-rank
+    fusion 1/(60+rank) (pipeline.retrieval.rrf_fuse). Fusion aggregates
+    only the 20+20 ranked rows per query — a union + tiny groupBy, cost
+    independent of corpus size; both rankers keep their own scale story
+    (postings pruning / broadcast-queries scan)."""
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    query_docs = docs.where(F.col("doc_id") < 4)
+    qt = retrieval.salient_terms(query_docs, n_terms=3)
+    bm25 = retrieval.bm25_topk(docs, qt, k=20, exclude_self=True).select(
+        "query_id", "doc_id", "rk"
+    )
+    knn = similarity.knn_bruteforce(
+        emb, emb.where(F.col("vec_id") < 4), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    fused = retrieval.rrf_fuse([bm25, knn], k=10)
+    return fused.select(
+        "query_id", "doc_id", "rrf", "n_systems", F.col("rk").alias("frk")
+    )
