@@ -194,3 +194,151 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("hours", 0.5).alias("p50_hours"),
         F.percentile("hours", 0.95).alias("p95_hours"),
     )
+
+
+@query(
+    "heavy_hitters_users",
+    oracle="""
+    -- exact heavy hitters: users with > 0.75% of all events. The Spark
+    -- side reaches this result via MG-sketch candidates + an exact
+    -- confirmation pass (pipeline.heavyhitters) — same final counts.
+    WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events, tot
+    GROUP BY user_id, n_total
+    HAVING CAST(count(*) AS DOUBLE) > n_total * 7.5e-3
+    """,
+    tags=("sketch", "heavy-hitters", "events", "pipeline"),
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys exceeding phi=0.75% of all events, computed sketch-first
+    (pipeline.heavyhitters.heavy_hitters_exact): per-partition Misra-Gries
+    summaries (<= m rows each cross the wire, never raw keys), candidate
+    upper-bound filter, then an exact count of candidates only — the
+    two-pass shape that finds heavy keys at 100 TB without a full-key
+    groupBy, yet returns EXACT counts (m >= 1/phi makes false negatives
+    impossible), which is why a plain HAVING oracle hash-matches it."""
+    from prajna_spark.pipeline import heavyhitters
+
+    ev = _events(spark, sf_dir)
+    return heavyhitters.heavy_hitters_exact(ev, "user_id", phi=7.5e-3)
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    -- per-user event bigrams -> global transition matrix with row-
+    -- normalized probabilities ((user_id, ts) is globally unique, so the
+    -- per-user ordering is deterministic)
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           (floor(CAST(count(*) AS DOUBLE)
+                  / CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+                  * 1e6 + 5e-1) / 1e6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("sequence", "markov", "events", "window"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: lead() over
+    each user's event-time-ordered stream, bigram counts, and row-
+    normalized transition probabilities. One user-keyed window (the
+    sequence reconstruction — shuffle by user_id) feeding a 25-cell
+    aggregate; probability normalization is a window over the 5x5 matrix,
+    driver-free. The integer count ratio divides exactly the same on both
+    engines; pround absorbs nothing but is kept for the catalog's rounded-
+    float convention."""
+    from pyspark.sql import Window
+
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts")
+        ).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    row_total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        pround(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(row_total).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+@query(
+    "anomaly_mad_events",
+    oracle="""
+    -- robust outlier profile per event type: median / MAD of value, and
+    -- the count of events beyond 3 MADs (the monitoring gate's spelling;
+    -- exact interpolated percentiles are bit-identical across engines)
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 5e-1) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, first(med) AS med, quantile_cont(ad, 5e-1) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           (floor(first(d.med) * 1e6 + 5e-1) / 1e6) AS med,
+           (floor(first(m.mad) * 1e6 + 5e-1) / 1e6) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3e0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("anomaly", "robust-stats", "events", "validation"),
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type: the
+    robust anomaly gate (3-MAD rule) a telemetry pipeline runs where
+    mean/stddev would be dragged by the outliers themselves. Two exact
+    percentile aggregates over (event_type)-keyed rows plus one counting
+    pass — three narrow shuffles on a 5-key column; median/MAD are exact
+    interpolated order statistics, bit-identical to DuckDB's
+    quantile_cont, and the 3-MAD comparison is exact IEEE arithmetic, so
+    outlier counts hash-match."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.percentile("ad", 0.5).alias("mad")
+    )
+    return (
+        dev.select("event_type", "ad")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            pround(F.first("med"), 6).alias("med"),
+            pround(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
