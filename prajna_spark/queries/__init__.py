@@ -62,6 +62,7 @@ def _load_all() -> None:
         text,
         sampling,
         retrieval,
+        graph,
         multimodal,
         scalars,
         relational,

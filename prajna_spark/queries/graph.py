@@ -1,0 +1,88 @@
+"""Graph-analytics catalog queries (PageRank over the part–supplier
+bipartite graph derived from lineitem).
+
+Oracle parity technique (same as the k-means fixed-iteration replay,
+queries/vectors.py:_kmeans_oracle): both engines run the IDENTICAL
+deterministic power-method schedule with per-iteration portable rounding,
+so even the rank doubles hash-match. Constant spellings mirror Python's
+pre-folding: (1e0 - 8.5e-1) reproduces Python's 1.0-0.85 =
+0.15000000000000002 exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import R
+from prajna_spark.operators.pagerank import pagerank
+from prajna_spark.queries import query
+from prajna_spark.session import tune
+from prajna_spark.sources import load_table
+
+_N_ITER = 4
+_DEC = 9
+
+
+def _pagerank_oracle(n_iter: int = _N_ITER, dec: int = _DEC) -> str:
+    ctes = [
+        """pe AS MATERIALIZED (
+          SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM lineitem)""",
+        """e AS MATERIALIZED (
+          SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)""",
+        """nodes AS MATERIALIZED (
+          SELECT DISTINCT nid FROM (
+            SELECT src AS nid FROM e UNION ALL SELECT dst FROM e))""",
+        """deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src)""",
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT nid, {R('1e0 / s.n', dec)} AS r FROM nodes, s)",
+    ]
+    upd = R("(1e0 - 8.5e-1) / s.n + 8.5e-1 * coalesce(c.m, 0e0)", dec)
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+          SELECT n0.nid, {upd} AS r
+          FROM nodes n0 CROSS JOIN s
+          LEFT JOIN (
+            SELECT e.dst AS nid, sum(p.r / d.outd) AS m
+            FROM e
+            JOIN r{i - 1} p ON p.nid = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c ON c.nid = n0.nid)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    -- fixed-iteration PageRank replay (no dangling nodes: the graph is
+    -- symmetrized, so every node has out-edges and the dangling term the
+    -- Spark operator computes is exactly +0e0)
+    WITH {joined}
+    SELECT nid AS node_id, r AS pr FROM r{n_iter}
+    """
+
+
+@query(
+    "pagerank_part_supplier",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 power-method iterations (d=0.85) over the symmetrized
+    part–supplier co-occurrence graph (operators/pagerank.py): node ids
+    are 2*partkey / 2*suppkey+1 to keep the bipartite sides disjoint.
+    Per iteration the only edge-cardinality shuffle is edges⋈ranks keyed
+    on src; contribution sums and the damped update are node-cardinality
+    with one-row broadcast scalars; ranks are checkpointed and rounded
+    (9 decimals) every round so the DuckDB replay hash-matches."""
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    pe = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pe.unionAll(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, n_iter=_N_ITER, round_decimals=_DEC).select(
+        "node_id", "pr"
+    )
