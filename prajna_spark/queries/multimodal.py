@@ -167,3 +167,77 @@ def window_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return ev.select("event_id", "event_type", pround(z, 4).alias("zscore"))
+
+
+@query(
+    "audio_chunk_plan",
+    oracle="""
+    -- first-principles replay of the audio chunk plan: the Spark side
+    -- synthesizes REAL PCM WAV payloads, decodes them with the stdlib
+    -- wave parser, and derives chunks from the DECODED metadata; the
+    -- oracle recomputes from the synth formula (n_samples =
+    -- 400 + (doc_id*37) % 1200, 8 kHz, 50 ms chunks = 400 samples) —
+    -- equality proves the encode->decode roundtrip, not just arithmetic
+    WITH m AS (
+      SELECT doc_id, 400 + (doc_id * 37) % 1200 AS n_samples FROM documents
+    )
+    SELECT m.doc_id,
+           CAST(t.i AS BIGINT) AS chunk_no,
+           CAST(t.i * 400 AS BIGINT) AS start_sample,
+           CAST(least((t.i + 1) * 400, m.n_samples) AS BIGINT) AS end_sample,
+           CAST(t.i * 50 AS BIGINT) AS start_ms,
+           CAST(least((t.i + 1) * 400, m.n_samples) - t.i * 400 AS BIGINT)
+             AS n_in_chunk
+    FROM m JOIN range(0, 4) t(i)
+      ON t.i < CAST(ceil(m.n_samples / 4e2) AS BIGINT)
+    """,
+    tags=("multimodal", "audio", "chunking", "pandas-udf"),
+)
+def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio plumbing end-to-end: synthesize RIFF/WAVE PCM payloads
+    (stdlib wave writer, Arrow-batched), decode their headers back with
+    the stdlib wave parser (the non-stubbed decode path — WAV needs no
+    external codec), then derive a 50 ms chunk plan in pure JVM integer
+    arithmetic (pipeline.multimodal.chunk_audio). The oracle recomputes
+    every chunk bound from the generative formula, so a decode bug
+    (wrong rate/count/width) hash-fails."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_audio(fan_out(docs))
+    meta = multimodal.decode_audio_meta(media)
+    return multimodal.chunk_audio(meta, chunk_ms=50)
+
+
+@query(
+    "audio_chunk_rms",
+    oracle="""
+    -- per-chunk RMS replayed from the synth sawtooth: sample i of doc d
+    -- is (((i*13 + d) % 256) - 128) * 64; the INTEGER sum of squares is
+    -- exact and order-independent, so sqrt(ss/n) is bit-identical to the
+    -- Spark side's numpy computation over the DECODED PCM bytes
+    WITH s AS (
+      SELECT d.doc_id, t.i // 400 AS chunk_no,
+             (((t.i * 13 + d.doc_id) % 256) - 128) * 64 AS v
+      FROM (SELECT doc_id, 400 + (doc_id * 37) % 1200 AS n_samples
+            FROM documents) d
+      JOIN range(0, 1600) t(i) ON t.i < d.n_samples
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           (floor(sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6) AS rms
+    FROM s GROUP BY doc_id, chunk_no
+    """,
+    tags=("multimodal", "audio", "dsp", "pandas-udf"),
+)
+def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk RMS energy over REAL decoded PCM (numpy frombuffer on
+    the wave frames — the loudness/VAD feature-extraction slot): Python
+    touches each payload once per Arrow batch, chunks are sliced
+    vectorized. Cross-engine exactness comes from integer sum-of-squares
+    (order-independent) + bit-identical sqrt/division, checked against a
+    pure-SQL replay of the synth waveform."""
+    from prajna_spark.functions.rounding import pround
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_audio(fan_out(docs))
+    out = multimodal.audio_chunk_rms(media, chunk_ms=50)
+    return out.select("doc_id", "chunk_no", pround(F.col("rms"), 6).alias("rms"))

@@ -100,3 +100,62 @@ def test_grouped_zscore_degenerate_groups_yield_null(spark, tmp_path):
     assert got[1] is None          # single-row group
     assert got[2] is None and got[3] is None  # zero-variance group
     assert got[4] == -0.7071 and got[5] == 0.7071
+
+
+def test_audio_decode_roundtrip_independent_fixture(spark):
+    """decode_audio_meta parses a WAV we build here by hand (different
+    rate/length from the synth path) — the decoder is generic, not
+    coupled to synthesize_audio."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x01\x00" * 1234)
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_audio_meta(df).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.sample_width, row.n_samples) == (
+        16000, 1, 2, 1234,
+    )
+
+
+def test_audio_chunking_exact_multiple_has_no_empty_tail(spark):
+    """n_samples == k * chunk gives exactly k chunks, the last one full."""
+    meta = spark.createDataFrame(
+        [(1, 8000, 1, 2, 800)],
+        "doc_id long, sample_rate int, n_channels int, sample_width int, n_samples long",
+    )
+    rows = sorted(
+        multimodal.chunk_audio(meta, chunk_ms=50).collect(),
+        key=lambda r: r.chunk_no,
+    )
+    assert len(rows) == 2
+    assert rows[-1].n_in_chunk == 400 and rows[-1].end_sample == 800
+    assert rows[-1].start_ms == 50
+
+
+def test_audio_rms_constant_signal(spark):
+    """A constant-amplitude signal's RMS is exactly that amplitude."""
+    import io
+    import wave
+
+    import numpy as np
+
+    amp = 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.full(800, amp, dtype=np.int16).tobytes())
+    df = spark.createDataFrame(
+        [(3, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    rows = multimodal.audio_chunk_rms(df, chunk_ms=50).collect()
+    assert len(rows) == 2
+    assert all(r.rms == float(amp) for r in rows)
