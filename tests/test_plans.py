@@ -121,10 +121,17 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
     """Catalog-wide JVM-discipline lint (extends the headline-only check):
     NO query may drop to row-at-a-time or Arrow Python evaluation except
     the ones whose operator IS a pandas UDF by design — the Arrow-batched
-    multimodal decode and the grouped-pandas zscore (kept as the
-    documented applyInPandas exemplar; its JVM twin window_zscore_events
-    is the headline spelling)."""
-    allowed = {"grouped_zscore_pandas", "multimodal_decode_meta"}
+    multimodal decodes (image meta, audio WAV encode/decode/RMS), the
+    Misra-Gries partition sketch, and the grouped-pandas zscore (kept as
+    the documented applyInPandas exemplar; its JVM twin
+    window_zscore_events is the headline spelling)."""
+    allowed = {
+        "grouped_zscore_pandas",
+        "multimodal_decode_meta",
+        "audio_chunk_plan",
+        "audio_chunk_rms",
+        "heavy_hitters_users",
+    }
     for name, fn in queries().items():
         if name in allowed:
             continue
