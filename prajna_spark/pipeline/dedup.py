@@ -548,3 +548,51 @@ def blocked_pairs(
         *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
         *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): order records by
+    a sort key and emit each record paired with its next ``window - 1``
+    neighbours — the classic merge/purge candidate generator for typo-ish
+    duplicates that hash blocking (identical-key buckets) misses, since
+    near-misses sort adjacently.
+
+    Scale shape: the global order comes from ``zip_with_index`` (range
+    partition + per-partition ordinals + a #partitions-row prefix sum —
+    NEVER a single-task global window), neighbour offsets are a tiny
+    explode, and pairing is ONE equi-join on the long ``rn`` index —
+    output is exactly (window-1) * n rows minus the tail, bounded by
+    construction (contrast: ``blocked_pairs`` caps quadratic buckets).
+    Returns (a_id, a_key, b_id, b_key, gap) with gap in [1, window-1];
+    exact verification (levenshtein/jaccard) composes downstream.
+    """
+    from prajna_spark.operators.zipindex import zip_with_index
+
+    if window < 2:
+        raise ValueError("window must be >= 2 to produce any pairs")
+    idx = zip_with_index(
+        df.select(F.col(id_col), F.col(key_col)),
+        order_by=[key_col, id_col],
+        index_col="rn",
+    )
+    left = idx.select(
+        F.col(id_col).alias("a_id"),
+        F.col(key_col).alias("a_key"),
+        "rn",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window) - 1))
+        ).alias("gap"),
+    ).withColumn("rn2", F.col("rn") + F.col("gap"))
+    right = idx.select(
+        F.col("rn").alias("rn2"),
+        F.col(id_col).alias("b_id"),
+        F.col(key_col).alias("b_key"),
+    )
+    return left.join(right, "rn2").select(
+        "a_id", "a_key", "b_id", "b_key", F.col("gap").cast("long").alias("gap")
+    )

@@ -963,3 +963,145 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    -- pointwise mutual information of adjacent token bigrams (collocation
+    -- extraction): pmi = ln( p(a,b) / (p(a) p(b)) ), counts over the whole
+    -- corpus, min pair count 5; every arithmetic step is exact IEEE in the
+    -- same order on both engines, ln is bit-identical libm
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS.format(c="text")} AS tk FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(tk) AS term FROM toks
+      ) GROUP BY term
+    ),
+    big AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+        FROM toks
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t_tok,
+             (SELECT CAST(sum(n_pair) AS DOUBLE) FROM big) AS t_pair
+    )
+    SELECT b.w1, b.w2, b.n_pair,
+           (floor(ln(
+              (CAST(b.n_pair AS DOUBLE) / t.t_pair)
+              / ((CAST(u1.c AS DOUBLE) / t.t_tok)
+                 * (CAST(u2.c AS DOUBLE) / t.t_tok))
+            ) * 1e6 + 5e-1) / 1e6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.term = b.w1
+    JOIN uni u2 ON u2.term = b.w2
+    CROSS JOIN tot t
+    WHERE b.n_pair >= 5
+    """,
+    tags=("text", "collocations", "pmi", "ngram"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: PMI of adjacent token bigrams over the
+    corpus — the lexical-association signal phrase-mining / tokenizer-
+    vocabulary pipelines rank candidate multi-word units by. Plan: ONE
+    tokenize pass feeds both the unigram and bigram counts (bigrams via a
+    JVM transform over 1-based element_at — no Python), the two count
+    joins key on single terms (narrow; AQE broadcasts the vocab-sized
+    side when it is small), and corpus totals ride a one-row broadcast.
+    At 100 TB the shuffles carry (term) and (w1, w2) count rows only,
+    never text."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(textqa.tokens(F.col("text")).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    "             element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t_tok")).crossJoin(
+        big.agg(F.sum("n_pair").cast("double").alias("t_pair"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.where(F.col("n_pair") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            pround(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("t_pair"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("t_tok"))
+                        * (F.col("c2").cast("double") / F.col("t_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    -- sorted-neighborhood blocking over part names (window 4) + exact
+    -- levenshtein verification <= 4: the merge/purge candidate generator
+    -- for typo-duplicates; identical deterministic total order (p_name,
+    -- p_partkey) on both engines, integer edit distance
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("dedup", "blocking", "sorted-neighborhood", "fuzzy"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs over part names
+    (pipeline.dedup.sorted_neighborhood_pairs, window=4) verified with
+    exact levenshtein <= 4 — the blocking flavor that catches sort-
+    adjacent near-misses where hash blocking needs identical keys. The
+    oracle's single-node row_number replays the same total order; the
+    Spark side builds it distributed (range partition + prefix-sum
+    offsets), pairs via one narrow rn equi-join, and emits O(window * n)
+    candidates by construction."""
+    tune(spark)
+    part = load_table(spark, "part", sf_dir)
+    pairs = dedup.sorted_neighborhood_pairs(
+        part, id_col="p_partkey", key_col="p_name", window=4
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "gap",
+        F.levenshtein("a_key", "b_key").cast("long").alias("lev"),
+    ).where(F.col("lev") <= 4)

@@ -600,3 +600,39 @@ def test_morton_key_matches_local_interleave(spark, pairs):
         return z
 
     assert sorted(got) == sorted(local(a, b) for a, b in pairs)
+
+
+# short lowercase keys with heavy collision probability; ids unique
+snb_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),
+        st.text(alphabet="ab", min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=snb_strategy, window=st.sampled_from([2, 3, 5]))
+@settings(**SETTINGS)
+def test_sorted_neighborhood_matches_local_model(spark, rows, window):
+    """sorted_neighborhood_pairs == pairs within `window` of each other in
+    the locally sorted (key, id) order — for any window, including windows
+    larger than the input and heavy key ties (the range-partition +
+    prefix-sum index must realize the exact same total order)."""
+    from prajna_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(rows, "rid long, k string")
+    got = {
+        (r.a_id, r.b_id, r.gap)
+        for r in sorted_neighborhood_pairs(df, "rid", "k", window=window).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (order[i][0], order[i + g][0], g)
+        for i in range(len(order))
+        for g in range(1, window)
+        if i + g < len(order)
+    }
+    assert got == want
