@@ -101,6 +101,17 @@ EXTENDED = [
     "telemetry_distinct_users_hll",
     "q7_volume_shipping",
     "q19_disjunctive_revenue",
+    # round-5 additions: retrieval, sketches, graph, audio, collocations
+    "bm25_topk_docs",
+    "hybrid_rrf_search",
+    "heavy_hitters_users",
+    "markov_event_transitions",
+    "anomaly_mad_events",
+    "pagerank_part_supplier",
+    "audio_chunk_plan",
+    "audio_chunk_rms",
+    "pmi_collocations",
+    "dedup_sorted_neighborhood",
 ]
 
 

@@ -181,3 +181,77 @@ def rrf_fuse(
         fused.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index PARTITIONED BY term-hash bucket —
+    the production layout for repeated queries (the lexical twin of
+    ``similarity.build_ivf_index``). Every scoring input is precomputed
+    per posting at build time: tf, dl, and the term's document frequency
+    (so search does NO corpus-wide aggregation at all); corpus stats land
+    in a sibling ``<path>/stats`` one-row table. A probe-time join on
+    bucket prunes the scan to the query terms' buckets via dynamic
+    partition pruning — I/O scales with |query terms|/n_buckets of the
+    index, not its size."""
+    p = doc_postings(docs, id_col, text_col)
+    dfreq = p.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    (
+        p.join(dfreq, "term")
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    corpus_stats(docs, text_col).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_text_index(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    k: int = 10,
+    n_buckets: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-k over a :func:`build_text_index` layout. Query terms are
+    bucketed with the same hash and broadcast; the (bucket, term) join
+    prunes index partitions at runtime, and since df/dl/tf are stored per
+    posting the whole search is scan -> broadcast join -> one groupBy ->
+    WindowGroupLimit top-k. Results are IDENTICAL to the from-scratch
+    ``bm25_topk`` (same arithmetic over the same precomputed inputs) —
+    the property the shared catalog oracle checks."""
+    postings = spark.read.parquet(f"{path}/postings")
+    stats = spark.read.parquet(f"{path}/stats")
+    qt = query_terms.withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+    scored = (
+        postings.join(F.broadcast(qt), ["bucket", "term"])
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    tf_part = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scores = (
+        scored.select("query_id", "doc_id", (idf * tf_part).alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
+    )
+    if exclude_self:
+        scores = scores.where(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -100,9 +100,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QT_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 
 
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
+# Shared by bm25_topk_docs (from-scratch postings) and
+# bm25_persisted_search (the bucket-partitioned on-disk index): identical
+# queries and parameters, so one oracle verifies BOTH implementations
+# agree with DuckDB and, transitively, with each other (the
+# search_ivf_index_persisted technique).
+_BM25_TOPK_ORACLE = f"""
     -- BM25 top-10 per query over the inverted postings of `documents`
     WITH {_BM25_CTES},
     qt AS (SELECT * FROM (VALUES {_QT_VALUES}) AS t(query_id, term)),
@@ -114,7 +117,12 @@ _QT_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
              ) AS BIGINT) AS rk
       FROM scored
     ) WHERE rk <= 10
-    """,
+    """
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=_BM25_TOPK_ORACLE,
     tags=("retrieval", "bm25", "text", "pipeline"),
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,4 +220,30 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = retrieval.rrf_fuse([bm25, knn], k=10)
     return fused.select(
         "query_id", "doc_id", "rrf", "n_systems", F.col("rk").alias("frk")
+    )
+
+
+@query(
+    "bm25_persisted_search",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("retrieval", "bm25", "index", "dpp", "pipeline"),
+)
+def bm25_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED lexical path (pipeline.retrieval.build_text_index /
+    search_text_index): materialize the inverted index PARTITIONED BY
+    term-hash bucket with df/dl/tf precomputed per posting, then search it
+    — the broadcast (bucket, term) probe join prunes the scan to the query
+    terms' buckets, and scoring needs no corpus-wide aggregation at all.
+    Same queries and parameters as bm25_topk_docs, same oracle: the
+    on-disk layout must return exactly the from-scratch result."""
+    import tempfile
+
+    from prajna_spark.pipeline.retrieval import build_text_index, search_text_index
+
+    docs = _docs(spark, sf_dir)
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    path = tempfile.mkdtemp(prefix="text_index_q_") + "/index"
+    build_text_index(docs, path)
+    return search_text_index(spark, path, qt, k=10).select(
+        "query_id", "doc_id", "score", "rk"
     )

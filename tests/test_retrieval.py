@@ -110,3 +110,25 @@ def test_bm25_plan_prunes_and_bounds(spark, corpus):
     )
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_persisted_index_matches_from_scratch_and_prunes(spark, corpus, tmp_path):
+    """build_text_index + search_text_index returns exactly bm25_topk's
+    result, its layout is bucket-partitioned, and the probe join prunes
+    scan partitions (the lexical twin of the IVF DPP test)."""
+    qt = spark.createDataFrame(
+        [("q0", "apple"), ("q0", "durian")], "query_id string, term string"
+    )
+    path = str(tmp_path / "tidx")
+    retrieval.build_text_index(corpus, path, n_buckets=8)
+    import os
+
+    leaves = [d for d in os.listdir(f"{path}/postings") if d.startswith("bucket=")]
+    assert leaves, "index must be partitioned by term bucket"
+
+    got = retrieval.search_text_index(spark, path, qt, k=10, n_buckets=8)
+    want = retrieval.bm25_topk(corpus, qt, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
