@@ -247,3 +247,44 @@ def bm25_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text_index(spark, path, qt, k=10).select(
         "query_id", "doc_id", "score", "rk"
     )
+
+
+@query(
+    "bm25_stream_search",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("retrieval", "bm25", "streaming", "index", "pipeline"),
+)
+def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED lexical index end-to-end
+    (streaming.text_index_stream): readStream over documents -> per-batch
+    postings appended under bucket=*/ingest_batch=<id> (replay-safe
+    dynamic overwrite) + mergeable per-batch corpus-stats rows -> live
+    search that derives df from the pruned postings and stats from the
+    tiny stats table, so it is correct at ANY drain point. Same queries
+    as bm25_topk_docs, same oracle: after the AvailableNow drain the live
+    index must return exactly the from-scratch result."""
+    import os
+    import tempfile
+
+    from prajna_spark.streaming.text_index_stream import (
+        search_live_text_index,
+        start_incremental_text_index,
+    )
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="text_index_stream_q_")
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        docs = reader.parquet(path)
+    else:
+        docs = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    idx = f"{base}/index"
+    q = start_incremental_text_index(docs, idx, f"{base}/ckpt")
+    q.awaitTermination()
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return search_live_text_index(spark, idx, qt, k=10).select(
+        "query_id", "doc_id", "score", "rk"
+    )
