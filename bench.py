@@ -112,6 +112,8 @@ EXTENDED = [
     "audio_chunk_rms",
     "pmi_collocations",
     "dedup_sorted_neighborhood",
+    "bm25_persisted_search",
+    "bm25_stream_search",
 ]
 
 
