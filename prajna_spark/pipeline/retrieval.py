@@ -255,3 +255,36 @@ def search_text_index(
         scores.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def hashed_tf_features(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the Weinberger et al. hashing trick): model-free
+    text vectorization into ``dim`` signed term-count buckets —
+    ``(doc_id, bucket, val)`` sparse form. Bucket and sign come from md5
+    hex slices (portable: Spark ``conv(h,16,10)`` == DuckDB
+    ``CAST('0x'||h AS BIGINT)``), values are integer sign sums — exact,
+    order-independent, engine-identical. Row-local until one narrow
+    (doc, bucket) groupBy; no vocabulary state, so the featurizer needs
+    no fit pass and is stable as the corpus grows — the property that
+    makes it the cheap baseline vectorizer for dedup/clustering before
+    any learned embedding exists."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(textqa.tokens(F.col(text_col))).alias("term"),
+    ).withColumn("__h", F.md5("term"))
+    bucket = (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % dim).alias(
+        "bucket"
+    )
+    sign = F.when(
+        F.conv(F.substring("__h", 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        t.select("doc_id", bucket, sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("val"))
+    )

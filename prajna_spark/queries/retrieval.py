@@ -288,3 +288,35 @@ def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_live_text_index(spark, idx, qt, k=10).select(
         "query_id", "doc_id", "score", "rk"
     )
+
+
+@query(
+    "hashed_tf_features",
+    oracle="""
+    -- feature-hashing vectorization: signed term-count buckets from md5
+    -- slices; integer sign sums are exact on both engines
+    WITH t AS (
+      SELECT doc_id, md5(term) AS h FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                 trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                 ' +'), w -> w <> '')) AS term
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST('0x' || substring(h, 1, 8) AS BIGINT) % 64 AS bucket,
+           CAST(sum(CASE WHEN CAST('0x' || substring(h, 9, 1) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS val
+    FROM t GROUP BY doc_id, bucket
+    """,
+    tags=("retrieval", "vectorization", "hashing-trick", "pipeline"),
+)
+def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text vectorization via the hashing trick
+    (pipeline.retrieval.hashed_tf_features, dim=64): the text->vector
+    bridge between the lexical and embedding tiers — no vocabulary fit
+    pass, assignment stable under corpus growth, one narrow (doc, bucket)
+    shuffle, integer-exact across engines."""
+    docs = _docs(spark, sf_dir)
+    return retrieval.hashed_tf_features(docs, dim=64)
