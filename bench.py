@@ -114,6 +114,8 @@ EXTENDED = [
     "dedup_sorted_neighborhood",
     "bm25_persisted_search",
     "bm25_stream_search",
+    "hashed_tf_features",
+    "dedup_jaccard_exact_join",
 ]
 
 

@@ -17,7 +17,7 @@ north-star LLM-pipeline surface (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
@@ -595,4 +595,114 @@ def sorted_neighborhood_pairs(
     )
     return left.join(right, "rn2").select(
         "a_id", "a_key", "b_id", "b_key", F.col("gap").cast("long").alias("gap")
+    )
+
+
+def word_shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, gram: int = 4
+) -> DataFrame:
+    """Distinct word ``gram``-gram shingle set per document:
+    ``(__sid, __ss array<string>, __sz)``. Pure JVM (element_at over the
+    token array); documents shorter than ``gram`` tokens get an empty set."""
+    tk = tokens(F.col(text_col))
+    # CASE-guarded: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of
+    # being empty (unlike DuckDB range), so short documents need an
+    # explicit empty-array branch (found by the hypothesis differential).
+    joined = F.expr(
+        "CASE WHEN size(__tk) >= {gram} THEN"
+        " transform(sequence(1, size(__tk) - {g}),"
+        " i -> concat_ws(' ', {parts}))"
+        " ELSE array() END".format(
+            gram=gram,
+            g=gram - 1,
+            parts=", ".join(f"element_at(__tk, i + {j})" for j in range(gram)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__sid"), tk.alias("__tk"))
+        .select("__sid", F.array_distinct(joined).alias("__ss"))
+        .withColumn("__sz", F.size("__ss"))
+    )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    gram: int = 4,
+    jaccard_decimals: int = 4,
+) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering,
+    Xiao et al., WWW'08): all pairs with word-``gram``-shingle Jaccard >=
+    ``threshold`` — provably NO false negatives, unlike the MinHash/LSH
+    funnel whose recall is probabilistic.
+
+    Why it scales: order the shingle universe globally by ascending
+    document frequency (rarest first — a distributed ``zip_with_index``,
+    never a single-task window); a document of set size s only exposes its
+    first s - ceil(t*s) + 1 rarest shingles (if two sets with J >= t
+    shared none of their prefixes, their >= ceil(t*s) common shingles
+    would all sit in the suffixes of length ceil(t*s) - 1 — contradiction).
+    Candidates come from ONE equi-join on those rare prefix shingles (low
+    df == small buckets, the inverse of LSH's hot bands), a length filter
+    (t*|x| <= |y| <= |x|/t) prunes further, and the exact Jaccard
+    comparator runs only on survivors. The prefix uses a slightly relaxed
+    t' = threshold - 1e-3 so the portable 4-decimal rounding of the final
+    Jaccard can never round a true near-threshold pair into a set the
+    prefix already excluded.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    from prajna_spark.operators.zipindex import zip_with_index
+
+    sets = scoped_persist(word_shingle_sets(docs, id_col, text_col, gram))
+    vocab = (
+        sets.select(F.explode("__ss").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = zip_with_index(vocab, order_by=["df", "sh"], index_col="trank").select(
+        "sh", "trank"
+    )
+    t_relaxed = threshold - 1e-3
+    prefix_len = (F.col("__sz") - F.ceil(F.col("__sz") * t_relaxed) + 1).cast("int")
+    w = Window.partitionBy("__sid").orderBy("trank")
+    prefix = (
+        sets.select("__sid", "__sz", F.explode("__ss").alias("sh"))
+        .join(ranked, "sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select("sh", "__sid", "__sz")
+    )
+    a = prefix.select(
+        F.col("sh"), F.col("__sid").alias("id_a"), F.col("__sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("sh"), F.col("__sid").alias("id_b"), F.col("__sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * t_relaxed <= F.col("sz_a"))
+            & (F.col("sz_a") * t_relaxed <= F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("__sid").alias("id_a"), F.col("__ss").alias("ss_a"))
+    sb = sets.select(F.col("__sid").alias("id_b"), F.col("__ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    union = F.size(F.array_union("ss_a", "ss_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(union > 0)
+        .select(
+            "id_a",
+            "id_b",
+            pround(inter / union.cast("double"), jaccard_decimals).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

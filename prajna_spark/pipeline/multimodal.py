@@ -214,8 +214,11 @@ def chunk_audio(meta: DataFrame, chunk_ms: int = 50) -> DataFrame:
     ``sample_frames``."""
     spc = (F.col("sample_rate").cast("long") * chunk_ms) / 1000  # exact for ms|1000
     n_chunks = F.ceil(F.col("n_samples") / spc).cast("long")
+    # empty audio yields no chunks — guarded because Spark's
+    # sequence(0, -1) DESCENDS to [0, -1] instead of being empty
     return (
-        meta.select(
+        meta.where(F.col("n_samples") > 0)
+        .select(
             "doc_id",
             "sample_rate",
             "n_samples",

@@ -1027,9 +1027,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(tk) - 1),"
+                    # CASE-guarded: sequence(1, 0) DESCENDS in Spark, so
+                    # 0/1-token docs need an explicit empty branch
+                    "CASE WHEN size(tk) >= 2 THEN"
+                    " transform(sequence(1, size(tk) - 1),"
                     " i -> struct(element_at(tk, i) AS w1,"
                     "             element_at(tk, i + 1) AS w2))"
+                    " ELSE array() END"
                 )
             ).alias("bg")
         )
@@ -1105,3 +1109,51 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap",
         F.levenshtein("a_key", "b_key").cast("long").alias("lev"),
     ).where(F.col("lev") <= 4)
+
+
+@query(
+    "dedup_jaccard_exact_join",
+    oracle="""
+    -- ground truth for the PPJoin prefix-filtered similarity join: ALL
+    -- pairs with word-4-gram-shingle Jaccard >= 0.6 by brute force
+    -- (exactness is the point: prefix filtering has no false negatives)
+    WITH tt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+               ' +'), w -> w <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 0) + 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             )) AS ss
+      FROM tt
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (floor(len(list_intersect(a.ss, b.ss))
+                    / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE)
+                    * 1e4 + 5e-1) / 1e4) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_concat(a.ss, b.ss))) > 0
+    ) WHERE jaccard >= 6e-1
+    """,
+    tags=("dedup", "similarity-join", "prefix-filter", "exact"),
+)
+def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity self-join at Jaccard >= 0.6 over word
+    4-gram shingles (pipeline.dedup.jaccard_similarity_join) — PPJoin-
+    style prefix filtering: each document exposes only its rarest
+    s - ceil(t*s) + 1 shingles (global rarity order from a distributed
+    zip-with-index), candidates come from one equi-join on those
+    low-df shingles plus a length filter, and exact Jaccard verifies
+    survivors. Provably zero false negatives, which is why a brute-force
+    oracle hash-matches; the Spark side never materializes the O(n^2)
+    pair space the oracle can afford at sf0.01."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.jaccard_similarity_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.6, gram=4
+    )

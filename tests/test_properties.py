@@ -636,3 +636,54 @@ def test_sorted_neighborhood_matches_local_model(spark, rows, window):
         if i + g < len(order)
     }
     assert got == want
+
+
+# documents over a 3-word alphabet: heavy shingle collisions, length
+# variety, docs shorter than the gram size, exact duplicates
+jac_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=10).map(
+            " ".join
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=jac_docs_strategy, thr=st.sampled_from([0.3, 0.6, 0.9]))
+@settings(**{**SETTINGS, "max_examples": 5})  # multi-stage join: ~12s/example
+def test_jaccard_exact_join_matches_brute_force(spark, rows, thr):
+    """Prefix filtering must find EXACTLY the brute-force pair set for any
+    threshold — the no-false-negative guarantee under shingle ties, empty
+    sets, and exact duplicates (J = 1.0)."""
+    import math
+
+    from prajna_spark.pipeline.dedup import jaccard_similarity_join
+
+    def pr4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    def sset(text, g=2):
+        tk = text.split()
+        return {" ".join(tk[i : i + g]) for i in range(len(tk) - g + 1)}
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_similarity_join(
+            df, "doc_id", "text", threshold=thr, gram=2
+        ).collect()
+    }
+    want = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            a, b = sset(ta), sset(tb)
+            lo, hi = (ida, idb) if ida < idb else (idb, ida)
+            if a | b:
+                j = pr4(len(a & b) / len(a | b))
+                if j >= thr:
+                    want.add((lo, hi, j))
+    assert got == want
