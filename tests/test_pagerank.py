@@ -70,3 +70,22 @@ def test_mass_conserved_on_bipartite_graph(spark):
     hubs = [v for k, v in got.items() if k % 2 == 1]
     leaves = [v for k, v in got.items() if k % 2 == 0]
     assert min(hubs) > max(leaves)
+
+
+def test_triangle_count_known_graphs(spark):
+    from prajna_spark.operators.triangles import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        return (r.n_edges, r.n_triangles)
+
+    # K4: 6 edges, 4 triangles (given with duplicates/reversed edges)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert count(k4) == (6, 4)
+    # C5 cycle: 5 edges, 0 triangles
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    assert count(c5) == (5, 0)
+    # bipartite 3x3: no odd cycles
+    bip = [(i, 10 + j) for i in range(3) for j in range(3)]
+    assert count(bip) == (9, 0)

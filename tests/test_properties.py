@@ -687,3 +687,33 @@ def test_jaccard_exact_join_matches_brute_force(spark, rows, thr):
                 if j >= thr:
                     want.add((lo, hi, j))
     assert got == want
+
+
+edges_graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(edges=edges_graph_strategy)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Degree-ordered wedge closure == brute-force triangle enumeration
+    for any multigraph with self-loops and duplicate/reversed edges."""
+    from itertools import combinations
+
+    from prajna_spark.operators.triangles import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    )
+    assert (r.n_edges, r.n_triangles) == (len(und), brute)
