@@ -116,6 +116,8 @@ EXTENDED = [
     "bm25_stream_search",
     "hashed_tf_features",
     "dedup_jaccard_exact_join",
+    "triangle_count_parts",
+    "resolve_part_entities",
 ]
 
 

@@ -169,7 +169,9 @@ def _minhash_sql(j: int, k: int = 5, slice_len: int = 8) -> str:
     )
 
 
-def _cc_levels(n_levels: int) -> str:
+def _cc_levels(
+    n_levels: int, node_table: str = "documents", node_id: str = "doc_id"
+) -> str:
     """Unrolled min-label propagation + pointer-jump CTE ladder.
 
     Mirrors pipeline.dedup.connected_components level-by-level: each level
@@ -183,7 +185,10 @@ def _cc_levels(n_levels: int) -> str:
     raises effective coverage far beyond (verified identical to the full
     transitive closure at sf0.01 and self-converged at sf0.1).
     """
-    parts = ["l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents)"]
+    parts = [
+        f"l0 AS MATERIALIZED (SELECT {node_id} AS id, {node_id} AS label"
+        f" FROM {node_table})"
+    ]
     for k in range(1, n_levels + 1):
         parts.append(f"""p{k} AS MATERIALIZED (
       SELECT l.id, least(l.label, coalesce(min(nl.label), l.label)) AS label
@@ -1156,4 +1161,68 @@ def dedup_jaccard_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.jaccard_similarity_join(
         docs, id_col="doc_id", text_col="text", threshold=0.6, gram=4
+    )
+
+
+@query(
+    "resolve_part_entities",
+    oracle=f"""
+    -- end-to-end entity resolution over part names: sorted-neighborhood
+    -- blocking (window 4) -> levenshtein <= 2 match edges -> connected
+    -- components -> canonical cluster certificate (min partkey, its name,
+    -- member count); singletons included
+    WITH r AS MATERIALIZED (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ), pairs AS MATERIALIZED (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    {_cc_levels(_CC_LEVELS, node_table="part", node_id="p_partkey")},
+    cc AS (
+      SELECT c.id AS p_partkey, c.label AS entity_id
+      FROM l{_CC_LEVELS} c
+    )
+    SELECT cc.entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min_by(p.p_name, p.p_partkey) AS canonical_name
+    FROM cc JOIN part p USING (p_partkey)
+    GROUP BY cc.entity_id
+    """,
+    tags=("entity-resolution", "dedup", "composition", "graph"),
+)
+def resolve_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution COMPOSED from the pipeline's own
+    primitives: sorted-neighborhood blocking
+    (dedup.sorted_neighborhood_pairs, window 4) generates O(window*n)
+    candidates, levenshtein <= 2 keeps true matches, connected components
+    (dedup.connected_components — the O(log d) pointer-jump loop) resolves
+    transitive match chains into entities, and the certificate reports
+    each entity's canonical (min-key) record, name, and size. The same
+    merge/purge shape a catalog-cleaning job runs at 100 TB; every stage
+    keeps its own scale story, and DuckDB replays the whole composition
+    exactly."""
+    tune(spark)
+    part = load_table(spark, "part", sf_dir)
+    pairs = dedup.sorted_neighborhood_pairs(
+        part, id_col="p_partkey", key_col="p_name", window=4
+    ).where(F.levenshtein("a_key", "b_key") <= 2).select(
+        F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
+    )
+    cc = dedup.connected_components(
+        pairs, part.select("p_partkey"), id_col="p_partkey"
+    ).select("p_partkey", F.col("component_id").alias("entity_id"))
+    return (
+        cc.join(part.select("p_partkey", "p_name"), "p_partkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min_by("p_name", "p_partkey").alias("canonical_name"),
+        )
     )
