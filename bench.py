@@ -118,6 +118,7 @@ EXTENDED = [
     "dedup_jaccard_exact_join",
     "triangle_count_parts",
     "resolve_part_entities",
+    "histogram_quantile_sketch",
 ]
 
 

@@ -76,3 +76,93 @@ def hll_cascade(
             )
         )
     return reduce(DataFrame.unionByName, levels)
+
+
+def fixed_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """MERGEABLE equi-width histogram: ``(group..., bin, cnt)`` with FIXED
+    caller-declared bounds — the property that makes it a sketch: bin
+    counts from any partition/micro-batch/time-slice add exactly (unlike
+    data-dependent bounds, which break under merge). Out-of-range values
+    clamp to the edge bins, preserving total count. Deterministic double
+    arithmetic: the same (value - lo)/width floor on any engine."""
+    from pyspark.sql import functions as F
+
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    est_decimals: int = 6,
+) -> DataFrame:
+    """Quantile ESTIMATES from a :func:`fixed_histogram`:
+    ``(group..., q, est)`` long form. For each target rank q*N, find the
+    first bin whose cumulative count reaches it and interpolate linearly
+    inside: est = lo + width*(bin + (target - cum_before)/cnt). The
+    estimate is deterministic (hence oracle-exact) and within one bin
+    width of the true quantile — the monitoring-histogram guarantee; all
+    windows run over <= n_bins rows per group, never the data."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prajna_spark.functions.rounding import pround
+
+    width = (hi - lo) / n_bins
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+
+    outs = []
+    for q in quantiles:
+        target = F.col("total").cast("double") * q
+        est = pround(
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.col("bin").cast("double")
+                + (target - F.col("cum_before").cast("double"))
+                / F.col("cnt").cast("double")
+            ),
+            est_decimals,
+        )
+        picked = (
+            cum.where(F.col("cum").cast("double") >= target)
+            .groupBy(*group_cols)
+            .agg(F.min_by(est, F.col("bin")).alias("est"))
+            .select(*group_cols, F.lit(q).alias("q"), "est")
+        )
+        outs.append(picked)
+    return _reduce(_DF.unionByName, outs)

@@ -342,3 +342,56 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "histogram_quantile_sketch",
+    oracle="""
+    -- quantile ESTIMATES from a mergeable fixed-bound equi-width
+    -- histogram (100 bins over [0, 1000]): deterministic binning +
+    -- in-bin linear interpolation, replayed exactly
+    WITH h AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0e0) / 1e1), 0e0), 9.9e1)
+                  AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type, q, est FROM (
+      SELECT event_type, q,
+             (floor((0e0 + 1e1 * (CAST(bin AS DOUBLE)
+                + (CAST(total AS DOUBLE) * q - CAST(cum - cnt AS DOUBLE))
+                  / CAST(cnt AS DOUBLE))) * 1e6 + 5e-1) / 1e6) AS est,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+      FROM c CROSS JOIN (SELECT unnest([5e-1, 9.5e-1, 9.9e-1]) AS q) qs
+      WHERE CAST(cum AS DOUBLE) >= CAST(total AS DOUBLE) * q
+    ) WHERE rn = 1
+    """,
+    tags=("sketch", "quantiles", "histogram", "mergeable", "events"),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 ESTIMATES per event type from a mergeable fixed-bound
+    histogram (operators/sketch_rollup.fixed_histogram, 100 bins over
+    [0, 1000]) — the monitoring-histogram pattern: bin counts from any
+    partition, micro-batch, or day add EXACTLY (unlike exact percentiles,
+    which need the raw data), and the estimate is within one bin width of
+    the order statistic it targets (invariant-tested; in a sparse tail
+    that differs from the interpolated percentile). Complements the exact
+    profile_events_quantiles (use exact when you can hold the data, the
+    sketch when you must merge across time/streams)."""
+    from prajna_spark.operators.sketch_rollup import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    hist = fixed_histogram(ev, ["event_type"], "value", 0.0, 1000.0, 100)
+    return histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.95, 0.99], 0.0, 1000.0, 100
+    )

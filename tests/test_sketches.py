@@ -187,3 +187,58 @@ def test_repetition_scores_flags_boilerplate(spark):
     assert got[1] == (1.0, 5)
     assert got[2][0] == 1.0 / 5 and got[2][1] == 5
     assert 3 not in got
+
+
+def test_fixed_histogram_merge_invariant_and_error_bound(spark, sf_dir):
+    """Sketch-of-union == sum-of-sketches (exact, the mergeability
+    contract), and every quantile estimate lands within one bin width of
+    the exact percentile (the monitoring-histogram guarantee)."""
+    from prajna_spark.operators.sketch_rollup import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+    from prajna_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    lo, hi, nb = 0.0, 1000.0, 100
+    width = (hi - lo) / nb
+
+    whole = fixed_histogram(ev, ["event_type"], "value", lo, hi, nb)
+    h1 = fixed_histogram(
+        ev.where(F.col("value") < 50), ["event_type"], "value", lo, hi, nb
+    )
+    h2 = fixed_histogram(
+        ev.where(F.col("value") >= 50), ["event_type"], "value", lo, hi, nb
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    qs = [0.5, 0.95, 0.99]
+    est = {
+        (r.event_type, r.q): r.est
+        for r in histogram_quantiles(whole, ["event_type"], qs, lo, hi, nb).collect()
+    }
+    # The sketch's guarantee is vs the ORDER STATISTIC it targets (the
+    # smallest k with k >= q*N, under the same fp target), NOT vs the
+    # interpolated percentile — in a sparse tail, adjacent order stats
+    # can be many bin widths apart, and the sketch answers "smallest v
+    # with count(<= v) >= q*N" to within one bin.
+    import math
+
+    by_type: dict[str, list[float]] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        vals.sort()
+        for q in qs:
+            k = math.ceil(q * len(vals))
+            target_stat = vals[k - 1]
+            assert abs(est[(t, q)] - target_stat) <= width, (
+                t, q, est[(t, q)], target_stat,
+            )
