@@ -40,6 +40,11 @@ def mg_summaries(df: DataFrame, key_col: str, m: int) -> DataFrame:
     ``eps`` (that partition's accumulated truncation); keys absent from a
     partition's summary have in-partition count <= eps. At most ``m`` key
     rows per partition are emitted.
+
+    NULL keys are excluded from the sketch BY CONTRACT (a null ``key``
+    row is the empty-partition eps sentinel): null is a single known
+    group, so callers needing it count it exactly with one aggregate —
+    :func:`heavy_hitters_exact` does exactly that.
     """
     if m < 1:
         raise ValueError("summary size m must be >= 1")
@@ -51,7 +56,7 @@ def mg_summaries(df: DataFrame, key_col: str, m: int) -> DataFrame:
         counts = pd.Series(dtype="int64")
         eps = 0
         for batch in batches:
-            batch_counts = batch[key_col].value_counts()
+            batch_counts = batch[key_col].value_counts(dropna=True)
             counts = counts.add(batch_counts, fill_value=0).astype("int64")
             if len(counts) > m:
                 # MG merge truncation: subtract the (m+1)-th largest count
@@ -116,7 +121,10 @@ def heavy_hitters_exact(
     exact N, computed in-plan); pass 2 exact-counts candidates only. For
     m >= 1/phi the candidate set provably contains every true heavy
     hitter, so the output equals the brute-force groupBy+HAVING — the
-    property the DuckDB oracle checks."""
+    property the DuckDB oracle checks. NULL keys are handled exactly
+    outside the sketch (null is one known group — a single aggregate
+    counts it; the sketch's null row is its eps sentinel, and an
+    equi-join would drop nulls anyway)."""
     if m is None:
         m = max(16, int(2.0 / phi))
     if m * phi < 1.0:
@@ -131,10 +139,19 @@ def heavy_hitters_exact(
         .where(F.col("upper").cast("double") > F.col("n_total") * phi)
         .select(F.col("key").alias(key_col))
     )
-    return (
+    non_null = (
         df.join(F.broadcast(cands), key_col)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    null_grp = (
+        df.where(F.col(key_col).isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") > 0)
+        .select(F.lit(None).cast(dict(df.dtypes)[key_col]).alias(key_col), "n")
+    )
+    return (
+        non_null.unionByName(null_grp)
         .crossJoin(F.broadcast(total))
         .where(F.col("n").cast("double") > F.col("n_total") * phi)
         .select(key_col, "n")

@@ -212,12 +212,18 @@ def chunk_audio(meta: DataFrame, chunk_ms: int = 50) -> DataFrame:
     extractor (or a byte slicer: offset = 44 + start_sample*width) maps
     over; chunk fan-out inherits the input partitioning like
     ``sample_frames``."""
-    spc = (F.col("sample_rate").cast("long") * chunk_ms) / 1000  # exact for ms|1000
-    n_chunks = F.ceil(F.col("n_samples") / spc).cast("long")
+    # INTEGER samples-per-chunk (floor), and n_chunks derived from the
+    # SAME truncated value — deriving n_chunks from the fractional ratio
+    # while bounding chunks with the floor silently dropped trailing
+    # samples whenever sample_rate*chunk_ms wasn't divisible by 1000
+    # (e.g. 44.1 kHz at 33 ms); floor-everywhere matches audio_chunk_rms
+    # and covers every sample: the last chunk is simply short.
+    spc = F.floor((F.col("sample_rate").cast("long") * chunk_ms) / 1000).cast("long")
+    n_chunks = F.ceil(F.col("n_samples") / spc.cast("double")).cast("long")
     # empty audio yields no chunks — guarded because Spark's
     # sequence(0, -1) DESCENDS to [0, -1] instead of being empty
     return (
-        meta.where(F.col("n_samples") > 0)
+        meta.where((F.col("n_samples") > 0) & (spc >= 1))
         .select(
             "doc_id",
             "sample_rate",

@@ -63,6 +63,51 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_contribution(k1: float = BM25_K1, b: float = BM25_B):
+    """The BM25 contribution of ONE posting row — the single shared
+    arithmetic spelling behind every scoring path (from-scratch,
+    persisted index, streamed live index). All three are proven
+    result-identical by one shared catalog oracle, so this expression
+    must exist exactly once: an idf tweak applied to one copy would
+    silently break that invariant. Requires columns tf, dl, df, n_docs,
+    avgdl in scope."""
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    tf_part = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return idf * tf_part
+
+
+def score_postings(
+    scored: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Sum per-posting BM25 contributions into (query_id, doc_id, score)
+    with the portable rounding every ranking path shares."""
+    return (
+        scored.select("query_id", "doc_id", bm25_contribution(k1, b).alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
+    )
+
+
+def rank_topk(scores: DataFrame, k: int, exclude_self: bool = False) -> DataFrame:
+    """Deterministic top-k per query: rounded-score desc, doc_id
+    tiebreak, WindowGroupLimit plan shape. Shared by every search path."""
+    if exclude_self:
+        scores = scores.where(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def bm25_scores(
     postings: DataFrame,
     stats: DataFrame,
@@ -86,16 +131,7 @@ def bm25_scores(
         .join(F.broadcast(query_terms), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf = F.col("tf").cast("double")
-    tf_part = (tf * (k1 + 1.0)) / (
-        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    return (
-        scored.select("query_id", "doc_id", (idf * tf_part).alias("contrib"))
-        .groupBy("query_id", "doc_id")
-        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
-    )
+    return score_postings(scored, k1, b, score_decimals)
 
 
 def bm25_topk(
@@ -120,13 +156,7 @@ def bm25_topk(
         b=b,
         score_decimals=score_decimals,
     )
-    if exclude_self:
-        scores = scores.where(F.col("doc_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scores.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
-    )
+    return rank_topk(scores, k, exclude_self)
 
 
 def salient_terms(
@@ -162,6 +192,8 @@ def rrf_fuse(
     nothing (union-then-aggregate — no outer join). The union carries only
     (query, doc, contrib) rows — k·|queries|·|systems| of them — so fusion
     cost is independent of corpus size."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     contribs = None
     for r in ranked_lists:
         part = r.select(
@@ -238,22 +270,8 @@ def search_text_index(
         postings.join(F.broadcast(qt), ["bucket", "term"])
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf = F.col("tf").cast("double")
-    tf_part = (tf * (k1 + 1.0)) / (
-        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    scores = (
-        scored.select("query_id", "doc_id", (idf * tf_part).alias("contrib"))
-        .groupBy("query_id", "doc_id")
-        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
-    )
-    if exclude_self:
-        scores = scores.where(F.col("doc_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scores.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
+    return rank_topk(
+        score_postings(scored, k1, b, score_decimals), k, exclude_self
     )
 
 

@@ -92,6 +92,24 @@ def _bm25_scored_cte(qt_cte: str) -> str:
 """
 
 
+
+def _work_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch dir, WIPED on entry: the
+    repeated catalog runs (driver gate, scale smoke, bench) would
+    otherwise accumulate a full index copy per invocation via mkdtemp —
+    unbounded disk growth. A fixed path + rm-then-recreate bounds usage
+    at one live copy per query/scale; the caller's read plan is built
+    after the rebuild, so nothing dangles."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/prajna_{prefix}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return load_table(spark, "documents", sf_dir)
@@ -236,13 +254,12 @@ def bm25_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms' buckets, and scoring needs no corpus-wide aggregation at all.
     Same queries and parameters as bm25_topk_docs, same oracle: the
     on-disk layout must return exactly the from-scratch result."""
-    import tempfile
-
     from prajna_spark.pipeline.retrieval import build_text_index, search_text_index
+    from prajna_spark.queries.retrieval import _work_dir
 
     docs = _docs(spark, sf_dir)
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
-    path = tempfile.mkdtemp(prefix="text_index_q_") + "/index"
+    path = _work_dir("text_index_q", sf_dir) + "/index"
     build_text_index(docs, path)
     return search_text_index(spark, path, qt, k=10).select(
         "query_id", "doc_id", "score", "rk"
@@ -264,7 +281,6 @@ def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     as bm25_topk_docs, same oracle: after the AvailableNow drain the live
     index must return exactly the from-scratch result."""
     import os
-    import tempfile
 
     from prajna_spark.streaming.text_index_stream import (
         search_live_text_index,
@@ -272,7 +288,7 @@ def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    base = tempfile.mkdtemp(prefix="text_index_stream_q_")
+    base = _work_dir("text_index_stream_q", sf_dir)
     reader = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     )

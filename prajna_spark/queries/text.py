@@ -1020,9 +1020,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     side when it is small), and corpus totals ride a one-row broadcast.
     At 100 TB the shuffles carry (term) and (w1, w2) count rows only,
     never text."""
+    from prajna_spark.operators.lifecycle import scoped_persist
+
     tune(spark)
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(textqa.tokens(F.col("text")).alias("tk"))
+    # ONE tokenize pass, for real: unigram counts, bigram counts, and the
+    # two totals all read this frame — without the persist each branch
+    # re-scans and re-tokenizes the corpus (4 scans measured in PLANS.md)
+    toks = scoped_persist(docs.select(textqa.tokens(F.col("text")).alias("tk")))
     uni = (
         toks.select(F.explode("tk").alias("term"))
         .groupBy("term")

@@ -24,12 +24,17 @@ only smaller.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from prajna_spark.functions.rounding import pround
-from prajna_spark.pipeline.retrieval import BM25_B, BM25_K1, doc_postings
+from prajna_spark.pipeline.retrieval import (
+    BM25_B,
+    BM25_K1,
+    doc_postings,
+    rank_topk,
+    score_postings,
+)
 from prajna_spark.pipeline import textqa
 
 
@@ -122,18 +127,4 @@ def search_live_text_index(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
     scored = pruned.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf = F.col("tf").cast("double")
-    tf_part = (tf * (k1 + 1.0)) / (
-        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    scores = (
-        scored.select("query_id", "doc_id", (idf * tf_part).alias("contrib"))
-        .groupBy("query_id", "doc_id")
-        .agg(pround(F.sum("contrib"), score_decimals).alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scores.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
-    )
+    return rank_topk(score_postings(scored, k1, b, score_decimals), k)

@@ -78,3 +78,13 @@ def test_m_below_guarantee_raises(spark):
     df = _skewed_df(spark)
     with pytest.raises(ValueError, match="no-false-negative"):
         heavyhitters.heavy_hitters_exact(df, "key", phi=0.01, m=50)
+
+
+def test_null_keys_counted_exactly(spark):
+    """A null-keyed heavy hitter must appear in the result (nulls bypass
+    the sketch — a single known group counted exactly); non-null results
+    are unaffected."""
+    rows = [("a",)] * 40 + [(None,)] * 40 + [(f"t{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {r[0]: r.n for r in heavyhitters.heavy_hitters_exact(df, "key", phi=0.3).collect()}
+    assert got == {"a": 40, None: 40}

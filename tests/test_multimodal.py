@@ -159,3 +159,21 @@ def test_audio_rms_constant_signal(spark):
     rows = multimodal.audio_chunk_rms(df, chunk_ms=50).collect()
     assert len(rows) == 2
     assert all(r.rms == float(amp) for r in rows)
+
+
+def test_audio_chunking_covers_all_samples_at_awkward_rates(spark):
+    """Regression: 44.1 kHz at 33 ms (samples-per-chunk not integral)
+    must still cover every sample — n_chunks and bounds both derive from
+    the same floored samples-per-chunk, the last chunk is just short."""
+    meta = spark.createDataFrame(
+        [(1, 44100, 1, 2, 5821)],
+        "doc_id long, sample_rate int, n_channels int, sample_width int, n_samples long",
+    )
+    rows = sorted(
+        multimodal.chunk_audio(meta, chunk_ms=33).collect(), key=lambda r: r.chunk_no
+    )
+    assert sum(r.n_in_chunk for r in rows) == 5821
+    assert rows[-1].end_sample == 5821
+    # contiguity: each chunk starts where the previous ended
+    for a, b in zip(rows, rows[1:]):
+        assert b.start_sample == a.end_sample
