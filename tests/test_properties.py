@@ -717,3 +717,75 @@ def test_triangle_count_matches_brute_force(spark, edges):
         if {(a, b), (a, c), (b, c)} <= und
     )
     assert (r.n_edges, r.n_triangles) == (len(und), brute)
+
+
+mg_rows_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=mg_rows_strategy, m=st.sampled_from([2, 3, 8]), n_parts=st.sampled_from([1, 3, 7]))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_mg_bounds_hold_for_any_partitioning(spark, rows, m, n_parts):
+    """Misra-Gries candidate bounds must bracket true counts for ANY
+    key skew, summary size, and partition layout."""
+    from collections import Counter
+
+    from prajna_spark.pipeline import heavyhitters
+
+    df = spark.createDataFrame([(k,) for k in rows], "key string").repartition(n_parts)
+    true = Counter(rows)
+    bounds = {
+        r.key: (r.lower, r.upper)
+        for r in heavyhitters.candidate_keys(
+            heavyhitters.mg_summaries(df, "key", m)
+        ).collect()
+    }
+    for key, (lo, hi) in bounds.items():
+        assert lo <= true[key] <= hi, (key, lo, true[key], hi)
+
+
+hist_vals_strategy = st.lists(
+    st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=hist_vals_strategy, nb=st.sampled_from([4, 10]))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_histogram_sketch_merge_and_rank_bound(spark, vals, nb):
+    """Fixed-bound histogram: split+merge == whole (exact), and each
+    quantile estimate is within one bin width of its targeted order
+    statistic — including out-of-range values clamped to edge bins."""
+    import math
+
+    from prajna_spark.operators.sketch_rollup import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+
+    lo, hi = 0.0, 100.0
+    width = (hi - lo) / nb
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    whole = fixed_histogram(df, ["g"], "v", lo, hi, nb)
+    h1 = fixed_histogram(df.where(F.col("v") < 30), ["g"], "v", lo, hi, nb)
+    h2 = fixed_histogram(df.where(~(F.col("v") < 30)), ["g"], "v", lo, hi, nb)
+    merged = (
+        h1.unionByName(h2).groupBy("g", "bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    qs = [0.5, 0.9]
+    est = {
+        r.q: r.est
+        for r in histogram_quantiles(whole, ["g"], qs, lo, hi, nb).collect()
+    }
+    # clamp the reference the same way the sketch bins do
+    clamped = sorted(min(max(v, lo), hi - 1e-9) for v in vals)
+    for q in qs:
+        k = math.ceil(q * len(clamped))
+        target = clamped[max(k - 1, 0)]
+        assert abs(est[q] - target) <= width + 1e-9, (q, est[q], target)
