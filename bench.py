@@ -119,6 +119,8 @@ EXTENDED = [
     "triangle_count_parts",
     "resolve_part_entities",
     "histogram_quantile_sketch",
+    "scd2_user_state_history",
+    "max_concurrent_intervals",
 ]
 
 

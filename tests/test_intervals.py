@@ -1,0 +1,193 @@
+"""operators.intervals — SCD2 history build + interval concurrency.
+
+Unit tests mirror the reference's one-input NUnit style (SURVEY §5);
+hypothesis differentials compare against independent local models, the
+discipline the catalog's other custom operators follow
+(tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from prajna_spark.operators.intervals import max_concurrency, scd2_intervals
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------- SCD2 ----------
+
+
+def _scd2_local(rows):
+    """Local model: per key, sort by ts; keep state CHANGES only; each
+    change is valid until the next change (None = open)."""
+    by_key = {}
+    for k, t, s in rows:
+        by_key.setdefault(k, []).append((t, s))
+    out = []
+    for k, seq in by_key.items():
+        seq.sort()
+        changes = []
+        for t, s in seq:
+            if not changes or changes[-1][1] != s:
+                changes.append((t, s))
+        for i, (t, s) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append((k, s, t, nxt, i + 1, 1 if nxt is None else 0))
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+def test_scd2_basic(spark):
+    rows = [
+        (1, 10, "a"),
+        (1, 20, "a"),  # duplicate state: collapses into the first interval
+        (1, 30, "b"),
+        (1, 40, "a"),
+        (2, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = sorted(
+        (
+            r.k,
+            r.s,
+            r.effective_from,
+            r.effective_to,
+            r.version,
+            r.is_current,
+        )
+        for r in scd2_intervals(df, ["k"], "s", "t").collect()
+    )
+    assert got == [
+        (1, "a", 10, 30, 1, 0),
+        (1, "a", 40, None, 3, 1),
+        (1, "b", 30, 40, 2, 0),
+        (2, "x", 5, None, 1, 1),
+    ]
+
+
+scd2_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=40),  # ts
+        st.sampled_from(["a", "b", "c"]),  # state
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=scd2_strategy)
+@settings(**SETTINGS)
+def test_scd2_matches_local_model(spark, rows):
+    # the operator's contract requires (key, ts) unique — dedupe to the
+    # lexicographically-largest state at a tied instant
+    m = {}
+    for k, t, s in rows:
+        m[(k, t)] = max(s, m.get((k, t), s))
+    rows_d = [(k, t, s) for (k, t), s in m.items()]
+    df = spark.createDataFrame(rows_d, "k long, t long, s string")
+    got = sorted(
+        (r.k, r.s, r.effective_from, r.effective_to, r.version, r.is_current)
+        for r in scd2_intervals(df, ["k"], "s", "t").collect()
+    )
+    expected = [
+        (k, s, f, to, v, cur) for k, s, f, to, v, cur in _scd2_local(rows_d)
+    ]
+    assert got == sorted(expected)
+
+
+def test_scd2_intervals_tile_time(spark):
+    """Structural invariants: per key, intervals are disjoint, ordered by
+    version, each closed interval's end == next interval's start, and
+    exactly one open (current) interval exists."""
+    rows = [(k, t, ["a", "b"][(t // 3) % 2]) for k in (1, 2) for t in range(20)]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    hist = scd2_intervals(df, ["k"], "s", "t").collect()
+    for k in (1, 2):
+        ivs = sorted(
+            (r.version, r.effective_from, r.effective_to)
+            for r in hist
+            if r.k == k
+        )
+        assert [v for v, _, _ in ivs] == list(range(1, len(ivs) + 1))
+        for (_, _, e0), (_, f1, _) in zip(ivs, ivs[1:]):
+            assert e0 == f1
+        opens = [r for r in hist if r.k == k and r.is_current == 1]
+        assert len(opens) == 1 and opens[0].effective_to is None
+
+
+# ---------- max concurrency ----------
+
+
+def _conc_local(intervals):
+    """Local model: per key, sweep over [s, e) interval boundaries and
+    track the running open count; report (max, first t at max)."""
+    by_key = {}
+    for k, s, e in intervals:
+        by_key.setdefault(k, []).append((s, e))
+    out = {}
+    for k, ivs in by_key.items():
+        deltas = {}
+        for s, e in ivs:
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e] = deltas.get(e, 0) - 1
+        cur = best = 0
+        best_t = None
+        for t in sorted(deltas):
+            cur += deltas[t]
+            if cur > best:
+                best, best_t = cur, t
+        out[k] = (best, best_t)
+    return out
+
+
+def test_max_concurrency_basic(spark):
+    # k=1: [0,10) [5,15) [14,20) -> peak 2 first at t=5
+    # k=2: [0,1) [1,2) back-to-back (end-exclusive) -> peak 1 at t=0
+    rows = [(1, 0, 10), (1, 5, 15), (1, 14, 20), (2, 0, 1), (2, 1, 2)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.k: (r.max_concurrent, r.first_peak_t)
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got == {1: (2, 5), 2: (1, 0)}
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=30),  # start
+        st.integers(min_value=1, max_value=10),  # length
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=intervals_strategy)
+@settings(**SETTINGS)
+def test_max_concurrency_matches_local_model(spark, rows):
+    ivs = [(k, s, s + ln) for k, s, ln in rows]
+    df = spark.createDataFrame(ivs, "k long, s long, e long")
+    got = {
+        r.k: (r.max_concurrent, r.first_peak_t)
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got == _conc_local(ivs)
+
+
+def test_max_concurrency_no_broadcast_hint_path(spark):
+    rows = [(1, 0, 10), (1, 5, 15)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.k: (r.max_concurrent, r.first_peak_t)
+        for r in max_concurrency(
+            df, ["k"], "s", "e", broadcast_peaks=False
+        ).collect()
+    }
+    assert got == {1: (2, 5)}
