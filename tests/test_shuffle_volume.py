@@ -61,7 +61,10 @@ def test_minhash_shuffle_rows_are_narrow_and_linear_in_docs(spark):
     assert d_small["shuffle_write_records"] <= 10 * 400
     assert d_big["shuffle_write_records"] <= 10 * 1600
     ratio = d_big["shuffle_write_records"] / max(1, d_small["shuffle_write_records"])
-    assert 2.5 <= ratio <= 6.0  # ~4x docs -> ~4x rows
+    # ~4x docs -> ~4x rows; bounds are loose because stage metrics count
+    # task ATTEMPTS — under machine load, retried/speculated tasks inflate
+    # one side (observed once under a parallel-job stress run)
+    assert 2.0 <= ratio <= 8.0
     # narrow rows: id + 8 digest slices, never the text
     assert d_big["shuffle_write_bytes"] / d_big["shuffle_write_records"] < 300
 
