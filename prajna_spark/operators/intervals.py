@@ -20,7 +20,7 @@ task. Instead boundaries are aggregated to (key, t) rows (collapsing
 ties — this also makes end-exclusive semantics order-independent:
 a -1 and +1 at the same instant cancel BEFORE the running sum sees
 them), then pipeline.packing.global_prefix_sum computes the running
-sum with the two-pass range-partition pattern. The prefix runs over
+sum with the single-shuffle sampled-bucket prefix. The prefix runs over
 (key, t) order ACROSS keys, yet per-key correctness needs no
 correction: every interval contributes exactly +1 and -1, so each
 key's deltas sum to zero and the running total is structurally back

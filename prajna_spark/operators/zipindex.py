@@ -7,18 +7,31 @@ global 0-based index over an explicit total order.
 
 The naive Spark spelling — ``row_number() OVER (ORDER BY ...)`` with no
 PARTITION BY — collapses all data into ONE task; at 100 TB that is a
-non-starter. This implementation keeps the work distributed:
+non-starter. This implementation keeps the work distributed AND keeps the
+data-sized shuffle count at ONE:
 
 1. range-repartition + sort within partitions on the order keys
    (partitions are range-disjoint, so partition id ordering == key order);
-2. per-partition ordinal via a window PARTITIONed BY partition id
-   (embarrassingly parallel);
+2. per-partition ordinal read straight off
+   ``monotonically_increasing_id()`` evaluated above the sort: Spark's
+   documented bit layout is (partition id << 33) + consecutive 0-based
+   in-partition record number, so the local ordinal is the low 33 bits
+   and the partition id the high bits — no window, and crucially no
+   second Exchange (a ``Window.partitionBy(partition_id)`` does NOT see
+   range partitioning as satisfying its clustering requirement, so the
+   windowed spelling re-shuffles the whole dataset by partition id —
+   measured two data-sized Exchanges in the executed plan);
 3. per-partition row counts -> prefix-sum offsets via a window over only
    #partitions rows (trivially small);
-4. broadcast-join offsets back: idx = offset + local ordinal - 1.
+4. broadcast-join offsets back: idx = offset + local ordinal.
 
-The sorted frame is persisted so the offset branch and the main branch see
-identical partitioning (range-partitioner sampling must not re-run).
+The indexed frame is persisted so the offset branch and the main branch
+see identical partitioning (range-partitioner sampling and the
+nondeterministic id assignment must not re-run).
+
+Bound: the low-33-bit ordinal overflows past 2^33 (~8.6e9) rows in ONE
+partition — far beyond any sane partition size (and the pre-fix window
+spelling would have been a single 8.6e9-row sort task anyway).
 """
 
 from __future__ import annotations
@@ -27,6 +40,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.operators.lifecycle import scoped_persist
+
+_LOCAL_MASK = (1 << 33) - 1
 
 
 def zip_with_index(
@@ -46,15 +61,14 @@ def zip_with_index(
     """
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    sorted_df = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy("__pid").orderBy(*cols)
     # released via operators.lifecycle.persist_scope when the caller scopes
     local = scoped_persist(
-        sorted_df.withColumn("__local", F.row_number().over(w_local))
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn("__local", F.col("__mid").bitwiseAND(F.lit(_LOCAL_MASK)))
+        .drop("__mid")
     )
 
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -67,6 +81,6 @@ def zip_with_index(
 
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(index_col, (F.col("__offset") + F.col("__local") - 1).cast("long"))
+        .withColumn(index_col, (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__offset")
     )

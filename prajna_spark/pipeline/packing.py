@@ -11,13 +11,16 @@ where cum_before = sum of token counts of all earlier documents.
 
 The scale problem is the global prefix sum. A naive ``Window.orderBy``
 funnels the whole table through ONE partition; instead
-``global_prefix_sum`` uses the two-pass range-partition pattern (the same
-shape as operators.zipindex):
+``global_prefix_sum`` distributes it with ONE data-sized shuffle:
 
-  1. range-partition + sort by the order key; per-partition running sums
-     (window over the partition's own rows — no global funnel);
-  2. per-partition TOTALS (one row each) prefix-summed on #partitions
-     rows, broadcast back as offsets.
+  1. sample range boundaries driver-side (hash-min reservoir per input
+     partition, one narrow job) and turn them into a bucket-id EXPRESSION
+     monotone in key order;
+  2. hash-repartition by bucket; per-bucket running sums (the window's
+     clustering requirement is satisfied by that same exchange — the
+     range-partition + window-by-partition-id spelling shuffled twice);
+  3. per-bucket TOTALS (one row each) prefix-summed on #buckets rows,
+     broadcast back as offsets.
 
 Combined with pipeline.sampling's hash gate this gives the full
 shuffle -> pack pipeline deterministically: order by md5(seed|id) is a
@@ -34,6 +37,64 @@ from prajna_spark.operators.fanout import fan_out
 from prajna_spark.operators.lifecycle import scoped_persist
 
 
+_SAMPLE_PER_PARTITION = 20
+_MID_MASK = (1 << 33) - 1
+
+
+def _boundary_sort_key(row) -> tuple:
+    """Python sort key replicating Spark's tuple ordering: per field,
+    NULLS FIRST, then the value, with float NaN LAST (Spark orders NaN
+    greater than any other double; Python NaN comparisons are unordered,
+    so it gets its own top tier)."""
+    out = []
+    for v in row:
+        if v is None:
+            out.append((0, 0))
+        elif isinstance(v, float) and v != v:
+            out.append((2, 0))
+        else:
+            out.append((1, v))
+    return tuple(out)
+
+
+def _sampled_buckets(df: DataFrame, names: list[str], n: int):
+    """Driver-side sampled range boundaries over the composite key
+    (RangePartitioner's job, done once here so the bucket id can be a
+    plain column EXPRESSION): hash-min reservoir of
+    ``_SAMPLE_PER_PARTITION`` keys per input partition — one narrow job,
+    no count job — then n-1 evenly spaced picks from the sorted sample.
+    Returns (key_struct_col, bucket_expr, n_buckets)."""
+    key = F.struct(*[F.col(c) for c in names])
+    samp = (
+        df.select(key.alias("__k"))
+        .withColumn("__h", F.hash("__k"))
+        .sortWithinPartitions("__h")
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .where(F.col("__mid").bitwiseAND(F.lit(_MID_MASK)) < _SAMPLE_PER_PARTITION)
+        .select("__k")
+        .collect()
+    )
+    keys = sorted((r["__k"] for r in samp), key=_boundary_sort_key)
+    bounds: list = []
+    for i in range(1, n):
+        b = keys[(i * len(keys)) // n]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    if not bounds:
+        return key, F.lit(0), 1
+    ktype = df.select(key.alias("__k")).schema["__k"].dataType
+    expr = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        blit = F.struct(
+            *[
+                F.lit(bounds[i][j]).cast(f.dataType).alias(f.name)
+                for j, f in enumerate(ktype.fields)
+            ]
+        )
+        expr = F.when(key < blit, F.lit(i)).otherwise(expr)
+    return key, expr, len(bounds) + 1
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_by: list[Column | str],
@@ -42,36 +103,74 @@ def global_prefix_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exclusive global running sum of ``value_col`` in ``order_by`` order
-    (each row sees the sum of STRICTLY earlier rows). Distributed two-pass:
-    no data-sized single-partition window."""
-    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    (each row sees the sum of STRICTLY earlier rows). Distributed, and the
+    data crosses the wire ONCE.
+
+    Fast path (all ``order_by`` entries plain ascending column names): a
+    sampled-boundary bucket id makes the global order explicit as an
+    expression, so ONE hash repartition on the bucket satisfies both the
+    shuffle and the local window's clustering requirement. The obvious
+    ``repartitionByRange`` + window-by-``spark_partition_id`` spelling
+    shuffles the data TWICE — Catalyst cannot see that range partitioning
+    already clusters by partition id, so it inserts a second data-sized
+    Exchange for the window (measured; same fix as operators.zipindex).
+    Bucket ids are monotone in key order by construction, and because
+    Spark's struct ``<`` uses full ordering semantics (NULLS FIRST per
+    field, NaN last — probed, mirrored in ``_boundary_sort_key``), the
+    path is exact for null/NaN keys too. Boundary quality only affects
+    BALANCE, never correctness.
+
+    Fallback (sort-expression entries, e.g. ``F.col(x).desc()``): the
+    two-pass range-partition spelling.
+    """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    sorted_df = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = scoped_persist(
-        sorted_df.withColumn(
-            "__local_before", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    names = [c for c in order_by if isinstance(c, str)]
+    if len(names) == len(order_by):
+        key, bucket, n_buckets = _sampled_buckets(df, names, n)
+        w_local = (
+            Window.partitionBy("__b")
+            .orderBy(*names)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-    )
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+        local = scoped_persist(
+            df.withColumn("__b", bucket)
+            .repartition(n_buckets, "__b")
+            .withColumn(
+                "__local_before",
+                F.coalesce(F.sum(value_col).over(w_local), F.lit(0)),
+            )
+        )
+        part_key = "__b"
+    else:
+        cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+        sorted_df = (
+            df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("__b", F.spark_partition_id())
+        )
+        w_local = (
+            Window.partitionBy("__b")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = scoped_persist(
+            sorted_df.withColumn(
+                "__local_before",
+                F.coalesce(F.sum(value_col).over(w_local), F.lit(0)),
+            )
+        )
+        part_key = "__b"
+    totals = local.groupBy(part_key).agg(F.sum(value_col).alias("__tot"))
     w_prefix = (
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    )  # #partitions rows only
+        Window.orderBy(part_key).rowsBetween(Window.unboundedPreceding, -1)
+    )  # #buckets rows only
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0))
-    ).select("__pid", "__offset")
+    ).select(part_key, "__offset")
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), part_key)
         .withColumn(out_col, F.col("__offset") + F.col("__local_before"))
-        .drop("__pid", "__local_before", "__offset")
+        .drop(part_key, "__local_before", "__offset")
     )
 
 

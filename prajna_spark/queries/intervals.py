@@ -6,7 +6,7 @@ warehouse/temporal tier downstream of the reference's telemetry loop
 Scale shapes: SCD2 is one shuffle on user_id with per-user windows
 (parallelism = user cardinality); the concurrency sweep aggregates raw
 events to (key, boundary) rows immediately and runs its running sum
-through the two-pass range-partition prefix (pipeline.packing) — no
+through the single-shuffle sampled-bucket prefix (pipeline.packing) — no
 single-partition window anywhere.
 """
 
@@ -122,8 +122,8 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     many are open at once and when the peak is first reached — the
     max-concurrent-sessions / capacity-planning readout. Boundaries
     aggregate to (key, t) rows immediately (integer epoch arithmetic,
-    exact on both engines); the running sum is the two-pass
-    range-partition prefix, never a single-partition window — the
+    exact on both engines); the running sum is the single-shuffle
+    sampled-bucket distributed prefix, never a single-partition window — the
     oracle's one-partition OVER clause is the semantics, not the plan."""
     from prajna_spark.operators.intervals import max_concurrency
 

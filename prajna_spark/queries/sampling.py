@@ -144,7 +144,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle -> pack: documents globally shuffled by a deterministic
     md5 order, then concatenation-packed into 512-token windows
     (pipeline.packing.pack_sequences). The global running token count is
-    a distributed two-pass prefix sum — range partition + local windows +
+    a distributed single-shuffle prefix sum — sampled buckets + local windows +
     broadcast per-partition offsets; the only global window in the plan
     runs over #partitions rows. The DuckDB oracle computes the same
     packing with a single-node window — exact equality, including

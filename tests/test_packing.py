@@ -59,10 +59,33 @@ def test_prefix_sum_has_no_data_sized_global_window(spark):
     df = spark.range(100_000).selectExpr("id", "1 AS w")
     out = global_prefix_sum(df, ["id"], "w")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the data path hash-partitions by __pid for the local windows; the
-    # SinglePartition exchange only feeds the tiny totals window
+    # the SinglePartition exchange only feeds the tiny totals window
     assert plan.count("Exchange SinglePartition") <= 1
-    assert "rangepartitioning" in plan.lower()
+    # fast path: the data crosses the wire ONCE — a single hash exchange
+    # on the sampled-boundary bucket id satisfies both the shuffle and
+    # the local window's clustering (the range+window-by-partition-id
+    # spelling shuffled the data twice); dedupe plan_ids because the
+    # persisted subtree is printed under every consumer
+    import re
+
+    explicit = {
+        m.group(2)
+        for m in re.finditer(
+            r"Exchange (\w+).*?REPARTITION_BY_NUM, \[plan_id=(\d+)\]", plan
+        )
+    }
+    assert len(explicit) == 1, plan
+    # ... and the window must not have inserted its own data-sized
+    # exchange: the only ENSURE_REQUIREMENTS hash exchange is the tiny
+    # per-bucket-totals groupBy
+    ensure = {
+        m.group(1)
+        for m in re.finditer(
+            r"Exchange hashpartitioning.*?ENSURE_REQUIREMENTS, \[plan_id=(\d+)\]",
+            plan,
+        )
+    }
+    assert len(ensure) <= 1, plan
 
 
 def test_pack_budget_validation(spark):
