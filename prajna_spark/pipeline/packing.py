@@ -76,11 +76,11 @@ def _sampled_buckets(df: DataFrame, names: list[str], n: int):
     )
     keys = sorted((r["__k"] for r in samp), key=_boundary_sort_key)
     bounds: list = []
-    for i in range(1, n):
+    for i in range(1, n if keys else 0):
         b = keys[(i * len(keys)) // n]
         if not bounds or b != bounds[-1]:
             bounds.append(b)
-    if not bounds:
+    if not bounds:  # empty input or single distinct key: one bucket
         return key, F.lit(0), 1
     ktype = df.select(key.alias("__k")).schema["__k"].dataType
     expr = F.lit(len(bounds))

@@ -59,3 +59,23 @@ def test_hashed_tf_on_empty_and_empty_text(spark):
     blank = spark.createDataFrame([(1, "  !!  ")], "doc_id long, text string")
     # normalization strips everything -> zero tokens -> zero buckets
     assert retrieval.hashed_tf_features(blank).count() == 0
+
+
+def test_scd2_on_empty_frame(spark):
+    from prajna_spark.operators.intervals import scd2_intervals
+
+    df = spark.createDataFrame([], "k long, t long, s string")
+    out = scd2_intervals(df, ["k"], "s", "t")
+    assert out.count() == 0
+    assert {"effective_from", "effective_to", "version", "is_current"} <= set(
+        out.columns
+    )
+
+
+def test_max_concurrency_on_empty_frame(spark):
+    from prajna_spark.operators.intervals import max_concurrency
+
+    df = spark.createDataFrame([], "k long, s long, e long")
+    out = max_concurrency(df, ["k"], "s", "e")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "max_concurrent", "first_peak_t"}
