@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prajna_spark.operators.lifecycle import scoped_persist
+
 
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Count triangles in the undirected graph given by ``edges`` (any
@@ -32,7 +34,10 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
-    und = (
+    # persisted: consumed by deg, the orientation join, and n_edges —
+    # without this the upstream edge derivation (often itself a join)
+    # re-executes once per consumer
+    und = scoped_persist(
         e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()
     )
@@ -62,6 +67,8 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         )
         .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"), "trank")
     )
+    # persisted: probed three times (both wedge sides + the closing semi)
+    o = scoped_persist(o)
 
     # wedges rooted at the lowest-ranked vertex: out-neighbor pairs
     left = o.select(F.col("s"), F.col("t").alias("v"), F.col("trank").alias("rv"))
