@@ -125,3 +125,46 @@ def test_chunk_documents_covers_every_token(spark):
             spark.createDataFrame([(1, "a")], "doc_id long, text string"),
             "doc_id", "text", 4, 5,
         )
+
+
+def test_prefix_sum_null_and_nan_keys_match_spark_ordering(spark):
+    """The sampled-bucket fast path must bucket null and NaN keys
+    consistently with Spark's sort order (NULLS FIRST per field, NaN
+    LAST) — a boundary comparison that mis-places them would corrupt
+    every downstream offset. Exercise both with a key column mixing
+    None, NaN, and finite doubles, against a locally-sorted model."""
+    import math
+
+    from prajna_spark.pipeline.packing import global_prefix_sum
+
+    rows = [
+        (0, None, 10),
+        (1, float("nan"), 20),
+        (2, 5.0, 1),
+        (3, -3.5, 2),
+        (4, None, 4),
+        (5, float("nan"), 8),
+        (6, 0.0, 16),
+        (7, 99.0, 32),
+    ]
+    df = spark.createDataFrame(rows, "rid long, k double, w long")
+    out = {
+        r.rid: r.cum_before
+        for r in global_prefix_sum(
+            df, ["k", "rid"], "w", num_partitions=3
+        ).collect()
+    }
+
+    def tier(v):
+        if v is None:
+            return (0, 0.0)
+        if isinstance(v, float) and math.isnan(v):
+            return (2, 0.0)
+        return (1, v)
+
+    ordered = sorted(rows, key=lambda r: (tier(r[1]), r[0]))
+    cum, expected = 0, {}
+    for rid, _, w in ordered:
+        expected[rid] = cum
+        cum += w
+    assert out == expected
