@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from prajna_spark.operators.lifecycle import scoped_persist
 from prajna_spark.pipeline.packing import global_prefix_sum
 
+_OPEN_SENTINEL = (1 << 63) - 1  # Long.MaxValue: "never closes"
+
 
 def scd2_intervals(
     df: DataFrame,
@@ -51,13 +53,22 @@ def scd2_intervals(
 
     Requires (keys..., ts_col) unique within the input — the standard
     change-stream contract; ties would make "previous state" ambiguous
-    in any engine.
+    in any engine. NULL is a legal state (e.g. "attribute cleared"): the
+    change test is null-safe, so a transition to/from NULL opens an
+    interval and consecutive NULLs collapse like any repeated state.
     """
     w = Window.partitionBy(*keys).orderBy(ts_col)
     changes = (
         df.withColumn("__prev", F.lag(state_col).over(w))
-        .where(F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev")))
-        .drop("__prev")
+        .withColumn("__rn", F.row_number().over(w))
+        # null-safe change test: plain != is three-valued and silently
+        # drops transitions into NULL states; the first row per key is
+        # always a change (its __prev NULL is positional, not a state)
+        .where(
+            (F.col("__rn") == 1)
+            | ~F.col(state_col).eqNullSafe(F.col("__prev"))
+        )
+        .drop("__prev", "__rn")
     )
     wc = Window.partitionBy(*keys).orderBy(ts_col)
     return (
@@ -92,9 +103,24 @@ def max_concurrency(
     (one row per key group). Pass False when key cardinality is itself
     data-sized (e.g. per-user concurrency over billions of users) and
     let AQE pick the strategy.
+
+    NULL handling: a NULL ``end_col`` means the interval is still OPEN —
+    it counts from its start onward (scd2_intervals' current rows compose
+    directly). Internally the open end closes at a +infinity sentinel
+    (Long.MaxValue): that keeps every interval's deltas cancelling per
+    key — the invariant the cross-key prefix sum rests on — and cannot
+    change any peak, because the sentinel close only ever decreases the
+    count after all real instants. A NULL ``start_col`` is an undefined
+    interval and is dropped. NULL key members form their own group (the
+    join-back is null-safe).
     """
-    starts = df.select(*keys, F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    ends = df.select(*keys, F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    valid = df.where(F.col(start_col).isNotNull())
+    starts = valid.select(*keys, F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    ends = valid.select(
+        *keys,
+        F.coalesce(F.col(end_col), F.lit(_OPEN_SENTINEL)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
     net = (
         starts.unionByName(ends)
         .groupBy(*keys, "t")
@@ -104,11 +130,22 @@ def max_concurrency(
         net, [*keys, "t"], "net", "cum_before", num_partitions
     ).withColumn("conc", (F.col("cum_before") + F.col("net")).cast("long"))
     cum = scoped_persist(cum.select(*keys, "t", "conc"))
-    peaks = cum.groupBy(*keys).agg(F.max("conc").alias("max_concurrent"))
+    # rename the aggregate's key columns: peaks derives from cum, so a
+    # same-name join condition would be an ambiguous self-join reference
+    peaks = (
+        cum.groupBy(*keys)
+        .agg(F.max("conc").alias("max_concurrent"))
+        .select(
+            *[F.col(k).alias(f"__pk_{k}") for k in keys], "max_concurrent"
+        )
+    )
     if broadcast_peaks:
         peaks = F.broadcast(peaks)
+    cond = [
+        F.col(k).eqNullSafe(F.col(f"__pk_{k}")) for k in keys
+    ]  # NULL keys survive the join-back
     return (
-        cum.join(peaks, keys)
+        cum.join(peaks, cond)
         .where(F.col("conc") == F.col("max_concurrent"))
         .groupBy(*keys)
         .agg(

@@ -13,9 +13,9 @@ The scale problem is the global prefix sum. A naive ``Window.orderBy``
 funnels the whole table through ONE partition; instead
 ``global_prefix_sum`` distributes it with ONE data-sized shuffle:
 
-  1. sample range boundaries driver-side (hash-min reservoir per input
-     partition, one narrow job) and turn them into a bucket-id EXPRESSION
-     monotone in key order;
+  1. sample range boundaries driver-side (the hash-minimal keys via a
+     bounded TakeOrderedAndProject, one narrow job) and turn them into a
+     bucket-id EXPRESSION monotone in key order;
   2. hash-repartition by bucket; per-bucket running sums (the window's
      clustering requirement is satisfied by that same exchange — the
      range-partition + window-by-partition-id spelling shuffled twice);
@@ -37,8 +37,7 @@ from prajna_spark.operators.fanout import fan_out
 from prajna_spark.operators.lifecycle import scoped_persist
 
 
-_SAMPLE_PER_PARTITION = 20
-_MID_MASK = (1 << 33) - 1
+_SAMPLES_PER_BUCKET = 20
 
 
 def _boundary_sort_key(row) -> tuple:
@@ -60,17 +59,17 @@ def _boundary_sort_key(row) -> tuple:
 def _sampled_buckets(df: DataFrame, names: list[str], n: int):
     """Driver-side sampled range boundaries over the composite key
     (RangePartitioner's job, done once here so the bucket id can be a
-    plain column EXPRESSION): hash-min reservoir of
-    ``_SAMPLE_PER_PARTITION`` keys per input partition — one narrow job,
-    no count job — then n-1 evenly spaced picks from the sorted sample.
-    Returns (key_struct_col, bucket_expr, n_buckets)."""
+    plain column EXPRESSION): the ``_SAMPLES_PER_BUCKET * n`` hash-minimal keys — a
+    deterministic uniform-ish sample via TakeOrderedAndProject
+    (per-partition bounded heap + driver merge; no full sort, no count
+    job) — then n-1 evenly spaced picks from the sorted sample. Returns
+    (key_struct_col, bucket_expr, n_buckets)."""
     key = F.struct(*[F.col(c) for c in names])
     samp = (
         df.select(key.alias("__k"))
         .withColumn("__h", F.hash("__k"))
-        .sortWithinPartitions("__h")
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .where(F.col("__mid").bitwiseAND(F.lit(_MID_MASK)) < _SAMPLE_PER_PARTITION)
+        .orderBy("__h", "__k")
+        .limit(_SAMPLES_PER_BUCKET * n)
         .select("__k")
         .collect()
     )
@@ -124,6 +123,9 @@ def global_prefix_sum(
     two-pass range-partition spelling.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # both paths execute df twice (a boundary-sampling job, then the main
+    # shuffle); persist so the upstream — often a join/agg — runs once
+    df = scoped_persist(df)
     names = [c for c in order_by if isinstance(c, str)]
     if len(names) == len(order_by):
         key, bucket, n_buckets = _sampled_buckets(df, names, n)

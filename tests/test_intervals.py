@@ -181,6 +181,61 @@ def test_max_concurrency_matches_local_model(spark, rows):
     assert got == _conc_local(ivs)
 
 
+def test_scd2_null_states_are_real_states(spark):
+    """NULL is a legal state: transitions to/from NULL open intervals and
+    consecutive NULLs collapse (the three-valued != would silently drop
+    the NULL interval and leave duplicate adjacent states)."""
+    rows = [(1, 10, "a"), (1, 20, None), (1, 30, "a"), (1, 40, None), (1, 50, None)]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = sorted(
+        (
+            (r.s, r.effective_from, r.effective_to, r.version, r.is_current)
+            for r in scd2_intervals(df, ["k"], "s", "t").collect()
+        ),
+        key=lambda r: r[1],
+    )
+    assert got == [
+        ("a", 10, 20, 1, 0),
+        (None, 20, 30, 2, 0),
+        ("a", 30, 40, 3, 0),
+        (None, 40, None, 4, 1),
+    ]
+
+
+def test_max_concurrency_open_intervals_count_forever(spark):
+    """NULL end == still open: counts from its start onward — the shape
+    scd2_intervals' current rows produce. Also proves the open interval
+    does NOT leak into the NEXT key's running sum (the sentinel close
+    keeps per-key deltas cancelling)."""
+    rows = [(1, 0, 10), (1, 5, None), (2, 0, 5), (2, 3, 8)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.k: (r.max_concurrent, r.first_peak_t)
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got == {1: (2, 5), 2: (2, 3)}
+
+
+def test_max_concurrency_null_keys_form_their_own_group(spark):
+    rows = [(None, 0, 10), (None, 5, 15), (2, 0, 5)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.k: (r.max_concurrent, r.first_peak_t)
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got == {None: (2, 5), 2: (1, 0)}
+
+
+def test_max_concurrency_null_starts_dropped(spark):
+    rows = [(1, None, 10), (1, 0, 10)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.k: r.max_concurrent
+        for r in max_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got == {1: 1}
+
+
 def test_max_concurrency_no_broadcast_hint_path(spark):
     rows = [(1, 0, 10), (1, 5, 15)]
     df = spark.createDataFrame(rows, "k long, s long, e long")

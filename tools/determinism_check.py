@@ -36,10 +36,15 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    specs = registry()
+    unknown = only - set(specs)
+    if unknown:  # a typo must not report a green no-op run
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
     spark = get_spark("determinism-check")
     spark.sparkContext.setLogLevel("ERROR")
     failed = []
-    for name, spec in sorted(registry().items()):
+    for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
