@@ -74,7 +74,7 @@ scd2_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # key
         st.integers(min_value=0, max_value=40),  # ts
-        st.sampled_from(["a", "b", "c"]),  # state
+        st.sampled_from(["a", "b", None]),  # state (None is a legal state)
     ),
     min_size=1,
     max_size=30,
@@ -85,20 +85,28 @@ scd2_strategy = st.lists(
 @settings(**SETTINGS)
 def test_scd2_matches_local_model(spark, rows):
     # the operator's contract requires (key, ts) unique — dedupe to the
-    # lexicographically-largest state at a tied instant
+    # largest state at a tied instant (None ordered below any string)
+    def srank(s):
+        return (s is not None, s or "")
+
     m = {}
     for k, t, s in rows:
-        m[(k, t)] = max(s, m.get((k, t), s))
+        m[(k, t)] = max(s, m.get((k, t), s), key=srank)
     rows_d = [(k, t, s) for (k, t), s in m.items()]
     df = spark.createDataFrame(rows_d, "k long, t long, s string")
+    order = lambda r: (r[0], r[2])  # noqa: E731 — (key, effective_from)
     got = sorted(
-        (r.k, r.s, r.effective_from, r.effective_to, r.version, r.is_current)
-        for r in scd2_intervals(df, ["k"], "s", "t").collect()
+        (
+            (r.k, r.s, r.effective_from, r.effective_to, r.version, r.is_current)
+            for r in scd2_intervals(df, ["k"], "s", "t").collect()
+        ),
+        key=order,
     )
-    expected = [
-        (k, s, f, to, v, cur) for k, s, f, to, v, cur in _scd2_local(rows_d)
-    ]
-    assert got == sorted(expected)
+    expected = sorted(
+        ((k, s, f, to, v, cur) for k, s, f, to, v, cur in _scd2_local(rows_d)),
+        key=order,
+    )
+    assert got == expected
 
 
 def test_scd2_intervals_tile_time(spark):
