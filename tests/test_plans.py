@@ -143,3 +143,20 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
             "FlatMapGroupsInPandas",
         ):
             assert node not in plan, f"{name} drops to Python ({node})"
+
+
+def test_quantized_recall_broadcasts_the_bounded_knn_side(spark, sf_dir):
+    """quantized_knn_recall joins two k x #queries aggregates; the hint on
+    the quantized side must survive to a BroadcastHashJoin (r4 review nit:
+    the small-side-ness was asserted only by construction). A sort-merge
+    join here would mean Catalyst dropped the hint and both bounded
+    frames took an unnecessary exchange."""
+    from prajna_spark.queries import queries
+
+    plan = (
+        queries()["quantized_knn_recall"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
