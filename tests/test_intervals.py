@@ -134,7 +134,8 @@ def test_scd2_intervals_tile_time(spark):
 
 def _conc_local(intervals):
     """Local model: per key, sweep over [s, e) interval boundaries and
-    track the running open count; report (max, first t at max)."""
+    track the running open count; report (max, first t at max). An
+    interval with e=None is open: it opens at s and never closes."""
     by_key = {}
     for k, s, e in intervals:
         by_key.setdefault(k, []).append((s, e))
@@ -143,7 +144,8 @@ def _conc_local(intervals):
         deltas = {}
         for s, e in ivs:
             deltas[s] = deltas.get(s, 0) + 1
-            deltas[e] = deltas.get(e, 0) - 1
+            if e is not None:
+                deltas[e] = deltas.get(e, 0) - 1
         cur = best = 0
         best_t = None
         for t in sorted(deltas):
@@ -170,7 +172,9 @@ intervals_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # key
         st.integers(min_value=0, max_value=30),  # start
-        st.integers(min_value=1, max_value=10),  # length
+        # length: None = open-ended interval (still running), the shape
+        # scd2_intervals' current rows produce
+        st.one_of(st.none(), st.integers(min_value=1, max_value=10)),
     ),
     min_size=1,
     max_size=30,
@@ -180,7 +184,7 @@ intervals_strategy = st.lists(
 @given(rows=intervals_strategy)
 @settings(**SETTINGS)
 def test_max_concurrency_matches_local_model(spark, rows):
-    ivs = [(k, s, s + ln) for k, s, ln in rows]
+    ivs = [(k, s, None if ln is None else s + ln) for k, s, ln in rows]
     df = spark.createDataFrame(ivs, "k long, s long, e long")
     got = {
         r.k: (r.max_concurrent, r.first_peak_t)
