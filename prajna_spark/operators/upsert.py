@@ -134,14 +134,11 @@ def upsert_partitioned(
         merged = upsert_versioned(base, updates, keys, version_col)
     else:
         merged = upsert(base, updates, keys, order_col=order_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            base_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-writer option, not a session-conf flip: no global state to
+    # save/restore, and concurrent jobs on the session are unaffected
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(base_path)
 
 
 def snapshot_diff(

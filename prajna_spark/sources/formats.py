@@ -151,3 +151,32 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return good, bad
+
+
+def committed_store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds COMMITTED datasource output.
+
+    The streaming sinks bootstrap their stores on first batch, so they
+    need "does the store exist yet?" answered robustly. Probing with
+    ``spark.read.parquet(path)`` under ``try/except`` conflates three
+    distinct states: missing (bootstrap), crashed-mid-first-write
+    (directory exists but holds only in-flight ``_temporary`` output —
+    a plain errorIfExists bootstrap then wedges the stream forever), and
+    a transient FS error while the store EXISTS (silently treated as
+    missing → duplicates or data loss). This check uses the Hadoop
+    FileSystem API directly (any supported FS, not just local):
+    committed content = a ``_SUCCESS`` marker or any entry not starting
+    with ``_`` (partition directories, part files); ``_temporary``-only
+    residue reports False so a bootstrap writer may safely
+    ``mode("overwrite")`` it; genuine FS errors PROPAGATE and fail the
+    batch for retry instead of masquerading as absence."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name == "_SUCCESS" or not name.startswith("_"):
+            return True
+    return False

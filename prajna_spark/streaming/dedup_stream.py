@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from prajna_spark.pipeline.textqa import fingerprint
+from prajna_spark.sources.formats import committed_store_exists
 
 
 def start_incremental_dedup(
@@ -54,10 +55,13 @@ def start_incremental_dedup(
             .agg(F.min_by(F.struct(*batch_df.columns), F.col(id_col)).alias("__c"))
             .select("fingerprint", "__c.*")
         )
-        try:
+        # robust existence check, not a read-probe under try/except: a
+        # transient FS error while the store EXISTS must fail the batch
+        # for retry, not silently skip the anti-join and emit duplicates
+        if committed_store_exists(spark, store_path):
             seen = spark.read.parquet(store_path).select("fingerprint")
             fresh = canon.join(seen, "fingerprint", "left_anti")
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             fresh = canon
         # Persist so the two sinks share one computation — and write the
         # OUTPUT before the store: appending to store_path fires

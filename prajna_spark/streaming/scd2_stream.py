@@ -42,6 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from prajna_spark.operators.intervals import scd2_intervals
 from prajna_spark.operators.upsert import upsert_partitioned
+from prajna_spark.sources.formats import committed_store_exists
 
 BUCKET_COL = "__scd2_bucket"
 
@@ -63,38 +64,51 @@ def apply_scd2_batch(
     and rebuild the SCD2 history for the touched buckets. ``batch_id``
     is unused by design: idempotency comes from the (key, ts)-keyed
     point merge, so it also holds across checkpoint resets."""
-    if batch_df.isEmpty():
-        return
     spark = batch_df.sparkSession
     points_path = os.path.join(store_path, "points")
     history_path = os.path.join(store_path, "history")
-    new_pts = batch_df.select(*keys, ts_col, state_col).withColumn(
-        BUCKET_COL, _bucket(keys, n_buckets)
+    # Collapse WITHIN-batch duplicates first: an at-least-once source can
+    # deliver the same (key, ts) twice inside one micro-batch, or two
+    # states at the same instant — the point store's (key, ts) uniqueness
+    # invariant (which scd2_intervals' tie-free ordering rests on) must
+    # hold for any input. Greatest state wins, deterministically; max
+    # ignores NULL, so a NULL state survives only when alone at its
+    # instant. States must therefore be orderable (strings/numerics/
+    # structs), the same requirement the catalog query's oracle makes.
+    new_pts = (
+        batch_df.select(*keys, ts_col, state_col)
+        .groupBy(*keys, ts_col)
+        .agg(F.max(state_col).alias(state_col))
+        .withColumn(BUCKET_COL, _bucket(keys, n_buckets))
+        .persist()  # one evaluation feeds the write AND the touched scan
     )
-    try:  # filesystem-agnostic existence probe (dedup_stream pattern)
-        spark.read.parquet(points_path).schema
-        exists = True
-    except Exception:  # first-ever batch: no store yet
-        exists = False
-    if not exists:
-        new_pts.write.partitionBy(BUCKET_COL).parquet(points_path)
-    else:
-        upsert_partitioned(
-            spark, points_path, new_pts, [*keys, ts_col], BUCKET_COL
-        )
-    touched = [r[0] for r in new_pts.select(BUCKET_COL).distinct().collect()]
-    merged = spark.read.parquet(points_path).where(
-        F.col(BUCKET_COL).isin(touched)
-    )
-    hist = scd2_intervals(merged, keys, state_col, ts_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        hist.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            history_path
+        touched = [
+            r[0] for r in new_pts.select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:  # empty batch: nothing to merge or rebuild
+            return
+        if not committed_store_exists(spark, points_path):
+            # overwrite, not errorIfExists: the check guarantees there is
+            # no committed content here — at most a crashed first write's
+            # _temporary residue, which errorIfExists would wedge on at
+            # every redelivery.
+            new_pts.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                points_path
+            )
+        else:
+            upsert_partitioned(
+                spark, points_path, new_pts, [*keys, ts_col], BUCKET_COL
+            )
+        merged = spark.read.parquet(points_path).where(
+            F.col(BUCKET_COL).isin(touched)
         )
+        hist = scd2_intervals(merged, keys, state_col, ts_col)
+        hist.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(history_path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        new_pts.unpersist(blocking=False)
 
 
 def start_scd2_apply(

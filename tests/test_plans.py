@@ -151,10 +151,8 @@ def test_quantized_recall_broadcasts_the_bounded_knn_side(spark, sf_dir):
     the small-side-ness was asserted only by construction). A sort-merge
     join here would mean Catalyst dropped the hint and both bounded
     frames took an unnecessary exchange."""
-    from prajna_spark.queries import queries
-
     plan = (
-        queries()["quantized_knn_recall"](spark, sf_dir)
+        CATALOG["quantized_knn_recall"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

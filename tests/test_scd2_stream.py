@@ -3,8 +3,6 @@ exactly, under late data and redelivery."""
 
 from __future__ import annotations
 
-import pandas as pd
-
 from prajna_spark.operators.intervals import scd2_intervals
 from prajna_spark.streaming.scd2_stream import (
     apply_scd2_batch,
@@ -16,8 +14,7 @@ SCHEMA = "k long, t long, s string"
 
 
 def _write(spark, path, rows):
-    pdf = pd.DataFrame(rows, columns=["k", "t", "s"])
-    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("append").parquet(
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(
         path
     )
 
@@ -105,12 +102,13 @@ def test_streamed_scd2_only_touched_buckets_rewrite(spark, tmp_path):
     one = spark.createDataFrame([(7, 20, "b")], SCHEMA)
     apply_scd2_batch(one, 1, store, ["k"], "s", "t", n_buckets=4)
     after = files()
-    from prajna_spark.streaming.scd2_stream import _bucket  # noqa: F401
-    from pyspark.sql import functions as F
+    from prajna_spark.streaming.scd2_stream import _bucket
 
+    # derive the touched bucket through the operator's own formula so the
+    # test tracks any change to it
     touched = (
         spark.createDataFrame([(7,)], "k long")
-        .select(F.pmod(F.hash("k"), F.lit(4)).alias("b"))
+        .select(_bucket(["k"], 4).alias("b"))
         .collect()[0]
         .b
     )
@@ -118,3 +116,55 @@ def test_streamed_scd2_only_touched_buckets_rewrite(spark, tmp_path):
         if d != f"__scd2_bucket={touched}":
             assert after[d] == fl, f"untouched bucket {d} rewritten"
     assert after[f"__scd2_bucket={touched}"] != before[f"__scd2_bucket={touched}"]
+
+
+def test_streamed_scd2_within_batch_duplicates_collapse(spark, tmp_path):
+    """At-least-once sources can repeat a (key, ts) INSIDE one micro-batch
+    (the redelivery test only covers cross-batch repeats). The point store
+    must stay (key, ts)-unique and ties at an instant must resolve
+    deterministically (greatest state wins; NULL loses to any state)."""
+    import os
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "a"), (1, 20, "b"), (1, 20, None), (2, 5, "x")],
+        SCHEMA,
+    )
+    apply_scd2_batch(batch, 0, store, ["k"], "s", "t", n_buckets=4)
+    pts = {
+        (r.k, r.t, r.s)
+        for r in spark.read.parquet(os.path.join(store, "points"))
+        .select("k", "t", "s")
+        .collect()
+    }
+    assert pts == {(1, 10, "a"), (1, 20, "b"), (2, 5, "x")}
+    assert (1, "b", 20, None, 2, 1) in _hist_set(read_history(spark, store))
+
+
+def test_streamed_scd2_recovers_from_crashed_first_write(spark, tmp_path):
+    """A crash during the FIRST point-store write leaves only _temporary
+    residue; the redelivered batch must bootstrap over it, not wedge on
+    errorIfExists forever."""
+    import os
+
+    store = str(tmp_path / "store")
+    residue = os.path.join(store, "points", "_temporary", "0")
+    os.makedirs(residue)
+    with open(os.path.join(residue, "task_123.parquet.inprogress"), "w") as f:
+        f.write("partial")
+    batch = spark.createDataFrame([(1, 10, "a"), (2, 5, "x")], SCHEMA)
+    apply_scd2_batch(batch, 0, store, ["k"], "s", "t", n_buckets=4)
+    assert _hist_set(read_history(spark, store)) == {
+        (1, "a", 10, None, 1, 1),
+        (2, "x", 5, None, 1, 1),
+    }
+
+
+def test_streamed_scd2_empty_batch_is_a_noop(spark, tmp_path):
+    store = str(tmp_path / "store")
+    seeded = spark.createDataFrame([(1, 10, "a")], SCHEMA)
+    apply_scd2_batch(seeded, 0, store, ["k"], "s", "t", n_buckets=4)
+    before = _hist_set(read_history(spark, store))
+    empty = spark.createDataFrame([], SCHEMA)
+    apply_scd2_batch(empty, 1, store, ["k"], "s", "t", n_buckets=4)
+    assert _hist_set(read_history(spark, store)) == before
