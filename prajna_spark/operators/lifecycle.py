@@ -55,3 +55,34 @@ def persist_scope():
             # blocking: scope exit is the deterministic release point —
             # callers rely on storage being back at baseline right after
             df.unpersist(blocking=True)
+
+
+def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Actually free the storage blocks behind a ``localCheckpoint``'d
+    DataFrame.
+
+    ``Dataset.unpersist()`` is a silent NO-OP for checkpointed frames: it
+    only consults the CacheManager, which never registered the checkpoint
+    RDD (probed empirically on this Spark — the RDD stays in
+    ``getPersistentRDDs`` after ``unpersist(blocking=True)``). The blocks
+    belong to the ``LogicalRDD`` leaf the checkpoint planted, so release
+    goes through that leaf's RDD directly.
+
+    Call it on the checkpointed frame (or a narrow projection of one)
+    once nothing reachable needs it: the iterative operators (connected
+    components, PageRank) release each superseded generation to keep
+    live checkpoint storage bounded at ~2 generations instead of one per
+    iteration — in local mode driver and executors share a single heap,
+    and unbounded pinned generations starve AQE broadcast builds
+    (observed at 10x data, commit be7318d's dense-graph OOM).
+
+    Only ``LogicalRDD`` leaves are touched; any other plan shape is left
+    alone. Do NOT call it on a frame that JOINS a still-needed
+    checkpoint — every LogicalRDD leaf in the plan is released.
+    """
+    logical = df._jdf.queryExecution().analyzed()
+    leaves = logical.collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(blocking)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
+from prajna_spark.operators.lifecycle import release_local_checkpoint
 
 
 def pagerank(
@@ -78,7 +79,7 @@ def pagerank(
             .agg(F.sum(F.col("r") / F.col("outd")).alias("m"))
         )
         dangling = (
-            ranks.join(deg, ranks.nid == deg.src, "left_anti")
+            ranks.join(deg.hint("SHUFFLE_HASH"), ranks.nid == deg.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
         )
         new_ranks = (
@@ -98,10 +99,14 @@ def pagerank(
         )
         prev = ranks
         ranks = new_ranks
-        prev.unpersist()
+        # release the superseded generation's checkpoint blocks — plain
+        # Dataset.unpersist() would be a no-op here (see lifecycle)
+        release_local_checkpoint(prev)
 
     out = ranks.select(F.col("nid").alias("node_id"), F.col("r").alias("pr"))
-    # edges/nodes/deg checkpoints stay pinned until the session drops them;
-    # they are iteration-invariant so there is nothing stale to release
-    # beyond the final superseded rank generation handled above.
+    # the result depends only on the final ranks checkpoint (lineage was
+    # severed); the iteration-invariant inputs can be released now
+    release_local_checkpoint(e)
+    release_local_checkpoint(nodes)
+    release_local_checkpoint(deg)
     return out

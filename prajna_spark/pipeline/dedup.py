@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
 from prajna_spark.operators.fanout import fan_out
-from prajna_spark.operators.lifecycle import scoped_persist
+from prajna_spark.operators.lifecycle import release_local_checkpoint, scoped_persist
 from prajna_spark.pipeline.textqa import normalized, tokens
 
 #: Cap on characters fed to shingling — bounds per-row work at scale while
@@ -455,9 +455,11 @@ def connected_components(
         # share one heap — 20 pinned generations starved AQE's broadcast
         # builds at 10x data (observed: "Not enough memory to build and
         # broadcast" inside the loop). Bounded to 2 live generations.
+        # Dataset.unpersist() is a no-op on checkpointed frames — the
+        # release must go through the LogicalRDD leaf (see lifecycle).
         prev = labels
         labels = new_labels.select("nid", "label")
-        prev.unpersist()
+        release_local_checkpoint(prev)
         if changed == 0:
             break
 
@@ -466,8 +468,8 @@ def connected_components(
     ).localCheckpoint(eager=True)
     # the returned frame is its own checkpoint; the loop's last label
     # generation and the doubled edge list are no longer reachable
-    labels.unpersist()
-    e.unpersist()
+    release_local_checkpoint(labels)
+    release_local_checkpoint(e)
     return out
 
 

@@ -14,8 +14,10 @@ layout, both because corpus-GLOBAL quantities go stale under appends:
   df from the (query-term-pruned) postings at probe time — pruned first,
   so the df aggregation touches only matching postings, not the index;
 - corpus stats are maintained MERGEABLY: each batch writes one
-  (n_docs, sum_dl) row under ``stats/ingest_batch=<id>/``; search sums
-  this tiny table and derives avgdl = sum_dl / n_docs.
+  (n_docs, n_text, sum_dl) row under ``stats/ingest_batch=<id>/``;
+  search sums this tiny table and derives avgdl = sum_dl / n_text
+  (n_text = docs with non-NULL text, the denominator the batch path's
+  F.avg uses; n_docs keeps feeding idf's N).
 
 Result: search over the live index equals a fresh batch build over the
 same documents at ANY drain point (tested) — the index is never stale,
@@ -36,6 +38,7 @@ from prajna_spark.pipeline.retrieval import (
     score_postings,
 )
 from prajna_spark.pipeline import textqa
+from prajna_spark.sources.formats import committed_store_exists
 
 
 def append_text_batch(
@@ -49,7 +52,11 @@ def append_text_batch(
     """Tokenize one micro-batch into postings and write them under
     ``bucket=*/ingest_batch=<batch_id>/``, plus the batch's mergeable
     corpus-stats row. Re-running with the same batch is an overwrite of
-    its own leaves — replay-safe."""
+    its own leaves — replay-safe. Empty batches are a no-op (an idle
+    source with a processing-time trigger delivers them routinely;
+    writing their stats rows would just accumulate junk leaves)."""
+    if batch_df.isEmpty():
+        return
     p = doc_postings(batch_df, id_col, text_col).withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
     )
@@ -60,8 +67,14 @@ def append_text_batch(
         .partitionBy("bucket", "ingest_batch")
         .parquet(f"{index_path}/postings")
     )
+    # n_text counts docs with non-NULL text separately from n_docs: the
+    # batch path's corpus_stats uses F.avg(token_count), which skips
+    # NULLs — avgdl must divide by the same denominator or live==batch
+    # scoring breaks on any corpus containing a NULL-text doc (idf's N
+    # stays n_docs on both paths).
     stats = batch_df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(textqa.token_count(F.col(text_col))).cast("long").alias("n_text"),
         F.sum(textqa.token_count(F.col(text_col))).cast("long").alias("sum_dl"),
     )
     (
@@ -82,7 +95,27 @@ def start_incremental_text_index(
     text_col: str = "text",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Continuously feed the live index from a document stream."""
+    """Continuously feed the live index from a document stream.
+
+    Before the first trigger, a zero-row SCHEMA ANCHOR of the postings
+    layout is written under ``postings_schema/`` (derived from the
+    stream's own schema). Search needs it when no data has been ingested
+    yet — empty batches write no parquet footers, so without an anchor a
+    search against a just-started index crashes on schema inference
+    instead of returning empty results."""
+    spark = stream_docs.sparkSession
+    anchor = f"{index_path}/postings_schema"
+    if not committed_store_exists(spark, anchor):
+        (
+            doc_postings(
+                spark.createDataFrame([], stream_docs.schema), id_col, text_col
+            )
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+            .withColumn("ingest_batch", F.lit(0))
+            .repartition(1)  # one zero-row part file: a readable footer
+            .write.mode("overwrite")
+            .parquet(anchor)
+        )
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
         append_text_batch(
@@ -110,17 +143,35 @@ def search_live_text_index(
     """BM25 top-k over the live layout: probe join prunes to the query
     terms' buckets, df is aggregated from the PRUNED postings (correct at
     any drain point), and corpus stats are the sum of the per-batch
-    mergeable rows. Identical scoring arithmetic to ``bm25_scores``."""
-    postings = spark.read.parquet(f"{index_path}/postings")
-    stats = (
-        spark.read.parquet(f"{index_path}/stats")
-        .agg(
+    mergeable rows. Identical scoring arithmetic to ``bm25_scores``.
+
+    A just-started index (stream running, nothing ingested yet) returns
+    EMPTY results via the schema anchor instead of crashing — the same
+    answer a fresh batch build over zero documents gives."""
+    anchor_path = f"{index_path}/postings_schema"
+    postings_path = f"{index_path}/postings"
+    if committed_store_exists(spark, anchor_path):
+        anchor = spark.read.parquet(anchor_path)
+        if committed_store_exists(spark, postings_path):
+            # explicit schema: works even when the postings dir holds a
+            # _SUCCESS marker but no footers (a drained all-NULL batch)
+            postings = spark.read.schema(anchor.schema).parquet(postings_path)
+        else:
+            postings = anchor  # zero rows, correct layout schema
+    else:  # index built by direct append_text_batch calls (no anchor)
+        postings = spark.read.parquet(postings_path)
+    stats_path = f"{index_path}/stats"
+    if committed_store_exists(spark, stats_path):
+        stats = spark.read.parquet(stats_path).agg(
             F.sum("n_docs").cast("double").alias("n_docs"),
-            (F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")).alias(
+            # avgdl over docs WITH text (n_text), matching the batch
+            # path's F.avg(token_count) null-skipping denominator
+            (F.sum("sum_dl").cast("double") / F.sum("n_text").cast("double")).alias(
                 "avgdl"
             ),
         )
-    )
+    else:  # nothing ingested yet: scalars only feed an empty join below
+        stats = spark.createDataFrame([(0.0, None)], "n_docs double, avgdl double")
     qt = query_terms.withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
     pruned = postings.join(F.broadcast(qt), ["bucket", "term"])
     dfreq = pruned.groupBy("term").agg(

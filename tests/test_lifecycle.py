@@ -73,3 +73,51 @@ def test_scopes_nest_independently(spark):
         assert not (_cached_ids(spark) & inner_ids)  # inner released
         assert outer_ids <= _cached_ids(spark)  # outer kept
     assert not (_cached_ids(spark) & outer_ids)
+
+
+def test_release_local_checkpoint_actually_frees_blocks(spark):
+    """Dataset.unpersist() is a silent no-op on localCheckpoint'd frames
+    (the CacheManager never registered the checkpoint RDD) — probed here
+    so an engine change flips the test, then release_local_checkpoint is
+    asserted to truly free the blocks, including through a projection."""
+    from prajna_spark.operators.lifecycle import release_local_checkpoint
+
+    base = _cached_ids(spark)
+    cp = spark.range(50).toDF("x").localCheckpoint(eager=True)
+    created = _cached_ids(spark) - base
+    assert created, "localCheckpoint should pin an RDD"
+    cp.unpersist(blocking=True)
+    assert created <= _cached_ids(spark), "engine change: unpersist works now"
+    release_local_checkpoint(cp.select("x"), blocking=True)
+    assert not (created & _cached_ids(spark))
+
+
+def test_iterative_operators_leave_bounded_checkpoints(spark):
+    """connected_components and pagerank release superseded generations
+    and loop-invariant inputs: after a call, at most ONE new pinned RDD
+    (the returned frame's own checkpoint) remains."""
+    from prajna_spark.operators.lifecycle import release_local_checkpoint
+    from prajna_spark.operators.pagerank import pagerank
+    from prajna_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+
+    base = _cached_ids(spark)
+    cc = connected_components(edges, nodes)
+    assert cc.count() == 6
+    cc_new = _cached_ids(spark) - base
+    assert len(cc_new) <= 1, f"CC left {len(cc_new)} pinned RDDs"
+    release_local_checkpoint(cc, blocking=True)
+
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    base = _cached_ids(spark)
+    pr = pagerank(pr_edges, n_iter=6)
+    assert pr.count() == 4
+    pr_new = _cached_ids(spark) - base
+    assert len(pr_new) <= 1, f"pagerank left {len(pr_new)} pinned RDDs"
+    release_local_checkpoint(pr, blocking=True)

@@ -93,3 +93,53 @@ def test_append_is_idempotent_and_consistent_mid_ingest(spark, sf_dir, tmp_path)
         )
     )
     assert full == full_want
+
+
+def test_null_text_docs_keep_live_equal_to_batch(spark, tmp_path):
+    """avgdl divides by docs WITH text on both paths (batch F.avg skips
+    NULLs); idf's N counts every doc on both paths. A NULL-text doc must
+    therefore shift scores identically in the live and batch builds."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash", "en", "s", 14),
+            (2, "dup dup", "en", "s", 7),
+            (3, None, "en", "s", 0),
+            (4, "hash", "en", "s", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "tidx_null")
+    append_text_batch(docs, 0, idx)
+    got = sorted(
+        map(tuple, search_live_text_index(spark, idx, _qt(spark), k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            retrieval.bm25_topk(docs, _qt(spark), k=10)
+            .select("query_id", "doc_id", "score", "rk")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_search_on_just_started_index_is_empty_not_a_crash(spark, tmp_path):
+    """A stream that has started but ingested nothing (idle source /
+    empty first batch) must answer searches with zero rows — the same
+    result as a fresh batch build over zero documents."""
+    src = str(tmp_path / "empty_src")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame([], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    idx = str(tmp_path / "tidx_empty")
+    q = start_incremental_text_index(stream, idx, str(tmp_path / "ckpt_empty"))
+    q.awaitTermination()
+    out = search_live_text_index(spark, idx, _qt(spark), k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "score",
+        "rk",
+    ]
