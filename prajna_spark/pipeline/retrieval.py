@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
+from prajna_spark.operators.lifecycle import scoped_persist
 from prajna_spark.pipeline import textqa
 
 #: Lucene/Robertson BM25 defaults
@@ -147,10 +148,34 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents per query by BM25: ``(query_id, doc_id, score, rk)``.
     ``exclude_self`` drops doc_id == query_id matches (more-like-this mode,
-    where queries are themselves corpus documents)."""
+    where queries are themselves corpus documents).
+
+    Tokenization runs ONCE: postings and corpus stats both derive from a
+    shared scope-persisted token frame (the pmi_collocations lesson —
+    spelled as separate doc_postings + corpus_stats calls, every stats/
+    broadcast branch re-tokenized the corpus). ``token_count`` is
+    ``size(tokens(text))`` by definition, so ``avg(size(__toks))`` is the
+    identical avgdl, NULL-text docs skipped on both spellings."""
+    toks = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            textqa.tokens(F.col(text_col)).alias("__toks"),
+        )
+    )
+    postings = (
+        toks.select(
+            "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
     scores = bm25_scores(
-        doc_postings(docs, id_col, text_col),
-        corpus_stats(docs, text_col),
+        postings,
+        stats,
         query_terms,
         k1=k1,
         b=b,

@@ -267,10 +267,31 @@ def temperature_rates(
     head-heavy corpus. rate_s = min(1, target_rows * p_s / n_s),
     computed ENTIRELY in the plan (one stratum rollup + a one-row
     broadcast of the normalizer) — no driver round-trip, so the recipe
-    recomputes correctly as the corpus grows."""
+    recomputes correctly as the corpus grows.
+
+    The normalizer Z = sum(n_s^alpha) is a float sum feeding a HARD md5
+    gate (floor(rate * 2^32) hex threshold — no rounding absorbs a 1-ulp
+    wobble), so its addition ORDER must be pinned: a plain F.sum's
+    partial-merge order varies run-to-run and across engines, and an ulp
+    flip at a threshold boundary keeps a document on one engine and
+    drops it on the other. Z is therefore folded SEQUENTIALLY in stratum
+    order (sort_array + aggregate here; list(ORDER BY) + list_reduce in
+    the oracle twin). |strata| is recipe-bounded, so the one-row fold
+    costs the same as the F.sum it replaces."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     norm = counts.agg(
-        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(stratum_col).alias("s"),
+                        F.pow(F.col("__n").cast("double"), F.lit(alpha)).alias("p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("__z")
     )
     return counts.join(F.broadcast(norm)).select(
         stratum_col,

@@ -201,6 +201,7 @@ def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (pipeline.multimodal.chunk_audio). The oracle recomputes
     every chunk bound from the generative formula, so a decode bug
     (wrong rate/count/width) hash-fails."""
+    tune(spark)
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.synthesize_audio(fan_out(docs))
     meta = multimodal.decode_audio_meta(media)
@@ -237,6 +238,7 @@ def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-SQL replay of the synth waveform."""
     from prajna_spark.functions.rounding import pround
 
+    tune(spark)
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.synthesize_audio(fan_out(docs))
     out = multimodal.audio_chunk_rms(media, chunk_ms=50)

@@ -19,7 +19,7 @@ from prajna_spark.pipeline import retrieval, similarity
 from prajna_spark.queries import query
 from prajna_spark.queries.vectors import DIM, _DOT
 from prajna_spark.session import tune
-from prajna_spark.sources import load_table
+from prajna_spark.sources import load_table, stream_table
 
 # DuckDB mirror of textqa.tokens (same spelling as the proven
 # sampling/packing oracles): lower -> strip non-alnum -> split -> drop ''.
@@ -254,14 +254,11 @@ def bm25_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms' buckets, and scoring needs no corpus-wide aggregation at all.
     Same queries and parameters as bm25_topk_docs, same oracle: the
     on-disk layout must return exactly the from-scratch result."""
-    from prajna_spark.pipeline.retrieval import build_text_index, search_text_index
-    from prajna_spark.queries.retrieval import _work_dir
-
     docs = _docs(spark, sf_dir)
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
     path = _work_dir("text_index_q", sf_dir) + "/index"
-    build_text_index(docs, path)
-    return search_text_index(spark, path, qt, k=10).select(
+    retrieval.build_text_index(docs, path)
+    return retrieval.search_text_index(spark, path, qt, k=10).select(
         "query_id", "doc_id", "score", "rk"
     )
 
@@ -280,8 +277,6 @@ def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny stats table, so it is correct at ANY drain point. Same queries
     as bm25_topk_docs, same oracle: after the AvailableNow drain the live
     index must return exactly the from-scratch result."""
-    import os
-
     from prajna_spark.streaming.text_index_stream import (
         search_live_text_index,
         start_incremental_text_index,
@@ -289,14 +284,12 @@ def bm25_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     base = _work_dir("text_index_stream_q", sf_dir)
-    reader = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
+    docs = stream_table(
+        spark,
+        "documents",
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
-    path = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(path):
-        docs = reader.parquet(path)
-    else:
-        docs = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     idx = f"{base}/index"
     q = start_incremental_text_index(docs, idx, f"{base}/ckpt")
     q.awaitTermination()

@@ -281,7 +281,13 @@ def _temp_mix_oracle(alpha: float, target: int, seed: str) -> str:
     WITH counts AS (
       SELECT lang, count(*) AS n FROM documents GROUP BY 1
     ), norm AS (
-      SELECT sum(pow(CAST(n AS DOUBLE), {alpha})) AS z FROM counts
+      -- sequential fold in stratum order: bit-identical to Spark's
+      -- sort_array + aggregate spelling (a plain sum's addition order is
+      -- engine- and run-dependent, and z feeds a hard md5 gate)
+      SELECT list_reduce(
+               list(pow(CAST(n AS DOUBLE), {alpha}) ORDER BY lang NULLS FIRST),
+               (acc, x) -> acc + x) AS z
+      FROM counts
     ), rates AS (
       SELECT lang, {rate} AS rate FROM counts, norm
     )

@@ -17,7 +17,7 @@ from prajna_spark.pipeline import dedup, textqa
 from prajna_spark.operators.fanout import fan_out
 from prajna_spark.queries import query
 from prajna_spark.session import tune
-from prajna_spark.sources import load_table
+from prajna_spark.sources import load_table, stream_table
 
 # DuckDB SQL fragments mirroring pipeline.textqa expressions exactly.
 _NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'))"
@@ -437,20 +437,12 @@ def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     base = tempfile.mkdtemp(prefix="dedup_stream_q_")
-    # the table may be a single FILE (driver testdata — glob the parent
-    # dir) or a DIRECTORY of part files (scaled fixtures — stream it
-    # directly; the glob would match no part file and yield an empty
-    # stream). Same dual-shape branch as streaming.telemetry.
-    import os
-
-    reader = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
+    docs = stream_table(
+        spark,
+        "documents",
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
-    path = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(path):
-        docs = reader.parquet(path)
-    else:
-        docs = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     q = start_incremental_dedup(
         docs, "doc_id", "text",
         f"{base}/store", f"{base}/out", f"{base}/ckpt",

@@ -1,4 +1,9 @@
-from prajna_spark.sources.catalog import TABLES, load_table, load_tables
+from prajna_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    load_tables,
+    stream_table,
+)
 from prajna_spark.sources.imports import (
     export_seq_function,
     import_source,
@@ -11,6 +16,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "stream_table",
     "export_seq_function",
     "import_source",
     "import_source_n",

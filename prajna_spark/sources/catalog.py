@@ -57,6 +57,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def stream_table(
+    spark: SparkSession, name: str, sf_dir: str, schema: str
+) -> DataFrame:
+    """``readStream`` twin of :func:`load_table`, handling BOTH fixture
+    shapes: driver testdata tables are single FILES
+    (``<sf_dir>/<name>.parquet``), while scaled fixtures and rewrite
+    scenarios are DIRECTORIES of part files (tools/gen_scale.py,
+    driver_sim's INT96 rewrite). A directory streams directly; a file
+    streams via a glob filter over the parent (the file source's basePath
+    must be a directory). Streaming always needs the explicit ``schema``
+    — there is no inference pass. The caller owns any events-style ts
+    normalization (see streaming/telemetry.py)."""
+    reader = spark.readStream.schema(schema)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load the full star schema as a dict of DataFrames (lazy scans)."""
     return {name: load_table(spark, name, sf_dir) for name in TABLES}

@@ -44,20 +44,10 @@ def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-    # The table may be a single FILE (the generator's shape — stream the
-    # parent dir with a glob filter, since the file source's basePath must
-    # be a directory) or a DIRECTORY of part files (e.g. the INT96 rewrite
-    # scenario in tools/driver_sim.py — stream it directly; a glob filter
-    # on the parent would skip it).
-    import os
+    from prajna_spark.sources import stream_table
 
-    path = f"{sf_dir}/events.parquet"
     schema = EVENTS_SCHEMA_NANOS if ts_type == "bigint" else EVENTS_SCHEMA
-    reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
-        stream = reader.parquet(path)
-    else:
-        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    stream = stream_table(spark, "events", sf_dir, schema)
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
