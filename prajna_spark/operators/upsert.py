@@ -127,9 +127,18 @@ def upsert_partitioned(
     partition list is bounded by #touched partitions.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    base = spark.read.parquet(base_path).where(
-        F.col(partition_col).isin(parts)
+    # NULL partition values need an explicit isNull branch: isin() never
+    # matches NULL, so without it the NULL-partition base slice would be
+    # excluded from the merge while dynamic overwrite still rewrites
+    # __HIVE_DEFAULT_PARTITION__ with update-only rows — silently
+    # deleting every pre-existing NULL-partition key not in the batch.
+    non_null = [p for p in parts if p is not None]
+    cond = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     )
+    if len(non_null) != len(parts):
+        cond = cond | F.col(partition_col).isNull()
+    base = spark.read.parquet(base_path).where(cond)
     if version_col is not None:
         merged = upsert_versioned(base, updates, keys, version_col)
     else:
@@ -151,8 +160,10 @@ def snapshot_diff(
     Implementation: one full-outer join on the key with null-safe
     struct comparison of the non-key columns — change detection is a
     single JVM expression, no hashing round-trip, and the join is the
-    unavoidable shuffle (both sides keyed; AQE handles skew). Feeding
-    the output's update+insert slice to :func:`upsert` reproduces
+    unavoidable shuffle (both sides keyed; AQE handles skew). The output
+    is a KEY certificate, not self-contained CDC (no value columns ride
+    along): to replay, semi-join ``new`` on the update+insert keys and
+    feed THOSE rows to :func:`upsert` — that round trip reproduces
     ``new`` from ``old`` exactly (asserted in tests/test_upsert.py)."""
     val_cols = [c for c in old.columns if c not in keys]
     o = old.alias("o")

@@ -25,6 +25,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _surrogate(col: Column, dtype: str) -> Column:
+    """A double-valued, order-preserving stand-in for any clusterable
+    column type — the min/max bucketing below needs subtraction and
+    division, which raw string/date/timestamp columns reject at analysis
+    time:
+
+    - numerics pass through (cast to double);
+    - date -> days since epoch; timestamp(/_ntz) -> micros since epoch;
+    - string -> the first 8 bytes as a big-endian integer, left-padded
+      to fixed width with NUL so shorter strings order exactly like
+      byte-wise comparison of their padded prefix (variable-width
+      prefixes would NOT preserve order: 'ab' > 'b' numerically). Values
+      sharing an 8-byte prefix land in the same bucket — locality, not
+      total order, which is all a Z-curve needs.
+
+    NULLs stay NULL; _bucket coalesces them to the curve origin."""
+    if dtype == "date":
+        return F.unix_date(col).cast("double")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if dtype == "string":
+        return F.conv(F.hex(F.rpad(col, 8, "\x00")), 16, 10).cast("double")
+    return col.cast("double")
+
+
 def _bucket(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Linear rank bucket in [0, 2^bits): floor((v-min)/(max-min+eps)*2^bits),
     null -> 0 (nulls cluster together at the curve origin)."""
@@ -66,17 +91,24 @@ def zorder(
     the result with ``.write.parquet`` and every clustered column's
     min/max tightens per file. ``bits`` bounds curve resolution
     (bits*len(cols) <= 62); ``num_files`` sets the range-partition count
-    (default: current shuffle partitions)."""
+    (default: current shuffle partitions). Numeric, string, date, and
+    timestamp columns are all clusterable (non-numerics go through an
+    order-preserving numeric surrogate — see :func:`_surrogate`)."""
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a long (<= 62)")
+    dtypes = dict(df.dtypes)
+    surr = {c: _surrogate(F.col(c), dtypes[c]) for c in cols}
     stats = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in cols],
-        *[F.max(c).alias(f"__max_{c}") for c in cols],
+        *[F.min(surr[c]).alias(f"__min_{c}") for c in cols],
+        *[F.max(surr[c]).alias(f"__max_{c}") for c in cols],
     )
     with_stats = df.join(F.broadcast(stats))
     buckets = [
         _bucket(
-            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+            _surrogate(F.col(c), dtypes[c]),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+            bits,
         )
         for c in cols
     ]

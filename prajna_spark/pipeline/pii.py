@@ -52,11 +52,20 @@ def pii_counts(col: Column | str) -> list[Column]:
     categories < N were replaced — so n_email+n_ipv4+... equals the
     number of placeholder insertions redact() performs. (Counting every
     pattern against the raw text would double-count, e.g. the digits of
-    an IP inside a longer token.)"""
+    an IP inside a longer token.)
+
+    NULL text counts as 0 matches, not NULL: without the coalesce a
+    NULL-text document gets pii_total NULL and vanishes from BOTH sides
+    of any gate (pii_total == 0 and pii_total > 0 both evaluate NULL) —
+    uncounted as clean or dirty. Mirrored in oracle_count_sql."""
     cur = F.col(col) if isinstance(col, str) else col
     out = []
     for name, pat, repl in PII_PATTERNS:
-        out.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        out.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
         cur = F.regexp_replace(cur, pat, repl)
     return out
 
@@ -94,8 +103,8 @@ def oracle_count_sql(expr: str) -> list[str]:
     frags = []
     for name, pat, repl in PII_PATTERNS:
         frags.append(
-            f"CAST(length(regexp_extract_all({cur}, {_sql_quote(pat)})) AS BIGINT)"
-            f" AS n_{name}"
+            f"CAST(COALESCE(length(regexp_extract_all({cur}, {_sql_quote(pat)})),"
+            f" 0) AS BIGINT) AS n_{name}"
         )
         cur = f"regexp_replace({cur}, {_sql_quote(pat)}, '{repl}', 'g')"
     return frags

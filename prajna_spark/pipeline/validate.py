@@ -24,15 +24,18 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     A NULL rule result counts as a violation (unknown is not a pass) —
     align with SQL by wrapping nullable predicates in coalesce if NULLs
-    are acceptable.
+    are acceptable. An EMPTY input reports 0 violations, not NULL
+    (F.sum over zero rows is NULL; a clean-but-empty delivery must be
+    distinguishable from a failed measurement).
     """
     if not rules:
         raise ValueError("at least one rule required")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, pred in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            F.coalesce(
+                F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)),
+                F.lit(0),
             ).cast("long").alias(f"{name}_violations")
         )
     return df.agg(*aggs)
@@ -68,7 +71,9 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"__null_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
             # aggregate in NATIVE type (numeric/temporal ordering), cast
             # the single result to string for the long-format output

@@ -166,10 +166,13 @@ def committed_store_exists(spark: SparkSession, path: str) -> bool:
     missing → duplicates or data loss). This check uses the Hadoop
     FileSystem API directly (any supported FS, not just local):
     committed content = a ``_SUCCESS`` marker or any entry not starting
-    with ``_`` (partition directories, part files); ``_temporary``-only
-    residue reports False so a bootstrap writer may safely
-    ``mode("overwrite")`` it; genuine FS errors PROPAGATE and fail the
-    batch for retry instead of masquerading as absence."""
+    with ``_`` or ``.`` (partition directories, part files) — Spark and
+    Hadoop hide BOTH prefixes, and dot-prefixed residue
+    (``.spark-staging-*``, ``.hive-staging*``, ``.*.crc``) is in-flight
+    or auxiliary, never committed data. ``_temporary``-only residue
+    reports False so a bootstrap writer may safely ``mode("overwrite")``
+    it; genuine FS errors PROPAGATE and fail the batch for retry instead
+    of masquerading as absence."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -177,6 +180,6 @@ def committed_store_exists(spark: SparkSession, path: str) -> bool:
         return False
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
-        if name == "_SUCCESS" or not name.startswith("_"):
+        if name == "_SUCCESS" or not name.startswith(("_", ".")):
             return True
     return False

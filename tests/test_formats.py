@@ -130,3 +130,22 @@ def test_json_permissive_quarantines_bad_rows(spark, tmp_path):
     assert sorted(r["a"] for r in good.collect()) == [1, 3]
     raw = set(r["_corrupt_record"] for r in bad.collect())
     assert raw == {'{"a": oops}', "not json at all"}
+
+
+def test_committed_store_exists_ignores_staging_residue(spark, tmp_path):
+    """Both '_' and '.' prefixes are hidden/in-flight in the Spark and
+    Hadoop conventions: _temporary and .spark-staging-* residue must
+    read as 'no committed store' so a bootstrap can safely overwrite;
+    a _SUCCESS marker or any visible entry means committed."""
+    import os
+
+    from prajna_spark.sources.formats import committed_store_exists
+
+    p = tmp_path / "store"
+    assert not committed_store_exists(spark, str(p))  # missing
+    os.makedirs(p / "_temporary" / "0")
+    assert not committed_store_exists(spark, str(p))
+    os.makedirs(p / ".spark-staging-123")
+    assert not committed_store_exists(spark, str(p))
+    (p / "_SUCCESS").write_text("")
+    assert committed_store_exists(spark, str(p))

@@ -58,3 +58,73 @@ def test_expire_partitions_drops_only_aged(spark, tmp_path):
         "2026-02-01", "2026-03-01"
     ]
     assert spark.read.parquet(path).count() == 40
+
+
+def test_compact_partitioned_root_preserves_layout(spark, tmp_path):
+    """Compacting a partitioned ROOT must recurse per partition directory
+    — a flat rewrite folds the partition column into the data files and
+    silently destroys pruning and directory-level retention."""
+    from prajna_spark.operators.maintenance import compact, list_partitions
+
+    path = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(30)], "v long, day string"
+    )
+    df.repartition(6).write.partitionBy("day").parquet(path)
+    before = {v for v, _ in list_partitions(path, "day")}
+    compact(spark, path, target_mb=128)
+    assert {v for v, _ in list_partitions(path, "day")} == before
+    got = spark.read.parquet(path)
+    assert got.count() == 30 and "day" in got.columns
+
+
+def test_compact_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """A file appended between compact's read and its swap must abort the
+    compaction (store untouched), not vanish with the old layout."""
+    import prajna_spark.operators.maintenance as m
+    import pytest
+
+    path = str(tmp_path / "race")
+    spark.createDataFrame([(1,)], "v long").write.parquet(path)
+    extra = spark.createDataFrame([(2,)], "v long")
+
+    real = m._parquet_files
+    state = {"n": 0}
+
+    def racy(p):
+        out = real(p)
+        if p == path and state["n"] == 0:
+            state["n"] = 1
+            extra.coalesce(1).write.mode("append").parquet(path)
+        return out
+
+    monkeypatch.setattr(m, "_parquet_files", racy)
+    with pytest.raises(RuntimeError, match="concurrent modification"):
+        m.compact(spark, path)
+    # nothing lost: both rows still present
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_compact_heals_interrupted_swap(spark, tmp_path):
+    """Crash window between the two renames: only __compact_old__ exists.
+    The next compact() restores it instead of letting a streaming
+    bootstrap treat the store as absent."""
+    import os
+
+    from prajna_spark.operators.maintenance import compact
+
+    path = str(tmp_path / "healed")
+    spark.createDataFrame([(i,) for i in range(5)], "v long").write.parquet(path)
+    os.rename(path, path + ".__compact_old__")  # simulate the crash window
+    compact(spark, path)
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.isdir(path + ".__compact_old__")
+
+
+def test_compact_rejects_remote_uri(spark):
+    import pytest
+
+    from prajna_spark.operators.maintenance import compact
+
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        compact(spark, "s3a://bucket/store")

@@ -84,3 +84,23 @@ def test_redact_idempotent(spark):
     assert sorted(r["text"] for r in once.collect()) == sorted(
         r["text"] for r in twice.collect()
     )
+
+
+def test_null_text_counts_zero_and_survives_gates(spark):
+    """NULL text must count as 0 matches: with NULL counts, pii_total is
+    NULL and the doc vanishes from BOTH gate branches (== 0 and > 0)."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.pii import redact_documents
+
+    df = spark.createDataFrame(
+        [(1, "mail me a@b.co"), (2, None)], "id long, text string"
+    )
+    out = redact_documents(df)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[2].pii_total == 0 and rows[2].n_email == 0
+    assert rows[2].text is None
+    assert rows[1].pii_total == 1
+    kept = out.where(F.col("pii_total") == 0).count()
+    quarantined = out.where(F.col("pii_total") > 0).count()
+    assert kept + quarantined == 2

@@ -189,3 +189,26 @@ def test_snapshot_diff_feeds_upsert_roundtrip(spark):
     deletes = diff.where(F.col("change_type") == "delete").select("id")
     rebuilt = upsert(old, upserts, ["id"]).join(deletes, "id", "left_anti")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_upsert_partitioned_preserves_null_partition_rows(spark, tmp_path):
+    """isin() never matches NULL: without the explicit isNull branch, an
+    update batch touching the NULL partition read ZERO base rows from it
+    while dynamic overwrite rewrote the whole __HIVE_DEFAULT_PARTITION__
+    directory — silently deleting every other NULL-partition key."""
+    from prajna_spark.operators.upsert import upsert_partitioned
+
+    path = str(tmp_path / "snap_null")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "p1")],
+        "k long, v string, part string",
+    )
+    base.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a2", None)], "k long, v string, part string"
+    )
+    upsert_partitioned(spark, path, updates, ["k"], "part")
+    got = {
+        (r.k, r.v, r.part) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a2", None), (2, "b", None), (3, "c", "p1")}

@@ -103,3 +103,18 @@ def test_check_referential_counts_orphans_and_broadcasts(spark):
     # (broadcast at runtime when the dim is small — AQE decides; local
     # createDataFrame stats are not representative, so assert shape only)
     assert "LeftAnti" in plan
+
+
+def test_check_and_profile_report_zero_not_null_on_empty(spark):
+    """A clean-but-empty delivery must report 0 violations / 0 nulls —
+    F.sum over zero rows is NULL, which poisons count comparisons and
+    makes empty indistinguishable from unmeasured."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.validate import check, profile
+
+    empty = spark.createDataFrame([], "a long, b string")
+    row = check(empty, {"pos": F.col("a") >= 0}).first()
+    assert row["n_rows"] == 0 and row["pos_violations"] == 0
+    prows = {r.column: r for r in profile(empty).collect()}
+    assert prows["a"].n_null == 0 and prows["a"].n_distinct == 0

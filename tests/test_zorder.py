@@ -110,3 +110,40 @@ def test_zorder_skips_files_on_either_column(spark, sf_dir, tmp_path):
         # with range-sampler quantization at tiny fixtures; 8-file 2-d
         # curve ideal is ~3)
         assert z <= 5 and z <= r - 3, (cond, z, r)
+
+
+def test_zorder_supports_string_date_timestamp_columns(spark):
+    """Non-numeric clustered columns go through order-preserving numeric
+    surrogates — previously (cmax - cmin) rejected them at analysis time."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.operators.zorder import zorder
+
+    df = spark.createDataFrame(
+        [
+            ("de", "2026-01-0%d" % (i % 9 + 1), i)
+            for i in range(20)
+        ],
+        "country string, day string, v long",
+    ).withColumn("day", F.to_date("day")).withColumn(
+        "ts", F.to_timestamp("day")
+    )
+    out = zorder(df, ["country", "day"], bits=4)
+    assert out.count() == 20
+    out2 = zorder(df, ["ts", "v"], bits=4)
+    assert out2.count() == 20
+
+
+def test_zorder_string_surrogate_preserves_prefix_order(spark):
+    """The fixed-width 8-byte big-endian surrogate must order exactly
+    like byte-wise string comparison on the padded prefix ('ab' < 'b'
+    — a variable-width numeric prefix would invert it)."""
+    from pyspark.sql import functions as F
+
+    from prajna_spark.operators.zorder import _surrogate
+
+    vals = ["", "a", "ab", "aba", "b", "ba", "zz", "zzzzzzzzz"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", _surrogate(F.col("s"), "string").alias("x")).collect()
+    by_str = [r.x for r in sorted(rows, key=lambda r: r.s)]
+    assert by_str == sorted(by_str)
