@@ -89,6 +89,158 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The image synth's dimension/pixel formulas, replayed in SQL (contract
+# documented at pipeline.multimodal.IMG_CLASSES). ``dims`` is per-doc;
+# ``g`` evaluates the pixel formula at the dHash sample grid.
+_IMG_DIMS_SQL = """
+    dims AS (
+      SELECT doc_id, doc_id % 89 AS seed,
+             16 + (doc_id % 89) % 17 AS w,
+             12 + ((doc_id % 89) * 3) % 11 AS h
+      FROM documents
+    )
+"""
+
+_DHASH_SQL = """
+    g AS (
+      SELECT d.doc_id, gy.i AS gy, gx.i AS gx,
+             (d.seed*31 + ((gx.i*d.w)//9)*13 + ((gy.i*d.h)//7)*7
+              + CASE WHEN (d.doc_id*11 + ((gx.i*d.w)//9)*5
+                           + ((gy.i*d.h)//7)*3) % 199 = 0
+                     THEN 96 ELSE 0 END) % 256 AS v
+      FROM dims d, range(0, 9) gx(i), range(0, 7) gy(i)
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN n.v > a.v THEN 1::BIGINT ELSE 0::BIGINT END
+                      << (a.gy*8 + a.gx)) AS BIGINT) AS dhash
+      FROM g a
+      JOIN g n ON n.doc_id = a.doc_id AND n.gy = a.gy AND n.gx = a.gx + 1
+      WHERE a.gx < 8
+      GROUP BY a.doc_id
+    )
+"""
+
+
+@query(
+    "image_bmp_meta",
+    oracle=f"""
+    -- first-principles replay of the BMP tier: the Spark side builds a
+    -- REAL 24-bit BMP per doc, struct-parses the headers back, and
+    -- checksums the DECODED pixel plane; the oracle recomputes all of it
+    -- from the synth formula (rowsize = ((3w+3)//4)*4 padded rows,
+    -- file = 54 header bytes + h*rowsize) — equality proves the
+    -- encode->decode roundtrip, not just arithmetic
+    WITH {_IMG_DIMS_SQL},
+    px AS (
+      SELECT d.doc_id,
+             (d.seed*31 + x.i*13 + y.i*7
+              + CASE WHEN (d.doc_id*11 + x.i*5 + y.i*3) % 199 = 0
+                     THEN 96 ELSE 0 END) % 256 AS v
+      FROM dims d
+      JOIN range(0, 33) x(i) ON x.i < d.w
+      JOIN range(0, 23) y(i) ON y.i < d.h
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(54 + d.h * ((3*d.w + 3) // 4 * 4) AS BIGINT) AS file_bytes,
+           s.gray_sum
+    FROM dims d
+    JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS gray_sum
+          FROM px GROUP BY doc_id) s USING (doc_id)
+    """,
+    tags=("multimodal", "image", "bmp", "decode", "pandas-udf"),
+)
+def image_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image plumbing end-to-end: synthesize 24-bit BMP payloads
+    (struct+numpy, Arrow-batched — no codec lib needed, unlike the
+    PIL-gated ``decode_image``), then walk the BITMAPINFOHEADER back and
+    decode the padded bottom-up pixel array. ``gray_sum`` is an exact
+    integer checksum of the decoded plane, so a pixel-order or padding
+    bug hash-fails, not just a header bug."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_bmp(fan_out(docs))
+    return multimodal.decode_bmp_meta(media)
+
+
+@query(
+    "image_dhash_dedup",
+    oracle=f"""
+    -- perceptual-hash dup groups: same-seed docs are near-identical
+    -- images (sparse per-doc perturbation), so unperturbed members of a
+    -- class share a dHash exactly; the oracle replays NN-resampling at
+    -- the 9x7 grid (sx=gx*w//9, sy=gy*h//7) + the 56-bit difference
+    -- hash directly from the pixel formula
+    WITH {_IMG_DIMS_SQL},
+    {_DHASH_SQL}
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM hashes GROUP BY dhash HAVING count(*) > 1
+    """,
+    tags=("multimodal", "image", "dedup", "perceptual-hash", "pandas-udf"),
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dHash image dedup: decode every BMP, 56-bit dHash the pixel
+    plane (nearest-neighbor 9x7 grid, strictly-brighter comparisons),
+    group identical hashes. The hash is one long per image — after the
+    Arrow decode pass the shuffle carries 16 bytes/row regardless of
+    image size, the property that makes perceptual dedup tractable at
+    100 TB of media."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_bmp(fan_out(docs))
+    hashes = multimodal.image_dhash(media)
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "image_dhash_hamming_pairs",
+    oracle=f"""
+    -- near-dup pairs within hamming <= 3, via 4x14-bit band blocking —
+    -- EXACT by pigeonhole (<=3 differing bits leave >=1 band intact);
+    -- the oracle mirrors the banding so both engines enumerate the same
+    -- bounded candidate set, never all-pairs
+    WITH {_IMG_DIMS_SQL},
+    {_DHASH_SQL},
+    bands AS (
+      SELECT doc_id, dhash, t.i AS band,
+             (dhash >> CAST(t.i*14 AS INT)) & 16383 AS bv
+      FROM hashes, range(0, 4) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    tags=("multimodal", "image", "dedup", "lsh", "hamming", "pandas-udf"),
+)
+def image_dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup pairs: band-blocked hamming join over the
+    56-bit dHashes (pipeline.multimodal.dhash_hamming_pairs). Candidates
+    come only from shared 14-bit band buckets — bucket-bounded like every
+    other blocking operator in this engine — and the distance check is
+    one xor+bit_count per candidate, fully JVM-side."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_bmp(fan_out(docs))
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_hamming_pairs(hashes)
+
+
 @query(
     "grouped_zscore_pandas",
     oracle=f"""

@@ -1,0 +1,133 @@
+"""Image tier: real BMP encode/decode + 56-bit dHash near-dup.
+
+The BMP container logic (struct walk, 4-byte row padding, bottom-up row
+order) and the perceptual hash are verified three ways: a pure-local
+roundtrip against the synth formula, a Spark-vs-local-model differential,
+and a hypothesis proof of the band-blocking pigeonhole guarantee the
+hamming-pairs operator's exactness rests on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prajna_spark.pipeline import multimodal as mm
+
+
+def _formula_pixels(doc_id: int) -> np.ndarray:
+    seed = doc_id % mm.IMG_CLASSES
+    w = 16 + seed % 17
+    h = 12 + (seed * 3) % 11
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            pert = 96 if (doc_id * 11 + x * 5 + y * 3) % 199 == 0 else 0
+            out[y, x] = (seed * 31 + x * 13 + y * 7 + pert) % 256
+    return out.astype(np.uint8)
+
+
+def _local_dhash(gray: np.ndarray) -> int:
+    h, w = gray.shape
+    bits = 0
+    for gy in range(7):
+        sy = gy * h // 7
+        for gx in range(8):
+            a = int(gray[sy, gx * w // 9])
+            b = int(gray[sy, (gx + 1) * w // 9])
+            if b > a:
+                bits |= 1 << (gy * 8 + gx)
+    return bits
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 88, 89, 197, 4999])
+def test_bmp_roundtrip_matches_formula(doc_id):
+    """encode->decode is the identity on the pixel plane, including the
+    padded-row / bottom-up cases (w=16 -> rowsize 48, no padding; w=17 ->
+    rowsize 52, 1 pad byte; both appear in the seed range)."""
+    px = mm._img_pixels(doc_id)
+    assert np.array_equal(px, _formula_pixels(doc_id))
+    payload = mm._bmp_encode(px)
+    assert payload[:2] == b"BM"
+    seed = doc_id % mm.IMG_CLASSES
+    w, h = 16 + seed % 17, 12 + (seed * 3) % 11
+    assert len(payload) == 54 + h * ((3 * w + 3) // 4 * 4)
+    assert np.array_equal(mm._bmp_decode(payload), px)
+
+
+def test_dhash_matches_local_model():
+    for doc_id in (0, 7, 89, 1234):
+        g = mm._img_pixels(doc_id)
+        assert mm._dhash56(g) == _local_dhash(g)
+        assert 0 <= mm._dhash56(g) < 1 << 56
+
+
+def test_same_seed_unperturbed_docs_hash_identically():
+    """Docs whose perturbation misses every dHash sample point collapse to
+    their class hash — the dup-group mechanism the catalog query relies
+    on. doc 0 and doc 89*k share seed 0; find two with equal hashes."""
+    hashes = [mm._dhash56(mm._img_pixels(89 * k)) for k in range(12)]
+    assert len(set(hashes)) < len(hashes)
+
+
+def test_spark_dhash_and_meta_match_local(spark, sf_dir):
+    from prajna_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(40)
+    media = mm.synthesize_bmp(docs)
+    meta = {r["doc_id"]: r for r in mm.decode_bmp_meta(media).collect()}
+    hashes = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(media).collect()}
+    for doc_id, row in meta.items():
+        px = _formula_pixels(doc_id)
+        assert (row["height"], row["width"]) == px.shape
+        assert row["bpp"] == 24
+        assert row["gray_sum"] == int(px.astype(np.int64).sum())
+        assert hashes[doc_id] == _local_dhash(px)
+
+
+def test_hamming_pairs_spark_matches_bruteforce(spark, sf_dir):
+    """Band-blocked pairs == brute-force all-pairs at hamming <= 3 (the
+    pigeonhole exactness claim, checked on real data)."""
+    from prajna_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    hashes_df = mm.image_dhash(mm.synthesize_bmp(docs))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.dhash_hamming_pairs(hashes_df).collect()
+    }
+    hs = {r["doc_id"]: r["dhash"] for r in hashes_df.collect()}
+    ids = sorted(hs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
+
+
+def test_hamming_pairs_rejects_unsound_threshold():
+    with pytest.raises(ValueError):
+        mm.dhash_hamming_pairs(None, n_bands=4, band_bits=14, max_hamming=4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 56) - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=55), min_size=0, max_size=3),
+)
+def test_band_pigeonhole_guarantee(h, flips):
+    """Any two 56-bit hashes differing in <= 3 bits share at least one of
+    the 4 disjoint 14-bit bands — the property that makes band blocking
+    EXACT (zero false negatives) at max_hamming=3."""
+    other = h
+    for f in flips:
+        other ^= 1 << f
+    shares = any(
+        (h >> (band * 14)) & 16383 == (other >> (band * 14)) & 16383
+        for band in range(4)
+    )
+    assert shares

@@ -131,6 +131,12 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         "audio_chunk_plan",
         "audio_chunk_rms",
         "heavy_hitters_users",
+        # image tier: BMP encode/decode + dHash are Arrow-batched numpy by
+        # design; everything after the 16-byte (doc_id, dhash) projection
+        # is JVM (banding, grouping, hamming join)
+        "image_bmp_meta",
+        "image_dhash_dedup",
+        "image_dhash_hamming_pairs",
     }
     for name, fn in queries().items():
         if name in allowed:
