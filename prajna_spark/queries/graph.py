@@ -89,6 +89,59 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bfs_hops_from_nation",
+    oracle="""
+    -- ground truth via DuckDB's recursive CTE: shortest hop distance
+    -- from any nation-0 supplier over the symmetrized part-supplier
+    -- graph, depth-capped at 4 (node ids: 2*partkey / 2*suppkey+1)
+    WITH RECURSIVE
+    pe AS MATERIALIZED (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+    seeds AS (
+      SELECT s_suppkey * 2 + 1 AS nid FROM supplier WHERE s_nationkey = 0),
+    walk(nid, d) AS (
+      SELECT nid, 0 FROM seeds
+      UNION
+      SELECT e.dst, walk.d + 1
+      FROM walk JOIN e ON e.src = walk.nid
+      WHERE walk.d < 4
+    )
+    SELECT CAST(nid AS BIGINT) AS node_id, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY nid
+    """,
+    tags=("graph", "bfs", "shortest-path", "iterative"),
+)
+def bfs_hops_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/bfs.py): hop distance from every
+    nation-0 supplier over the symmetrized part-supplier graph, depth 4.
+    Per round the only edge-cardinality shuffle is frontier⋈edges; the
+    early-exit count rides the checkpoint job via observe(). The oracle
+    is a genuine independent replay — DuckDB's recursive CTE semantics
+    (UNION-dedup breadth expansion + min(d)) define shortest-hop distance
+    without mirroring the Spark loop's structure."""
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    pe = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pe.unionAll(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("nid"))
+    )
+    from prajna_spark.operators.bfs import multi_source_bfs
+
+    return multi_source_bfs(edges, seeds, max_hops=4)
+
+
+@query(
     "triangle_count_parts",
     oracle="""
     -- triangles in the part co-purchase graph (parts sharing an order);
