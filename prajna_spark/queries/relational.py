@@ -1448,3 +1448,105 @@ def cdc_apply_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning (pipeline/bloom.py) — runtime-filter shape as a
+# first-class, inspectable operator
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1008  # 16 words of 63 bits
+
+_BLOOM_POS = (
+    "CAST('0x' || substring(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 1008"
+)
+
+
+@query(
+    "bloom_prune_orders",
+    oracle=f"""
+    -- bit-for-bit replay of the Bloom filter: build over rich customers,
+    -- probe every ordering custkey, and report the pruning ledger
+    -- (set bits, pass count, exact matches, false positives). The filter
+    -- has no false negatives, so n_true is identical to the exact
+    -- semi-join count — asserted by the ledger itself.
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9e3
+    ),
+    pos AS (
+      SELECT {_BLOOM_POS.format(seed="b1", key="c_custkey")} AS pos FROM keys
+      UNION ALL
+      SELECT {_BLOOM_POS.format(seed="b2", key="c_custkey")} FROM keys
+    ),
+    words AS (
+      SELECT pos // 63 AS word_idx,
+             CAST(bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS BIGINT) AS word
+      FROM pos GROUP BY pos // 63
+    ),
+    probe AS (
+      SELECT o_custkey,
+             {_BLOOM_POS.format(seed="b1", key="o_custkey")} AS p1,
+             {_BLOOM_POS.format(seed="b2", key="o_custkey")} AS p2
+      FROM (SELECT DISTINCT o_custkey FROM orders)
+    ),
+    flags AS (
+      SELECT p.o_custkey,
+             ((coalesce(w1.word, 0) >> CAST(p.p1 % 63 AS INT)) & 1) = 1
+             AND ((coalesce(w2.word, 0) >> CAST(p.p2 % 63 AS INT)) & 1) = 1
+               AS bloom_pass,
+             k.c_custkey IS NOT NULL AS is_true
+      FROM probe p
+      LEFT JOIN words w1 ON w1.word_idx = p.p1 // 63
+      LEFT JOIN words w2 ON w2.word_idx = p.p2 // 63
+      LEFT JOIN keys k ON k.c_custkey = p.o_custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM words)
+             AS n_set_bits,
+           CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE bloom_pass AND NOT is_true) AS BIGINT)
+             AS n_false_pos
+    FROM flags
+    """,
+    tags=("bloom", "runtime-filter", "join-pruning", "upgrade"),
+)
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning (pipeline/bloom.py): build a
+    1008-bit / 2-hash filter over rich customers (16 longs — broadcast-
+    sized no matter how many keys), probe the DISTINCT ordering custkeys
+    with two broadcast equi-joins (the fact side takes zero shuffles and
+    no explode), and emit the pruning ledger. This is the shape of
+    Spark's own runtime bloom filters surfaced as an operator: the filter
+    is a persistable 16-row table a 100 TB scan can be pre-pruned with,
+    and the ledger makes its false-positive cost measurable. The DuckDB
+    oracle replays the md5 bit positions exactly, so a single flipped bit
+    hash-fails."""
+    from prajna_spark.pipeline.bloom import bloom_build, bloom_probe
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    keys = customer.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    bloom = bloom_build(keys, "c_custkey", _BLOOM_M)
+    probe = orders.select("o_custkey").distinct()
+    flagged = bloom_probe(probe, bloom, "o_custkey", _BLOOM_M)
+    truth = keys.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "is_true", F.lit(True)
+    )
+    ledger = flagged.join(F.broadcast(truth), "o_custkey", "left").withColumn(
+        "is_true", F.coalesce("is_true", F.lit(False))
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits = bloom.agg(F.sum(F.bit_count("word")).alias("n_set_bits"))
+    return (
+        ledger.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.count_if("bloom_pass").alias("n_pass"),
+            F.count_if("is_true").alias("n_true"),
+            F.count_if(F.col("bloom_pass") & ~F.col("is_true")).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select("n_keys", "n_set_bits", "n_probe", "n_pass", "n_true", "n_false_pos")
+    )
