@@ -108,3 +108,77 @@ def oracle_count_sql(expr: str) -> list[str]:
         )
         cur = f"regexp_replace({cur}, {_sql_quote(pat)}, '{repl}', 'g')"
     return frags
+
+
+# --------------------------------------------------------------------------
+# Anonymized release: k-anonymity suppression + seeded-Laplace DP counts
+# --------------------------------------------------------------------------
+
+def kanon_release(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity release over quasi-identifier columns: aggregate to
+    equivalence classes and SUPPRESS classes smaller than ``k`` (their
+    members would be re-identifiable). Returns the released classes with
+    their sizes. One hash aggregation on the quasi tuple — map-side
+    partial combine makes it one narrow shuffle at any corpus size."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") >= k)
+    )
+
+
+def laplace_noise(key: Column, seed: str, scale: float) -> Column:
+    """Deterministic Laplace(0, scale) noise via inverse-CDF over an
+    md5-derived uniform — the SEEDED twin of the DP Laplace mechanism so
+    oracle tests can replay it bit-for-bit (md5 hex parses, IEEE
+    division, and libm ln are cross-engine identical; see
+    functions.rounding notes). Production DP MUST use real entropy — a
+    replayable seed breaks the privacy guarantee by definition; this
+    spelling exists to make the MECHANISM (sensitivity/epsilon/scale
+    arithmetic) a testable operator.
+
+    u = (h + 1) / (2^60 + 2) in (0,1), h = 60 md5 bits of seed|key;
+    X = scale * ln(2u) for u < 1/2, else -scale * ln(2 - 2u).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 2))
+    return F.when(u < 0.5, F.lit(scale) * F.log(2.0 * u)).otherwise(
+        F.lit(-scale) * F.log(2.0 - 2.0 * u)
+    )
+
+
+def oracle_laplace_sql(key_expr: str, seed: str, scale_sql: str) -> str:
+    """The DuckDB replay of laplace_noise — same md5 bits, same inverse
+    CDF, scale spelled in scientific notation (``scale_sql``) so both
+    engines parse it as DOUBLE."""
+    h = (
+        f"CAST('0x' || substring(md5('{seed}|' || CAST({key_expr} AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    u = f"(({h} + 1) / 1152921504606846978e0)"
+    return (
+        f"(CASE WHEN {u} < 5e-1 THEN {scale_sql} * ln(2e0 * {u}) "
+        f"ELSE -({scale_sql}) * ln(2e0 - 2e0 * {u}) END)"
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame, group_col: str, epsilon: float, seed: str
+) -> DataFrame:
+    """Per-group counts released through the Laplace mechanism at
+    sensitivity 1: noisy_count = count + Laplace(1/epsilon). The noise
+    is seeded per group key (see laplace_noise's caveat: replayable
+    noise is for testing the mechanism, not for production privacy)."""
+    scale = 1.0 / epsilon
+    return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("true_n")).select(
+        group_col,
+        (F.col("true_n") + laplace_noise(F.col(group_col), seed, scale)).alias(
+            "noisy_count"
+        ),
+    )

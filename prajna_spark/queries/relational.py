@@ -1550,3 +1550,76 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_bits))
         .select("n_keys", "n_set_bits", "n_probe", "n_pass", "n_true", "n_false_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Anonymized release tier (pipeline/pii.py): k-anonymity + DP mechanism
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kanon_release_customers",
+    oracle="""
+    -- k-anonymity (k=5) over the quasi-identifier tuple (nation,
+    -- market segment, acctbal thousand-bucket): equivalence classes
+    -- smaller than k are suppressed from the release
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1e3) AS BIGINT) AS acctbal_k,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 5
+    """,
+    tags=("privacy", "k-anonymity", "suppression", "pipeline"),
+)
+def kanon_release_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (pipeline.pii.kanon_release): customers
+    aggregated to quasi-identifier equivalence classes (nation, segment,
+    acctbal bucket); classes with fewer than k=5 members are suppressed
+    so no released row is attributable to fewer than 5 people. One
+    map-side-combined hash aggregation — the cheapest possible plan for
+    the release, at any corpus size."""
+    from prajna_spark.pipeline.pii import kanon_release
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    quasi = customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_k"),
+    )
+    return kanon_release(quasi, ["c_nationkey", "c_mktsegment", "acctbal_k"], k=5)
+
+
+from prajna_spark.pipeline.pii import oracle_laplace_sql as _lap_sql  # noqa: E402
+
+
+@query(
+    "dp_noisy_priority_counts",
+    oracle=f"""
+    -- Laplace mechanism at sensitivity 1, epsilon 0.5 (scale 2):
+    -- noise replayed bit-for-bit from seeded md5 uniforms through the
+    -- inverse CDF (ln and IEEE division are cross-engine identical)
+    SELECT o_orderpriority,
+           {R(f"count(*) + {_lap_sql('o_orderpriority', 'dp1', '2e0')}", 6)}
+             AS noisy_count
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("privacy", "differential-privacy", "laplace", "pipeline"),
+)
+def dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts (pipeline.pii.dp_noisy_counts):
+    order counts per priority released through the Laplace mechanism
+    (sensitivity 1, epsilon 0.5). The noise here is SEEDED so the DuckDB
+    oracle can replay the mechanism exactly — which is precisely what
+    makes this spelling a mechanism test, not a privacy deployment
+    (production DP requires real entropy; see laplace_noise's docstring).
+    Plan: one map-combined count per group + pure column arithmetic."""
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.pipeline.pii import dp_noisy_counts
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = dp_noisy_counts(orders, "o_orderpriority", epsilon=0.5, seed="dp1")
+    return out.select(
+        "o_orderpriority", pround(F.col("noisy_count"), 6).alias("noisy_count")
+    )

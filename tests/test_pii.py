@@ -104,3 +104,58 @@ def test_null_text_counts_zero_and_survives_gates(spark):
     kept = out.where(F.col("pii_total") == 0).count()
     quarantined = out.where(F.col("pii_total") > 0).count()
     assert kept + quarantined == 2
+
+
+# --------------------------------------------------------------------------
+# anonymized release tier
+# --------------------------------------------------------------------------
+
+
+def test_kanon_suppresses_small_classes(spark):
+    from prajna_spark.pipeline.pii import kanon_release
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 4 + [("b", 2)] * 2
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = {
+        (r["seg"], r["nat"]): r["class_size"]
+        for r in kanon_release(df, ["seg", "nat"], k=5).collect()
+    }
+    # only the size-5 class survives; k-1-sized and smaller are suppressed
+    assert out == {("a", 1): 5}
+
+
+def test_laplace_noise_is_centered_and_symmetricish(spark):
+    """Inverse-CDF over md5 uniforms: over many keys the sample mean of
+    Laplace(0, 2) is near 0 and the spread matches scale*sqrt(2) within
+    a loose tolerance — catches a one-sided or mis-scaled CDF branch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.pii import laplace_noise
+
+    df = spark.range(0, 4000).select(
+        laplace_noise(F.col("id"), "t", 2.0).alias("x")
+    )
+    row = df.agg(
+        F.avg("x").alias("m"), F.stddev_samp("x").alias("s"),
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+    ).first()
+    assert abs(row["m"]) < 0.2
+    assert abs(row["s"] - 2.0 * math.sqrt(2)) < 0.3
+    assert row["lo"] < -4 and row["hi"] > 4  # both tails realized
+
+
+def test_laplace_noise_is_deterministic_per_key_and_seed(spark):
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.pii import laplace_noise
+
+    df = spark.range(0, 50).select(
+        laplace_noise(F.col("id"), "s1", 1.0).alias("a"),
+        laplace_noise(F.col("id"), "s1", 1.0).alias("b"),
+        laplace_noise(F.col("id"), "s2", 1.0).alias("c"),
+    )
+    rows = df.collect()
+    assert all(r["a"] == r["b"] for r in rows)
+    assert any(r["a"] != r["c"] for r in rows)
