@@ -1,0 +1,63 @@
+"""Time-decayed smoothing over bucketed series (EWMA, bounded memory).
+
+Classic EWMA is a linear recurrence (state_t = a*x_t + (1-a)*state_{t-1})
+— inherently sequential per key, the wrong shape for a distributed
+engine, and its infinite tail cannot be replayed exactly by an
+independent oracle. The operator here is the bounded-window form used by
+monitoring pipelines: a trailing W-bucket weighted mean with geometric
+weights decay^j, normalized over the buckets actually PRESENT in the
+window (so series gaps neither zero-fill nor leak weight).
+
+Spark-first plan: instead of a per-target window scan (which would need
+a variable per-row weight no window frame can express), each source
+bucket EXPLODES into its W forward contributions (weight decay^j to
+bucket t+j) and one hash aggregation per (key, target) sums them — the
+same map-side-combinable shape as every rollup in this engine. The
+explode multiplies the series (group-cardinality, tiny), never the raw
+events.
+
+Cross-engine exactness: weights are libm ``pow`` (bit-identical), the
+sum order is the only drift source, handled by the catalog's standard
+4-decimal portable rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_bounded(
+    series: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    decay: float,
+    window: int,
+) -> DataFrame:
+    """series (key..., bucket long, value) -> (key..., bucket, ewma):
+    ewma(t) = sum_{j: t-j present} decay^j * x(t-j) / sum decay^j,
+    j in [0, window). Only buckets present in the input are emitted."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError("decay must be in (0, 1)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    j = F.posexplode(F.sequence(F.lit(0), F.lit(window - 1)))
+    w = F.pow(F.lit(decay), F.col("j").cast("double"))
+    contrib = series.select(
+        *key_cols,
+        F.col(bucket_col).alias("__src"),
+        F.col(value_col).alias("__x"),
+        j.alias("j", "__dup"),
+    ).select(
+        *key_cols,
+        (F.col("__src") + F.col("j")).alias(bucket_col),
+        (w * F.col("__x")).alias("__wx"),
+        w.alias("__w"),
+    )
+    agg = contrib.groupBy(*key_cols, bucket_col).agg(
+        (F.sum("__wx") / F.sum("__w")).alias("ewma")
+    )
+    # emit only buckets that exist in the source series
+    present = series.select(*key_cols, bucket_col)
+    return agg.join(present, [*key_cols, bucket_col], "left_semi")

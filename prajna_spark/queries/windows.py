@@ -740,3 +740,59 @@ def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
         ).alias("gap_seconds"),
     )
+
+
+@query(
+    "ewma_hourly_value",
+    oracle=f"""
+    -- bounded-window EWMA (decay 0.7, 12 trailing hours) over the hourly
+    -- value rollup, normalized over PRESENT hours only; the oracle
+    -- replays the same explode-contributions algebra (libm pow is
+    -- cross-engine bit-identical, sums carry the standard 4-dec rounding)
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+             sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT event_type, epoch_hour + t.i AS tgt,
+             power(7e-1, t.i) * x AS wx, power(7e-1, t.i) AS w
+      FROM hourly, range(0, 12) t(i)
+    ),
+    agg AS (
+      SELECT event_type, tgt, sum(wx) AS swx, sum(w) AS sw
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.tgt AS epoch_hour, {R('a.swx / a.sw', 4)} AS ewma
+    FROM agg a
+    JOIN hourly h ON h.event_type = a.event_type AND h.epoch_hour = a.tgt
+    """,
+    tags=("time-series", "ewma", "smoothing", "rollup"),
+)
+def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed smoothing of the hourly telemetry rollup
+    (operators/smoothing.py ewma_bounded): trailing-12-hour geometric
+    weights, gap-aware normalization. A sequential EWMA recurrence can't
+    distribute; the explode-contributions spelling turns it into one
+    map-combinable hash aggregation over the (tiny) rollup series — the
+    raw events are touched once, by the rollup itself."""
+    from prajna_spark.operators.smoothing import ewma_bounded
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("epoch_hour"),
+            "value",
+        )
+        .groupBy("event_type", "epoch_hour")
+        .agg(F.sum("value").alias("x"))
+    )
+    out = ewma_bounded(
+        hourly, ["event_type"], "epoch_hour", "x", decay=0.7, window=12
+    )
+    return out.select(
+        "event_type", "epoch_hour", pround(F.col("ewma"), 4).alias("ewma")
+    )

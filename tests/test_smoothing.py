@@ -1,0 +1,75 @@
+"""ewma_bounded: differential vs a local model + gap/edge semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prajna_spark.operators.smoothing import ewma_bounded
+
+
+def _local(series, decay, window):
+    # series: {(key, bucket): x}
+    out = {}
+    for (k, t), _ in series.items():
+        num = den = 0.0
+        for j in range(window):
+            x = series.get((k, t - j))
+            if x is not None:
+                w = decay**j
+                num += w * x
+                den += w
+        out[(k, t)] = num / den
+    return out
+
+
+def _spark(spark, series, decay, window):
+    rows = [(k, t, x) for (k, t), x in series.items()]
+    df = spark.createDataFrame(rows, "k string, b long, x double")
+    got = ewma_bounded(df, ["k"], "b", "x", decay, window).collect()
+    return {(r["k"], r["b"]): r["ewma"] for r in got}
+
+
+def test_ewma_simple_decay(spark):
+    series = {("a", 0): 1.0, ("a", 1): 1.0, ("a", 2): 4.0}
+    got = _spark(spark, series, decay=0.5, window=3)
+    assert got[("a", 0)] == 1.0
+    assert math.isclose(got[("a", 1)], (1.0 + 0.5) / 1.5)
+    assert math.isclose(got[("a", 2)], (4.0 + 0.5 + 0.25) / 1.75)
+
+
+def test_ewma_gap_renormalizes(spark):
+    # bucket 1 missing: ewma(2) = (x2 + 0.25*x0) / 1.25, not /1.75
+    series = {("a", 0): 8.0, ("a", 2): 4.0}
+    got = _spark(spark, series, decay=0.5, window=3)
+    assert math.isclose(got[("a", 2)], (4.0 + 0.25 * 8.0) / 1.25)
+    assert set(got) == {("a", 0), ("a", 2)}  # no bucket-1 row invented
+
+
+def test_ewma_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        ewma_bounded(None, ["k"], "b", "x", 1.0, 3)
+    with pytest.raises(ValueError):
+        ewma_bounded(None, ["k"], "b", "x", 0.5, 0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pts=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 15)),
+        st.floats(-100, 100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=25,
+    ),
+    decay=st.sampled_from([0.3, 0.7, 0.9]),
+    window=st.integers(1, 6),
+)
+def test_ewma_matches_local_model(spark, pts, decay, window):
+    want = _local(pts, decay, window)
+    got = _spark(spark, pts, decay, window)
+    assert set(got) == set(want)
+    for key in want:
+        assert math.isclose(got[key], want[key], rel_tol=1e-9, abs_tol=1e-9)
