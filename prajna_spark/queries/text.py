@@ -1223,3 +1223,107 @@ def resolve_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("p_name", "p_partkey").alias("canonical_name"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes language classifier (pipeline/classify.py)
+# --------------------------------------------------------------------------
+
+_NB_GATE = _hash_gate_sql("doc_id", 0.8, seed="nb1")
+_NB_TOKS = _TOKS.format(c="text")
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=f"""
+    -- multinomial NB with Laplace smoothing, trained on the 80% md5
+    -- gate, scored on the held-out 20%; every model term is integer
+    -- counts through ln/IEEE division (bit-identical cross-engine), the
+    -- per-(doc,class) sum carries the standard portable rounding before
+    -- the argmax (ties by label asc)
+    WITH train AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents WHERE {_NB_GATE}
+    ),
+    test AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents WHERE NOT ({_NB_GATE})
+    ),
+    twc AS MATERIALIZED (
+      SELECT lang AS label, word, count(*) AS n FROM (
+        SELECT lang, unnest({_NB_TOKS}) AS word FROM train
+      ) GROUP BY 1, 2
+    ),
+    tpl AS (SELECT label, CAST(sum(n) AS BIGINT) AS t_l FROM twc GROUP BY 1),
+    v AS (SELECT count(DISTINCT word) AS v FROM twc),
+    den AS (SELECT tpl.label, tpl.t_l + v.v AS dn FROM tpl, v),
+    stats AS (
+      SELECT p.label, ln(p.d_l / CAST(t.d AS DOUBLE)) AS logprior
+      FROM (SELECT lang AS label, count(*) AS d_l FROM train GROUP BY 1) p,
+           (SELECT count(*) AS d FROM train) t
+    ),
+    dw AS MATERIALIZED (
+      SELECT doc_id, word, count(*) AS n FROM (
+        SELECT doc_id, unnest({_NB_TOKS}) AS word FROM test
+      ) GROUP BY 1, 2
+    ),
+    tok AS (
+      SELECT dw.doc_id, d.label,
+             dw.n * ln((coalesce(c.n, 0) + 1) / CAST(d.dn AS DOUBLE)) AS part
+      FROM dw
+      CROSS JOIN den d
+      LEFT JOIN twc c ON c.label = d.label AND c.word = dw.word
+    ),
+    sums AS (
+      SELECT doc_id, label, sum(part) AS s FROM tok GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT g.doc_id, g.label,
+             {R('st.logprior + coalesce(m.s, 0e0)', 6)} AS score
+      FROM (SELECT te.doc_id, st0.label FROM test te, stats st0) g
+      JOIN stats st ON st.label = g.label
+      LEFT JOIN sums m ON m.doc_id = g.doc_id AND m.label = g.label
+    ),
+    pred AS (
+      SELECT doc_id, label AS pred_label FROM (
+        SELECT doc_id, label,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT te.lang AS true_lang, p.pred_label,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM test te JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    tags=("classify", "naive-bayes", "lang-id", "pipeline"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained INSIDE the
+    engine (pipeline/classify.py): an 80/20 md5-gated split, Laplace-
+    smoothed token likelihoods, and a confusion matrix over the held-out
+    docs. The model is three small aggregates (vocab x class
+    likelihoods, priors) built with hash aggregations; scoring is one
+    shuffle-hash join of test tokens against the model grid and one
+    doc-keyed window for the argmax — the supervised twin of the
+    stopword-heuristic lang_id, with no ML runtime anywhere.
+
+    NOTE: the synthetic corpus's lang labels are nearly independent of
+    its (uniformly tech-English) text, so the learned model hugs the
+    class prior — the query validates the MECHANISM (model algebra,
+    smoothing, argmax) against the oracle; genuine separation is
+    demonstrated in tests/test_classify.py on a separable corpus."""
+    from prajna_spark.pipeline.classify import nb_predict, nb_train
+    from prajna_spark.pipeline.sampling import hash_gate
+
+    docs = _docs(spark, sf_dir)
+    gate = hash_gate(F.col("doc_id"), 0.8, seed="nb1")
+    train = docs.where(gate)
+    test = docs.where(~gate)
+    word_ll, class_stats = nb_train(train, "text", "lang")
+    pred = nb_predict(test, word_ll, class_stats, "doc_id", "text")
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
