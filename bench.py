@@ -122,6 +122,12 @@ EXTENDED = [
     "histogram_quantile_sketch",
     "scd2_user_state_history",
     "max_concurrent_intervals",
+    # round-5 continuation: image/graph/bloom/classifier/smoothing tiers
+    "image_dhash_hamming_pairs",
+    "bfs_hops_from_nation",
+    "bloom_prune_orders",
+    "nb_lang_confusion",
+    "ewma_hourly_value",
 ]
 
 

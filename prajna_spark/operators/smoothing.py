@@ -61,3 +61,44 @@ def ewma_bounded(
     # emit only buckets that exist in the source series
     present = series.select(*key_cols, bucket_col)
     return agg.join(present, [*key_cols, bucket_col], "left_semi")
+
+
+def rolling_distinct(
+    events: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    entity_col: str,
+    window: int,
+) -> DataFrame:
+    """Exact trailing-``window``-bucket COUNT DISTINCT of ``entity_col``
+    per key: for each bucket t, how many distinct entities appeared in
+    (t-window, t]. The naive spelling re-scans the window per bucket;
+    this one is linear: dedup to (key, entity, bucket) pairs, explode
+    each pair into its ``window`` forward target buckets, dedup again on
+    (key, entity, target) (an entity active in several source buckets
+    must count once), then one hash count per (key, target). Shuffles
+    carry narrow (key, entity, bucket) triples only; the explode factor
+    is the window length, applied to the DEDUPED pair set, not raw
+    events. Only buckets present in the input are emitted."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pairs = events.select(*key_cols, entity_col, bucket_col).distinct()
+    targets = (
+        pairs.select(
+            *key_cols,
+            entity_col,
+            F.col(bucket_col).alias("__src"),
+            F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__j"),
+        )
+        .select(
+            *key_cols,
+            entity_col,
+            (F.col("__src") + F.col("__j")).alias(bucket_col),
+        )
+        .distinct()
+    )
+    counts = targets.groupBy(*key_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    present = events.select(*key_cols, bucket_col).distinct()
+    return counts.join(present, [*key_cols, bucket_col], "left_semi")

@@ -796,3 +796,98 @@ def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "epoch_hour", pround(F.col("ewma"), 4).alias("ewma")
     )
+
+
+@query(
+    "rolling_distinct_users_24h",
+    oracle="""
+    -- exact trailing-24h distinct users per hour per event type,
+    -- replayed with the same linear explode-dedup algebra (integer
+    -- counts: no rounding anywhere)
+    WITH pairs AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+      FROM events
+    ),
+    tgt AS (
+      SELECT DISTINCT event_type, user_id, hr + t.i AS epoch_hour
+      FROM pairs, range(0, 24) t(i)
+    ),
+    counts AS (
+      SELECT event_type, epoch_hour, CAST(count(*) AS BIGINT) AS n_distinct
+      FROM tgt GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.epoch_hour, c.n_distinct
+    FROM counts c
+    SEMI JOIN (SELECT DISTINCT event_type, hr FROM pairs) p
+      ON p.event_type = c.event_type AND p.hr = c.epoch_hour
+    """,
+    tags=("time-series", "rolling-window", "distinct", "rollup"),
+)
+def rolling_distinct_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour active-user counts (operators/smoothing.py
+    rolling_distinct) — the DAU-style metric, computed EXACTLY in linear
+    work: dedup (type, user, hour), explode each pair into its 24 target
+    hours, dedup again, one hash count. No per-hour rescans, no sketch,
+    shuffles carry narrow triples. The approximate twin at untenable
+    window*cardinality products is the HLL rollup
+    (telemetry_distinct_users_hll)."""
+    from prajna_spark.operators.smoothing import rolling_distinct
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("epoch_hour"),
+    )
+    return rolling_distinct(
+        ev, ["event_type"], "epoch_hour", "user_id", window=24
+    )
+
+
+@query(
+    "ohlc_hourly_bars",
+    oracle=f"""
+    -- OHLC bars: open/close via arg_min/arg_max over a composite BIGINT
+    -- total order (floor-second * 1e8 + event_id; event_id is globally
+    -- unique, so the order is total on any engine without struct
+    -- comparators, which DuckDB 1.0 arg_min lacks)
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {R('arg_min(value, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id)', 4)}
+             AS open,
+           {R('max(value)', 4)} AS high,
+           {R('min(value)', 4)} AS low,
+           {R('arg_max(value, CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id)', 4)}
+             AS close
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("time-series", "ohlc", "bars", "rollup"),
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the market-data downsampling
+    shape: open/close are min_by/max_by over the (ts, event_id) total
+    order, high/low plain extremes, all in ONE map-combinable hash
+    aggregation (min_by/max_by partials merge associatively, so no
+    window scan and no second shuffle)."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ts_long = F.col("ts").cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(ts_long / 3600).cast("long").alias("epoch_hour"),
+            "value",
+            (ts_long * 100000000 + F.col("event_id")).alias("ord"),
+        )
+        .groupBy("event_type", "epoch_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.min_by("value", F.col("ord")), 4).alias("open"),
+            pround(F.max("value"), 4).alias("high"),
+            pround(F.min("value"), 4).alias("low"),
+            pround(F.max_by("value", F.col("ord")), 4).alias("close"),
+        )
+    )

@@ -73,3 +73,61 @@ def test_ewma_matches_local_model(spark, pts, decay, window):
     assert set(got) == set(want)
     for key in want:
         assert math.isclose(got[key], want[key], rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# rolling_distinct
+# --------------------------------------------------------------------------
+
+
+def _local_rolling(rows, window):
+    # rows: (key, entity, bucket)
+    present = {}
+    for k, e, b in rows:
+        present.setdefault((k, b), set())
+    out = {}
+    for k, b in present:
+        ents = {e for (k2, e, b2) in rows if k2 == k and b - window < b2 <= b}
+        out[(k, b)] = len(ents)
+    return out
+
+
+def _spark_rolling(spark, rows, window):
+    from prajna_spark.operators.smoothing import rolling_distinct
+
+    df = spark.createDataFrame(rows, "k string, e long, b long")
+    got = rolling_distinct(df, ["k"], "b", "e", window).collect()
+    return {(r["k"], r["b"]): r["n_distinct"] for r in got}
+
+
+def test_rolling_distinct_counts_entity_once_across_window(spark):
+    rows = [("a", 1, 0), ("a", 1, 1), ("a", 2, 1), ("a", 1, 5)]
+    got = _spark_rolling(spark, rows, window=3)
+    # bucket 1: users {1,2} (1 counted once despite two source buckets)
+    assert got == {("a", 0): 1, ("a", 1): 2, ("a", 5): 1}
+
+
+def test_rolling_distinct_rejects_bad_window(spark):
+    import pytest
+
+    from prajna_spark.operators.smoothing import rolling_distinct
+
+    with pytest.raises(ValueError):
+        rolling_distinct(None, ["k"], "b", "e", 0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 5),
+            st.integers(0, 12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.integers(1, 5),
+)
+def test_rolling_distinct_matches_local_model(spark, rows, window):
+    assert _spark_rolling(spark, rows, window) == _local_rolling(rows, window)
