@@ -668,3 +668,86 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_nid").cast("long").alias("n_hit"),
         pround(F.count("a_nid") / F.lit(10.0), 2).alias("recall_at_10"),
     )
+
+
+# --------------------------------------------------------------------------
+# distributed PCA (pipeline/pca.py)
+# --------------------------------------------------------------------------
+
+_PCA_ITER = 8
+
+
+def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
+    """Fixed-iteration power-method replay (same technique as the
+    pagerank oracle): covariance rounded at 9 decimals, each
+    normalized iterate rounded at 9 (matvecs unrounded — see
+    pipeline/pca.py's midpoint-commensurability note), final
+    loadings/eigenvalue at 6."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        f"""raw AS MATERIALIZED (
+          SELECT ij.i, ij.j, sum(e[ij.i] * e[ij.j]) AS g
+          FROM v, (SELECT a.i, b.i AS j
+                   FROM range(1, {DIM + 1}) a(i), range(1, {DIM + 1}) b(i)) ij
+          GROUP BY ij.i, ij.j)""",
+        f"""mu AS MATERIALIZED (
+          SELECT t.i, sum(e[t.i]) / (SELECT n FROM cnt) AS m
+          FROM v, range(1, {DIM + 1}) t(i) GROUP BY t.i)""",
+        f"""c AS MATERIALIZED (
+          SELECT r.i, r.j,
+                 {R('r.g / (SELECT n FROM cnt) - ma.m * mb.m', 9)} AS val
+          FROM raw r
+          JOIN mu ma ON ma.i = r.i
+          JOIN mu mb ON mb.i = r.j)""",
+        f"v0 AS (SELECT t.i, 1e0 / sqrt({DIM}e0) AS x FROM range(1, {DIM + 1}) t(i))",
+    ]
+    for k in range(1, n_iter + 1):
+        # the matvec stays UNROUNDED: its terms are exact multiples of the
+        # covariance grain, so rounding it would sit exactly on .5e-9
+        # midpoints (see pipeline/pca.py); the post-normalization rounding
+        # is collision-free because the norm is irrational
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+              SELECT c.i, sum(c.val * p.x) AS x
+              FROM c JOIN v{k - 1} p ON p.i = c.j GROUP BY c.i)"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+              SELECT i, {R(f'x / (SELECT sqrt(sum(x * x)) FROM w{k})', 9)} AS x
+              FROM w{k})"""
+        )
+    last = f"v{n_iter}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    lam AS (
+      SELECT {R('sum(a.x * c.val * b.x)', 6)} AS ev
+      FROM c JOIN {last} a ON a.i = c.i JOIN {last} b ON b.i = c.j
+    )
+    SELECT CAST(t.i AS INT) AS dim_idx, {R('t.x', 6)} AS loading,
+           (SELECT ev FROM lam) AS eigenvalue
+    FROM {last} t
+    """
+
+
+@query(
+    "pca_top_component_embeddings",
+    oracle=_pca_oracle(),
+    tags=("pca", "linear-algebra", "iterative", "vectors", "pipeline"),
+)
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (pipeline/pca.py):
+    ONE Arrow-batched corpus pass accumulates the Gram matrix/column
+    sums/count as (i, j, partial) triples (numpy matmul per batch, hash
+    sum to dim^2+dim+1 rows), then 8 power iterations run on the
+    driver-bounded 64x64 covariance with per-iteration portable rounding
+    — the pagerank replay technique, so DuckDB reproduces loadings AND
+    eigenvalue hash-exactly. The corpus is touched exactly once; nothing
+    driver-side scales with rows."""
+    from prajna_spark.pipeline.pca import pca_top_component
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    return pca_top_component(emb, "e", DIM, n_iter=_PCA_ITER)

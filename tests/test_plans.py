@@ -137,6 +137,9 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         "image_bmp_meta",
         "image_dhash_dedup",
         "image_dhash_hamming_pairs",
+        # PCA's single corpus pass is numpy matmul per Arrow batch by
+        # design; everything downstream is driver-bounded dim x dim algebra
+        "pca_top_component_embeddings",
     }
     for name, fn in queries().items():
         if name in allowed:
