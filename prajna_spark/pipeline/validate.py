@@ -142,3 +142,60 @@ def check_referential(
     n = fact.agg(F.count(F.lit(1)).alias("n_rows"))
     o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
     return n.join(o)
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """EXACT inner-join output cardinality WITHOUT executing the join:
+    |A join B| = sum over keys of cnt_A(k) * cnt_B(k). Two map-combined
+    group-bys collapse each side to its key histogram (key-cardinality
+    rows), one narrow merge join of the histograms, one sum — the
+    planner-diagnostic that tells you a fact-fact join will explode
+    BEFORE you shuffle two corpus-sized tables into it. Returns one row:
+    (n_left, n_right, n_join_rows, max_key_fanout)."""
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    per_key = lc.join(rc, "k").select(
+        (F.col("ln") * F.col("rn")).alias("fanout")
+    )
+    totals = per_key.agg(
+        F.coalesce(F.sum("fanout"), F.lit(0)).alias("n_join_rows"),
+        F.coalesce(F.max("fanout"), F.lit(0)).alias("max_key_fanout"),
+    )
+    nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(totals))
+        .select("n_left", "n_right", "n_join_rows", "max_key_fanout")
+    )
+
+
+def dataset_digest(df: DataFrame, row_expr: Column) -> DataFrame:
+    """Order-insensitive, mergeable dataset checksum: per-row md5 of a
+    canonical string, parsed to a 60-bit int, summed (with count) — any
+    added/removed/changed row moves the digest; row and partition order
+    don't (addition commutes). Combine with per-partition computation and
+    the digest of digests for a Merkle-ish audit trail. ``row_expr`` must
+    be a STRING column built from format-stable casts (ints/strings —
+    never raw floats or timestamps; see the catalog query for the
+    convention)."""
+    h = F.conv(F.substring(F.md5(row_expr), 1, 15), 16, 10).cast("long")
+    # the additive digest accumulates in DECIMAL(38,0) (exact at any row
+    # count — a raw BIGINT sum would wrap at ~10^18/10^18-th row) and is
+    # reduced mod 2^60 for a format-stable BIGINT output; XOR is the
+    # complementary channel (overflow-free, but blind to duplicate-row
+    # pairs, which the additive channel catches)
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 60)).cast("long"),
+            F.lit(0),
+        ).alias("digest_sum"),
+        F.coalesce(F.bit_xor("h"), F.lit(0)).alias("digest_xor"),
+    )

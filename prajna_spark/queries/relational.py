@@ -1623,3 +1623,91 @@ def dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority", pround(F.col("noisy_count"), 6).alias("noisy_count")
     )
+
+
+# --------------------------------------------------------------------------
+# Ops/diagnostics tier (pipeline/validate.py): join-size prediction and
+# dataset integrity digests
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_size_lineitem_orders",
+    oracle="""
+    -- the ESTIMATE's independent ground truth: n_join_rows comes from
+    -- actually executing the join (the operator never does), so the
+    -- histogram algebra sum(cnt_l * cnt_r) is verified against reality
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             AS n_join_rows,
+           (SELECT CAST(max(ln * rn) AS BIGINT) FROM
+              (SELECT l_orderkey AS k, count(*) AS ln FROM lineitem GROUP BY 1) a
+              JOIN
+              (SELECT o_orderkey AS k, count(*) AS rn FROM orders GROUP BY 1) b
+              USING (k)) AS max_key_fanout
+    """,
+    tags=("diagnostics", "join-size", "planner", "validation"),
+)
+def join_size_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality prediction WITHOUT executing the join
+    (pipeline.validate.join_size_estimate): |A join B| = sum over keys of
+    cnt_A*cnt_B from two map-combined key histograms — the pre-flight
+    check that catches an exploding fact-fact join before two corpus-
+    sized shuffles are paid. The oracle verifies the prediction against
+    the REAL join's count, so this query proves the estimator exact, not
+    just self-consistent."""
+    from prajna_spark.pipeline.validate import join_size_estimate
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return join_size_estimate(lineitem, orders, "l_orderkey", "o_orderkey")
+
+
+@query(
+    "digest_orders_table",
+    oracle="""
+    -- order-insensitive table digest over a format-stable canonical row
+    -- string (ints/strings/cents/epoch only — no raw floats); both the
+    -- additive (mod 2^60, exact decimal accumulation) and xor channels
+    WITH h AS (
+      SELECT CAST('0x' || substring(md5(
+               concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                         o_orderpriority,
+                         CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT),
+                         CAST(epoch(o_orderdate) AS BIGINT))
+             ), 1, 15) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) % 1152921504606846976 AS BIGINT)
+             AS digest_sum,
+           CAST(bit_xor(h) AS BIGINT) AS digest_xor
+    FROM h
+    """,
+    tags=("diagnostics", "integrity", "digest", "audit", "validation"),
+)
+def digest_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset integrity digest (pipeline.validate.dataset_digest): every
+    row hashed over a canonical string (keys, statuses, cents-as-int,
+    epoch seconds — never raw floats, whose formatting is engine-
+    specific), summed mod 2^60 in exact decimal plus an xor channel. Any
+    row change, insertion, or deletion moves the digest; row/partition
+    ORDER does not — so two independently-partitioned copies of a 100 TB
+    table can be compared with one aggregation each and no shuffle of
+    data rows at all."""
+    from prajna_spark.pipeline.validate import dataset_digest
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        # NTZ -> LTZ (UTC-pinned session) -> epoch seconds; NTZ cannot
+        # cast straight to long
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long"),
+    )
+    return dataset_digest(orders, row)

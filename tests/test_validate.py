@@ -118,3 +118,56 @@ def test_check_and_profile_report_zero_not_null_on_empty(spark):
     assert row["n_rows"] == 0 and row["pos_violations"] == 0
     prows = {r.column: r for r in profile(empty).collect()}
     assert prows["a"].n_null == 0 and prows["a"].n_distinct == 0
+
+
+# --------------------------------------------------------------------------
+# ops/diagnostics tier
+# --------------------------------------------------------------------------
+
+
+def test_join_size_estimate_matches_real_join(spark):
+    from prajna_spark.pipeline.validate import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,), (3,)], "k long"
+    )
+    right = spark.createDataFrame([(1,), (3,), (3,), (9,)], "k long")
+    row = join_size_estimate(left, right, "k", "k").first()
+    real = left.join(right, "k").count()
+    assert row["n_join_rows"] == real == 2 + 6
+    assert row["max_key_fanout"] == 6  # key 3: 3*2
+    assert (row["n_left"], row["n_right"]) == (6, 4)
+
+
+def test_join_size_estimate_disjoint_keys(spark):
+    from prajna_spark.pipeline.validate import join_size_estimate
+
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    row = join_size_estimate(left, right, "k", "k").first()
+    assert row["n_join_rows"] == 0 and row["max_key_fanout"] == 0
+
+
+def test_dataset_digest_order_insensitive_change_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from prajna_spark.pipeline.validate import dataset_digest
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    mk = lambda rs, parts: spark.createDataFrame(rs, "id long, s string").repartition(parts)
+    expr = F.concat_ws("|", F.col("id"), F.col("s"))
+
+    d1 = dataset_digest(mk(rows, 1), expr).first()
+    d2 = dataset_digest(mk(list(reversed(rows)), 4), expr).first()
+    assert (d1["digest_sum"], d1["digest_xor"], d1["n_rows"]) == (
+        d2["digest_sum"], d2["digest_xor"], d2["n_rows"],
+    )
+
+    d3 = dataset_digest(mk([(1, "a"), (2, "b"), (3, "X")], 1), expr).first()
+    assert d3["digest_sum"] != d1["digest_sum"]
+
+    # duplicate-row pair: xor is blind, the additive channel catches it
+    d4 = dataset_digest(mk(rows + [(3, "c"), (3, "c")], 1), expr).first()
+    assert d4["digest_xor"] == d1["digest_xor"]
+    assert d4["digest_sum"] != d1["digest_sum"]
+    assert d4["n_rows"] == 5
