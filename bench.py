@@ -128,6 +128,22 @@ EXTENDED = [
     "bloom_prune_orders",
     "nb_lang_confusion",
     "ewma_hourly_value",
+    "ohlc_hourly_bars",
+    "rolling_distinct_users_24h",
+    "pca_top_component_embeddings",
+    "digest_orders_table",
+    "join_size_lineitem_orders",
+    "kanon_release_customers",
+    "dp_noisy_priority_counts",
+    # round-5 analytics/feature tier
+    "skyline_pareto_parts",
+    "winsorized_totals_by_priority",
+    "kmv_distinct_users_daily",
+    "standardize_embeddings_z",
+    "vocab_frequency_ranked",
+    "encode_documents_ids",
+    "cm_frequency_users",
+    "bigram_lm_doc_nll",
 ]
 
 

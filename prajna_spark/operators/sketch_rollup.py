@@ -166,3 +166,110 @@ def histogram_quantiles(
         )
         outs.append(picked)
     return _reduce(_DF.unionByName, outs)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the DETERMINISTIC mergeable
+# distinct counter. HLL above is the production-accuracy path but its
+# estimates are library-internal (rows-only at the oracle gate); KMV with
+# an md5-derived hash is bit-identically replayable on any engine, so the
+# whole sketch->merge->estimate pipeline is hash-checkable cross-engine.
+#
+# Sketch = the k smallest DISTINCT 60-bit hashes of the key (sorted
+# array<long>). Mergeable losslessly: the k minima of a union are always
+# contained in the union of the per-part k-minima, so merging sketches
+# reproduces EXACTLY the sketch of the union — the merge invariant is an
+# equality, not an approximation (tested). Estimator (Bar-Yossef et al.,
+# RANDOM'02): with fewer than k hashes the count is exact; otherwise
+# (k-1) / (h_k / 2^60), the classic unbiased form.
+# --------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 60)  # hash domain size: 15 hex digits
+
+
+def _kmv_hash(key_col: str, seed: str):
+    """Uniform 60-bit hash as a LONG — Spark spelling of the oracle's
+    CAST('0x' || substring(md5(seed|key), 1, 15) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_hash_sql(key_sql: str, seed: str) -> str:
+    """DuckDB spelling of :func:`_kmv_hash` for oracle queries."""
+    return (
+        f"CAST('0x' || substring(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+
+
+def _k_smallest(hashes: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """(group..., h) -> (group..., sketch): the k smallest distinct h per
+    group as a sorted array. Distinct is a map-combined hash agg; the
+    row_number bound is Spark's WindowGroupLimit rewrite — a PARTIAL
+    limit per input partition BEFORE the shuffle, so at most k rows per
+    group per map task cross the wire (same engine path the exact-k
+    sampler relies on; tests/test_sampling.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_partials(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    key_col: str,
+    finest_sec: int,
+    k: int = 64,
+    seed: str = "kmv1",
+) -> DataFrame:
+    """Finest-level KMV sketch per (bucket, dims) over ``key_col``:
+    ``(epoch_start, dims..., sketch array<long>)``. Only
+    (bucket, dims, 8-byte hash) rows ever shuffle — never the keys."""
+    hashes = df.select(
+        _bucket(ts_col, finest_sec).alias("epoch_start"),
+        *dims,
+        _kmv_hash(key_col, seed).alias("h"),
+    )
+    return _k_smallest(hashes, ["epoch_start", *dims], k)
+
+
+def kmv_merge(
+    partials: DataFrame, dims: list[str], width: int, k: int
+) -> DataFrame:
+    """Union finer sketches into ``width``-second buckets. Explode is
+    bounded: at most k longs per input sketch; the result IS the sketch
+    that :func:`kmv_partials` would build at ``width`` directly (exact
+    merge invariant — see module comment)."""
+    exploded = partials.select(
+        _bucket("epoch_start", width).alias("epoch_start"),
+        *dims,
+        F.explode("sketch").alias("h"),
+    )
+    return _k_smallest(exploded, ["epoch_start", *dims], k)
+
+
+def kmv_estimate(sketches: DataFrame, k: int, est_decimals: int = 6) -> DataFrame:
+    """Append ``n_kept`` and ``approx_distinct`` to sketch rows. Below k
+    the sketch holds every distinct hash — the estimate is EXACT; at k the
+    Bar-Yossef estimator (k-1)*2^60/h_k applies. Pure column arithmetic,
+    replayable bit-for-bit by the SQL oracle (one IEEE division)."""
+    n = F.size("sketch").cast("long")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.element_at("sketch", k).cast("double")
+    )
+    return sketches.withColumn("n_kept", n).withColumn(
+        "approx_distinct", F.round(est, est_decimals)
+    )

@@ -1,0 +1,112 @@
+"""Feature engineering over embedding and numeric columns — the
+normalization steps between raw corpus tables and model-ready tensors.
+
+Two operators:
+
+- :func:`standardize_embeddings` — feature-wise z-scoring of an
+  ``array<float/double>`` column (per-DIMENSION mean/std over the whole
+  table). The scale shape matters: the stats pass aggregates the exploded
+  (dim, value) rows with map-side combine into exactly ``dim`` rows, those
+  collapse to ONE row of (mus[], sds[]) arrays, and that single row is
+  broadcast back so the standardized array is produced map-side by
+  ``zip_with`` — the table's vectors cross the wire ZERO times (only
+  dim-keyed partials shuffle). The obvious alternative — explode, join
+  per-dim stats, re-assemble with collect_list — shuffles n*dim rows
+  twice.
+
+- :func:`winsorized_stats` — per-group robust aggregates with exact
+  percentile clamping (winsorization): values are clamped to the group's
+  [p_lo, p_hi] exact quantiles before the mean, the standard outlier
+  guard for reward/quality scores. Two aggregations on the group key (the
+  bounds must exist before clamping — inherently two passes); the bounds
+  frame is #groups rows, broadcast by default.
+
+Reference parity: Prajna has no feature/normalization surface (SURVEY
+§2); declared Spark-native additions in the north-star pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.lifecycle import scoped_persist
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (1-based ``dim``) mean and population stddev of the
+    array column: ``(dim, mu, sd)``, exactly ``dim`` rows. One shuffle of
+    dim-keyed partials (map-side combined — each map task emits at most
+    ``dim`` partial rows regardless of input size)."""
+    return (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("p", "val"))
+        .select((F.col("p") + 1).alias("dim"), "val")
+        .groupBy("dim")
+        .agg(F.avg("val").alias("mu"), F.stddev_pop("val").alias("sd"))
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "z"
+) -> DataFrame:
+    """Append ``out_col``: the feature-wise standardized vector
+    ``z[i] = (v[i] - mu[i]) / sd[i]`` (0 where a dimension is constant).
+    Stats collapse to one broadcast row; the rewrite itself is map-side
+    ``zip_with`` — no data-sized shuffle anywhere in the plan."""
+    stats = embedding_dim_stats(df, vec_col)
+    one = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s.mu
+        ).alias("__mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sd"))), lambda s: s.sd
+        ).alias("__sds"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("__mus"), lambda v, m: v - m
+    )
+    z = F.zip_with(
+        centered,
+        F.col("__sds"),
+        lambda c, s: F.when(s == 0, F.lit(0.0)).otherwise(c / s),
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(out_col, z)
+        .drop("__mus", "__sds")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """Per-group stats with exact-percentile winsorization:
+    ``(group..., n, lo, hi, raw_mean, winsor_mean)``. ``lo``/``hi`` are
+    the group's exact interpolated quantiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); the winsorized mean averages values
+    clamped into [lo, hi]. Set ``broadcast_bounds=False`` when the group
+    cardinality is itself data-sized (the join then shuffles on the
+    group key — same key as the final aggregation, so AQE coalesces)."""
+    df = scoped_persist(df.select(*group_cols, value_col))
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, p_lo).alias("lo"),
+        F.percentile(value_col, p_hi).alias("hi"),
+    )
+    if broadcast_bounds:
+        bounds = F.broadcast(bounds)
+    v = F.col(value_col)
+    clamped = df.join(bounds, group_cols).withColumn(
+        "__w", F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.avg(value_col).alias("raw_mean"),
+        F.avg("__w").alias("winsor_mean"),
+    )

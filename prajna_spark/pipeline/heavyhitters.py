@@ -156,3 +156,94 @@ def heavy_hitters_exact(
         .where(F.col("n").cast("double") > F.col("n_total") * phi)
         .select(key_col, "n")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable point-frequency estimates. MG above answers
+# "which keys are heavy"; CM answers "how often does key x occur" for ANY
+# x, in w*d counters. Deterministic md5-derived row hashes make the whole
+# sketch replayable on another engine (the same portability trick as the
+# KMV sketch in operators/sketch_rollup.py).
+#
+# Guarantees (Cormode & Muthukrishnan '04): est >= true always (counts
+# only ever collide upward); est <= true + eps*N with probability
+# >= 1 - delta for w = ceil(e/eps), d = ceil(ln 1/delta). Merge = cell-
+# wise ADDITION — partial aggregation applies, so building the sketch is
+# one map-combined shuffle of at most w*d rows per map task.
+# --------------------------------------------------------------------------
+
+
+def _cm_bucket(key_col: str, row: int, w: int):
+    """Row ``row``'s bucket for a key: first 15 hex digits of
+    md5('cm{row}|'||key) as a 60-bit int, mod w. Independent-enough rows
+    come from distinct seed prefixes (md5 avalanche)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cm{row}|"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % w).cast("long")
+
+
+def cm_bucket_sql(key_sql: str, row: int, w: int) -> str:
+    """DuckDB spelling of :func:`_cm_bucket` for oracle replays."""
+    return (
+        f"CAST('0x' || substring(md5('cm{row}|' || CAST({key_sql} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {w}"
+    )
+
+
+def cm_sketch(df: DataFrame, key_col: str, w: int = 256, d: int = 4) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)`` — at most ``w*d`` rows
+    total regardless of input size. The d-fold row expansion is an
+    explode over a literal array (map-side, before the aggregation's
+    partial combine). Merging sketches = unionAll + re-aggregate."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                _cm_bucket("__k", i, w).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("__k"))
+        .select(F.explode(pairs).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, w: int, d: int
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: ``(key_col, est)`` with
+    ``est = min over rows of the key's bucket count`` (0 if a bucket is
+    empty — the sketch stores no zero cells). The sketch is at most w*d
+    rows, so it broadcasts; estimation is d broadcast-hash probes per
+    key, no data-sized shuffle."""
+    probes = keys.select(F.col(key_col).alias("__k")).distinct()
+    for i in range(d):
+        probes = probes.withColumn(f"__q{i}", _cm_bucket("__k", i, w))
+    est = None
+    sk = F.broadcast(sketch)
+    out = probes
+    for i in range(d):
+        cell = sk.select(
+            F.col("row").alias(f"__r{i}"),
+            F.col("bucket").alias(f"__cb{i}"),
+            F.col("cnt").alias(f"__c{i}"),
+        ).where(F.col(f"__r{i}") == i)
+        out = out.join(
+            cell, out[f"__q{i}"] == cell[f"__cb{i}"], "left"
+        ).drop(f"__r{i}", f"__cb{i}", f"__q{i}")
+        c = F.coalesce(F.col(f"__c{i}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    return out.select(
+        F.col("__k").alias(key_col), est.cast("long").alias("est")
+    )

@@ -1,0 +1,90 @@
+"""N-gram language-model scoring — corpus-level fluency signals for
+curation (a document whose token transitions are improbable under the
+corpus's own bigram statistics is boilerplate, ciphertext, or noise; the
+classic cheap perplexity filter).
+
+- :func:`bigram_counts` — corpus bigram + unigram (as-history) counts.
+- :func:`score_documents` — per-document mean negative log-likelihood
+  under the add-k-smoothed bigram model
+  ``P(w2|w1) = (c12 + k) / (c1 + k*V)``.
+
+Scale shapes: tokens explode once; bigrams come from a per-document
+``lead`` window (document-sized partitions — never global); every join
+keys on the narrow (w1, w2) / w1 token strings with map-side-combined
+counts. Cross-engine exactness: counts are integers, the smoothed
+probability is one IEEE division, ``ln`` is libm-identical — only the
+per-document sum order varies (rounded by the caller).
+
+Reference parity: Prajna has no statistical-NLP surface (SURVEY §2);
+declared Spark-native north-star addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.lifecycle import scoped_persist
+from prajna_spark.pipeline.textqa import tokens
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair in each document."""
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+
+
+def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Returns (bigrams_df, c12_df, c1_df, vocab_size_df): the per-doc
+    bigram stream plus corpus statistics. ``c1`` counts w1 as a bigram
+    HISTORY (i.e. over the same bigram population c12 marginalizes), so
+    sum over w2 of P(w2|w1) is exactly 1 under add-k smoothing.
+    ``vocab_size_df`` is a one-row frame (distinct token count) meant to
+    be consumed via a broadcast cross join — never collected."""
+    bigrams = scoped_persist(_doc_bigrams(docs, id_col, text_col))
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("v_size"))
+    )
+    return bigrams, c12, c1, vocab
+
+
+def score_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll): mean negative log-likelihood of each
+    document's bigrams under the corpus model with add-k smoothing.
+    Documents with < 2 tokens have no bigrams and are absent (they carry
+    no transition evidence). Joins: bigram-keyed (narrow strings) for
+    c12, history-keyed for c1, one-row broadcast for V."""
+    bigrams, c12, c1, vocab = bigram_counts(docs, id_col, text_col)
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])  # every bigram exists in the corpus
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__nll",
+            -F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v_size"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("__nll").alias("avg_nll"),
+    )

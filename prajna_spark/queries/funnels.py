@@ -395,3 +395,62 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         hist, ["event_type"], [0.5, 0.95, 0.99], 0.0, 1000.0, 100
     )
+
+
+def _cm_case_sql(key_sql: str, w: int, d: int) -> str:
+    """CASE dispatching r.row to the row's bucket hash of ``key_sql``."""
+    from prajna_spark.pipeline.heavyhitters import cm_bucket_sql
+
+    branches = " ".join(
+        f"WHEN {i} THEN ({cm_bucket_sql(key_sql, i, w)})" for i in range(d)
+    )
+    return f"CASE r.row {branches} END"
+
+
+@query(
+    "cm_frequency_users",
+    oracle=f"""
+    -- count-min replayed cell-for-cell (md5-derived bucket hashes are
+    -- engine-portable), plus the exact counts the estimates bound
+    WITH b AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT r.row AS row, {_cm_case_sql("user_id", 256, 4)} AS bucket
+        FROM events, (VALUES (0),(1),(2),(3)) r(row)
+      ) GROUP BY row, bucket
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ), ests AS (
+      SELECT p.user_id, CAST(min(coalesce(b.cnt, 0)) AS BIGINT) AS est
+      FROM probes p CROSS JOIN (VALUES (0),(1),(2),(3)) r(row)
+      LEFT JOIN b ON b.row = r.row
+                 AND b.bucket = ({_cm_case_sql("p.user_id", 256, 4)})
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, e.est, t.true_cnt
+    FROM ests e JOIN (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ) t USING (user_id)
+    """,
+    tags=("sketch", "count-min", "frequency", "pipeline"),
+)
+def cm_frequency_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates
+    (pipeline.heavyhitters.cm_sketch/cm_estimate) for a probe set of
+    users, alongside their exact counts — in-data evidence of the CM
+    guarantee est >= true. The sketch is <= w*d = 1024 rows built with
+    one map-combined shuffle (the d-fold expansion happens before the
+    partial aggregate), broadcast for estimation; MG answers WHICH keys
+    are heavy, CM answers HOW OFTEN for any key, and both shuffle
+    sketch rows, never raw keys."""
+    from prajna_spark.pipeline.heavyhitters import cm_estimate, cm_sketch
+
+    ev = _events(spark, sf_dir)
+    sketch = cm_sketch(ev, "user_id", w=256, d=4)
+    probes = ev.where(F.col("user_id") < 20)
+    est = cm_estimate(sketch, probes, "user_id", w=256, d=4)
+    true_cnt = probes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(true_cnt, "user_id")

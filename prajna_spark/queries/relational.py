@@ -1711,3 +1711,88 @@ def digest_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp_ltz").cast("long"),
     )
     return dataset_digest(orders, row)
+
+
+# --------------------------------------------------------------------------
+# Analytics tier: preference queries and robust aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+    -- ground truth by pairwise dominance over DISTINCT pairs (quadratic:
+    -- fine for an oracle, the operator itself is sort+prefix-max)
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS psize,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY 1, 2
+    )
+    SELECT price, psize, n_rows FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price <= a.price AND b.psize >= a.psize
+        AND (b.price < a.price OR b.psize > a.psize)
+    )
+    """,
+    tags=("analytics", "skyline", "pareto", "preference"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — maximal size for minimal retail price
+    (operators.skyline.skyline_2d). The operator is the monotone
+    prefix-max over the (price asc, size desc) order, distributed via the
+    same sampled-boundary bucket expression as the packing prefix sum:
+    ONE data-sized shuffle of distinct pairs, never a dominance join.
+    The oracle is the quadratic NOT EXISTS definition — independent
+    formulation, same frontier."""
+    from prajna_spark.operators.skyline import skyline_2d
+
+    (part,) = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    )
+    return skyline_2d(pts, "price", "psize")
+
+
+@query(
+    "winsorized_totals_by_priority",
+    oracle="""
+    -- exact interpolated quantiles (quantile_cont == Spark percentile),
+    -- then the clamped mean per group
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 5e-2)  AS lo,
+             quantile_cont(o_totalprice, 9.5e-1) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT)                                   AS n,
+           round(first(b.lo), 6)                                      AS lo,
+           round(first(b.hi), 6)                                      AS hi,
+           round(avg(o.o_totalprice), 6)                              AS raw_mean,
+           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 6) AS winsor_mean
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    tags=("analytics", "robust", "winsorize", "quality", "pipeline"),
+)
+def winsorized_totals_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value stats per priority
+    (pipeline.features.winsorized_stats): values clamped to the group's
+    exact [p05, p95] quantiles before averaging — the robust-mean guard
+    for outlier-heavy quality/reward scores. Bounds are a #groups-row
+    broadcast; both aggregations shuffle only the group key."""
+    from prajna_spark.pipeline.features import winsorized_stats
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = winsorized_stats(
+        orders, ["o_orderpriority"], "o_totalprice", p_lo=0.05, p_hi=0.95
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        pround(F.col("lo"), 6).alias("lo"),
+        pround(F.col("hi"), 6).alias("hi"),
+        pround(F.col("raw_mean"), 6).alias("raw_mean"),
+        pround(F.col("winsor_mean"), 6).alias("winsor_mean"),
+    )

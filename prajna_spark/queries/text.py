@@ -1327,3 +1327,147 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / encoding tier (pipeline/vocab.py)
+# --------------------------------------------------------------------------
+
+_TOKS_TEXT = _TOKS.format(c="text")
+
+
+@query(
+    "vocab_frequency_ranked",
+    oracle=f"""
+    -- frequency-ranked contiguous token ids; the oracle's single-node
+    -- row_number is the semantic spec the distributed zip-with-index
+    -- must reproduce exactly
+    WITH w AS (
+      SELECT unnest({_TOKS_TEXT}) AS token FROM documents
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY token HAVING count(*) >= 5
+    )
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+             AS token_id
+    FROM c
+    """,
+    tags=("vocab", "tokenization", "ranking", "pipeline"),
+)
+def vocab_frequency_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked ids
+    (pipeline.vocab.build_vocab): wordcount -> min_count cutoff ->
+    contiguous 0-based ranks by (cnt desc, token). The rank is a global
+    total order spelled via operators.zipindex (range-repartition +
+    id-bit ordinals + #partitions-row offset prefix), so no single-task
+    ORDER BY window anywhere — the plan that survives a 100 TB corpus."""
+    from prajna_spark.pipeline.vocab import build_vocab
+
+    tune(spark)
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("text"))
+    return build_vocab(docs, "text", min_count=5)
+
+
+@query(
+    "encode_documents_ids",
+    oracle=f"""
+    -- end-to-end encode replay: vocab build + positional token->id map
+    -- (generate_subscripts/unnest expand in lockstep in DuckDB)
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_TEXT} AS toks FROM documents
+    ), w AS (
+      SELECT unnest(toks) AS token FROM docs
+    ), c AS (
+      SELECT token, count(*) AS cnt FROM w GROUP BY token HAVING count(*) >= 5
+    ), v AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+               AS token_id
+      FROM c
+    ), e AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS pos,
+             unnest(toks) AS token
+      FROM docs
+    )
+    SELECT e.doc_id, e.pos,
+           COALESCE(v.token_id, CAST(-1 AS BIGINT)) AS token_id
+    FROM e LEFT JOIN v USING (token)
+    """,
+    tags=("vocab", "encoding", "tokenization", "pipeline"),
+)
+def encode_documents_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded to vocab ids (pipeline.vocab.encode_documents):
+    tokens mapped through the broadcast vocab in position order, OOV ->
+    -1. Output is the exploded (doc_id, pos, token_id) long form for the
+    oracle compare; the operator itself returns packed id arrays (the
+    input shape pipeline.packing.pack_sequences expects). The only
+    data-sized shuffle is the positional re-assembly groupBy."""
+    from prajna_spark.pipeline.vocab import build_vocab, encode_documents
+
+    tune(spark)
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    vocab = build_vocab(docs, "text", min_count=5)
+    enc = encode_documents(docs, vocab, "doc_id", "text", oov_id=-1)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("p", "tid")
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.col("tid").alias("token_id"),
+    )
+
+
+@query(
+    "bigram_lm_doc_nll",
+    oracle=f"""
+    -- add-k bigram LM replay: counts are integers, the smoothed
+    -- probability is one IEEE division, ln is libm-identical — only the
+    -- per-doc mean's sum order varies (rounded at 6)
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_TEXT} AS toks FROM documents
+    ), e AS (
+      SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+             unnest(toks) AS w1
+      FROM docs
+    ), bg AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM e
+    ), b AS (
+      SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM b GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v_size
+      FROM (SELECT unnest(toks) AS t FROM docs)
+    ), s AS (
+      SELECT b.doc_id,
+             -ln((c12.c12 + 5e-1) / (c1.c1 + 5e-1 * v.v_size)) AS nll
+      FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll
+    FROM s GROUP BY doc_id
+    """,
+    tags=("lm", "perplexity", "quality", "pipeline"),
+)
+def bigram_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-k-smoothed bigram model (pipeline.lm.score_documents) — the
+    classic cheap perplexity filter: improbable-transition documents are
+    boilerplate/noise candidates. Bigrams come from a per-document lead
+    window (document-sized partitions, never global); the model joins
+    key on narrow token strings with map-combined counts; V is a one-row
+    broadcast."""
+    from prajna_spark.pipeline.lm import score_documents
+
+    tune(spark)
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
+    out = score_documents(docs, "doc_id", "text", k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", pround(F.col("avg_nll"), 6).alias("avg_nll")
+    )

@@ -751,3 +751,43 @@ def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e")
     )
     return pca_top_component(emb, "e", DIM, n_iter=_PCA_ITER)
+
+
+@query(
+    "standardize_embeddings_z",
+    oracle=f"""
+    -- per-dimension z-score replay; exploded long form so values compare
+    -- engine-to-engine without array formatting concerns
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), x AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS dim, e[CAST(i AS INT)] AS val
+      FROM v, range(1, {DIM} + 1) t(i)
+    ), s AS (
+      SELECT dim, avg(val) AS mu, stddev_pop(val) AS sd FROM x GROUP BY dim
+    )
+    SELECT x.vec_id, x.dim,
+           round(CASE WHEN s.sd = 0 THEN 0e0
+                      ELSE (x.val - s.mu) / s.sd END, 6) AS z
+    FROM x JOIN s USING (dim)
+    """,
+    tags=("vectors", "features", "normalization", "pipeline"),
+)
+def standardize_embeddings_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-wise standardization of the embedding column
+    (pipeline.features.standardize_embeddings): per-dimension mean/std
+    collapse to ONE broadcast row of (mus[], sds[]) arrays and the
+    z-vectors are produced map-side by zip_with — the table's vectors
+    cross the wire zero times; only dim-keyed partials shuffle. Output is
+    the exploded (vec_id, dim, z) long form for the oracle compare."""
+    from prajna_spark.pipeline.features import standardize_embeddings
+
+    emb = _emb(spark, sf_dir)
+    z = standardize_embeddings(emb, "embedding", "z")
+    return z.select(
+        "vec_id", F.posexplode("z").alias("p", "zval")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("dim"),
+        pround(F.col("zval"), 6).alias("z"),
+    )

@@ -891,3 +891,61 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.max_by("value", F.col("ord")), 4).alias("close"),
         )
     )
+
+
+@query(
+    "kmv_distinct_users_daily",
+    oracle="""
+    -- the KMV pipeline replayed from raw data: the sketch's merge
+    -- invariant is EXACT (k minima of a union == merge of per-part k
+    -- minima), so building daily sketches directly here must reproduce
+    -- the engine's hourly-partials->daily-merge path hash-for-hash.
+    -- 63e0 * 1152921504606846976 == (k-1) * 2^60 exactly in IEEE double.
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) * 86400
+                  AS BIGINT) AS epoch_start,
+             CAST('0x' || substring(
+                    md5('kmv1|' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, epoch_start, h,
+             row_number() OVER (PARTITION BY event_type, epoch_start
+                                ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type, epoch_start,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE (63e0 * 1152921504606846976)
+                           / max(CASE WHEN rn = 64 THEN h END)
+                 END, 6) AS approx_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type, epoch_start
+    """,
+    tags=("sketch", "kmv", "distinct", "continuous-aggregate"),
+)
+def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users per event type through the DETERMINISTIC
+    mergeable sketch path (operators.sketch_rollup.kmv_*): hourly KMV
+    partials (k=64 smallest md5-derived 60-bit hashes) merged upward to
+    daily, then the Bar-Yossef estimate — the oracle-checkable twin of
+    the rows-only HLL cascade (telemetry_distinct_users_hll). Every
+    shuffle carries (bucket, event_type, 8-byte hash) rows bounded by
+    WindowGroupLimit's pre-shuffle partial limit; keys never move."""
+    from prajna_spark.operators.sketch_rollup import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "user_id"
+    )
+    hourly = kmv_partials(ev, "t", ["event_type"], "user_id", 3600, k=64, seed="kmv1")
+    daily = kmv_merge(hourly, ["event_type"], 86400, k=64)
+    return kmv_estimate(daily, k=64).select(
+        "event_type", "epoch_start", "n_kept", "approx_distinct"
+    )

@@ -242,3 +242,135 @@ def test_fixed_histogram_merge_invariant_and_error_bound(spark, sf_dir):
             assert abs(est[(t, q)] - target_stat) <= width, (
                 t, q, est[(t, q)], target_stat,
             )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch: exact merge invariant, below-k exactness, estimator accuracy
+# --------------------------------------------------------------------------
+
+
+def _kmv_events(spark, n=4000, users=700, hours=6, seed=13):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(hours) * 3600 + rng.randrange(3600),
+         "e%d" % rng.randrange(2),
+         rng.randrange(users))
+        for _ in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "t long, event_type string, user_id long")
+
+
+def test_kmv_merge_invariant_is_exact(spark):
+    """merge(finer partials) == partials built at the coarse width
+    directly — EXACT sketch equality, the property that makes the finest
+    level a sufficient statistic (cf. the HLL invariant, which is only
+    library-exact; this one is arithmetic)."""
+    from prajna_spark.operators.sketch_rollup import kmv_merge, kmv_partials
+
+    _, df = _kmv_events(spark)
+    fine = kmv_partials(df, "t", ["event_type"], "user_id", 3600, k=16)
+    merged = {
+        (r["event_type"], r["epoch_start"]): r["sketch"]
+        for r in kmv_merge(fine, ["event_type"], 7200, k=16).collect()
+    }
+    direct = {
+        (r["event_type"], r["epoch_start"]): r["sketch"]
+        for r in kmv_partials(df, "t", ["event_type"], "user_id", 7200, k=16).collect()
+    }
+    assert merged == direct and merged
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    from prajna_spark.operators.sketch_rollup import kmv_estimate, kmv_partials
+
+    rows, df = _kmv_events(spark, n=300, users=40)
+    sk = kmv_partials(df, "t", ["event_type"], "user_id", 86400, k=64)
+    got = {r["event_type"]: r for r in kmv_estimate(sk, k=64).collect()}
+    for et in ("e0", "e1"):
+        exact = len({u for t, e, u in rows if e == et})
+        assert exact < 64
+        assert got[et]["n_kept"] == exact
+        assert got[et]["approx_distinct"] == float(exact)
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    """Bar-Yossef estimator stderr is ~1/sqrt(k-2) (~12.7% at k=64);
+    assert a loose 4-sigma envelope so the test is stable, and that the
+    sketch is full (n_kept == k) in the estimation regime."""
+    from prajna_spark.operators.sketch_rollup import kmv_estimate, kmv_partials
+
+    rows, df = _kmv_events(spark, n=20000, users=3000, hours=1)
+    sk = kmv_partials(df, "t", [], "user_id", 86400, k=64)
+    r = kmv_estimate(sk, k=64).collect()[0]
+    exact = len({u for _, _, u in rows})
+    assert r["n_kept"] == 64
+    assert abs(r["approx_distinct"] - exact) / exact < 0.5
+
+
+def test_kmv_shuffle_carries_only_k_per_group_per_partition(spark):
+    """WindowGroupLimit discipline: the rank stage must carry a partial
+    pre-shuffle limit so a hot bucket never funnels all its hashes
+    through one task."""
+    from prajna_spark.operators.sketch_rollup import kmv_partials
+    from prajna_spark.plans.inspect import executed_plan_str
+
+    _, df = _kmv_events(spark)
+    plan = executed_plan_str(kmv_partials(df, "t", ["event_type"], "user_id", 3600, k=16))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: one-sided error, cellwise-additive merge, bounded size
+# --------------------------------------------------------------------------
+
+
+def _cm_df(spark, seed=7, n=3000, keys=40):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(keys),) for _ in range(n)]
+    return rows, spark.createDataFrame(rows, "k long")
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from collections import Counter
+
+    from prajna_spark.pipeline.heavyhitters import cm_estimate, cm_sketch
+
+    rows, df = _cm_df(spark)
+    true = Counter(k for (k,) in rows)
+    sk = cm_sketch(df, "k", w=64, d=3)
+    est = {r["k"]: r["est"] for r in cm_estimate(sk, df, "k", w=64, d=3).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # 40 keys in 64 buckets: the min over 3 rows keeps most keys exact
+    exact = sum(1 for k in true if est[k] == true[k])
+    assert exact >= len(true) * 0.8
+
+
+def test_cm_merge_is_cellwise_addition(spark):
+    from prajna_spark.pipeline.heavyhitters import cm_sketch
+
+    rows, df = _cm_df(spark)
+    a, b = df.randomSplit([0.5, 0.5], seed=1)
+    merged = (
+        cm_sketch(a, "k", w=32, d=2)
+        .unionAll(cm_sketch(b, "k", w=32, d=2))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cm_sketch(df, "k", w=32, d=2)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert got == want
+
+
+def test_cm_sketch_size_is_bounded(spark):
+    from prajna_spark.pipeline.heavyhitters import cm_sketch
+
+    _, df = _cm_df(spark, n=5000, keys=500)
+    sk = cm_sketch(df, "k", w=16, d=4).collect()
+    assert len(sk) <= 16 * 4
+    assert sum(r["cnt"] for r in sk) == 5000 * 4  # every row lands in every hash row
