@@ -144,6 +144,7 @@ EXTENDED = [
     "encode_documents_ids",
     "cm_frequency_users",
     "bigram_lm_doc_nll",
+    "lsh_stream_candidates",
 ]
 
 

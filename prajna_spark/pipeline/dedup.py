@@ -118,6 +118,40 @@ def minhash_signature(
     return hashed.groupBy(id_col).agg(*components)
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """``(id, band_id, band_val)`` LSH band rows — the signature split
+    into bands of ``band_size`` concatenated hash slices. This IS the
+    content of a persisted LSH index (streaming.lsh_stream appends
+    exactly these rows); :func:`lsh_band_pairs` buckets them for
+    self-join candidate generation."""
+    if n_hashes % band_size:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be a multiple of band_size={band_size} "
+            "(remainder hashes would be silently dropped)"
+        )
+    sig = minhash_signature(df, id_col, text_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    band_vals = F.array(
+        *[
+            F.concat(
+                *[F.col(f"minhash_{b * band_size + i}") for i in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+
+
 def lsh_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -150,25 +184,7 @@ def lsh_band_pairs(
     recall-for-boundedness trade at corpus scale). None = exact/no cap,
     matching the DuckDB oracle.
     """
-    if n_hashes % band_size:
-        raise ValueError(
-            f"n_hashes={n_hashes} must be a multiple of band_size={band_size} "
-            "(remainder hashes would be silently dropped)"
-        )
-    sig = minhash_signature(df, id_col, text_col, n_hashes, k)
-    n_bands = n_hashes // band_size
-    band_vals = F.array(
-        *[
-            F.concat(
-                *[F.col(f"minhash_{b * band_size + i}") for i in range(band_size)]
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(band_vals).alias("band_id", "band_val"),
-    )
+    bands = lsh_band_rows(df, id_col, text_col, n_hashes, band_size, k)
     buckets = bands.groupBy("band_id", "band_val").agg(
         F.collect_list("id").alias("ids")
     )

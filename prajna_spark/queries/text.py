@@ -1471,3 +1471,55 @@ def bigram_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", pround(F.col("avg_nll"), 6).alias("avg_nll")
     )
+
+
+@query(
+    "lsh_stream_candidates",
+    oracle=f"""
+    -- batch twin of live-index near-dup probing: band collisions between
+    -- the probe set (doc_id < 25) and the whole corpus, self-matches out
+    WITH sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS m0, {_minhash_sql(1)} AS m1,
+             {_minhash_sql(2)} AS m2, {_minhash_sql(3)} AS m3
+      FROM documents
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_id, concat(m0, m1) AS band_val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, concat(m2, m3) AS band_val FROM sig
+    )
+    SELECT DISTINCT q.doc_id AS query_id, d.doc_id AS doc_id
+    FROM bands q JOIN bands d
+      ON q.band_id = d.band_id AND q.band_val = d.band_val
+         AND q.doc_id <> d.doc_id
+    WHERE q.doc_id < 25
+    """,
+    tags=("dedup", "lsh", "streaming", "incremental-ingest"),
+)
+def lsh_stream_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup candidate detection end-to-end through the
+    PERSISTED streaming LSH index (streaming.lsh_stream): readStream over
+    documents -> minhash band rows appended under bucket partitions ->
+    probe the drained index with a query set. The probe side broadcasts
+    bands-of-queries so the index scan prunes to the probes' buckets —
+    O(probe bands) cells read at any index size. Same signature
+    arithmetic as the batch LSH tier, which is what the oracle replays."""
+    import tempfile
+
+    from prajna_spark.streaming.lsh_stream import (
+        search_lsh_index,
+        start_incremental_lsh,
+    )
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="lsh_stream_q_")
+    docs = stream_table(
+        spark,
+        "documents",
+        sf_dir,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = start_incremental_lsh(docs, f"{base}/index", f"{base}/ckpt")
+    q.awaitTermination()
+    queries_df = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 25)
+    return search_lsh_index(spark, f"{base}/index", queries_df)
