@@ -145,6 +145,8 @@ EXTENDED = [
     "cm_frequency_users",
     "bigram_lm_doc_nll",
     "lsh_stream_candidates",
+    "asof_join_forward_views",
+    "asof_join_nearest_views",
 ]
 
 

@@ -50,37 +50,96 @@ def asof_join(
     ts: str,
     right_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    include_right_ts: bool = False,
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + the latest ``right_cols``
-    values from ``right`` at-or-before its ``ts``, matched on ``on``.
+    """Left as-of join: every ``left`` row + ``right_cols`` from the
+    matched ``right`` row, matched on ``on``. ``direction`` picks the
+    match (the full pandas ``merge_asof`` surface):
+
+    - ``backward`` (default): latest right at-or-before left's ``ts``;
+    - ``forward``: earliest right at-or-after;
+    - ``nearest``: whichever of the two is closer in time (exact ties
+      resolve backward, pandas's rule).
+
+    ``tolerance_sec`` (seconds; ts may be numeric-seconds or timestamp)
+    rejects matches farther than the bound — they come back NULL, they
+    don't fall through to a farther row (the carry already holds the
+    closest candidate in that direction, so filtering it IS rejecting
+    the match). ``include_right_ts`` appends the matched row's timestamp
+    as ``<ts><suffix>``.
 
     ``left`` and ``right`` must both have the ``on`` and ``ts`` columns;
     attached columns are renamed ``<col><suffix>``. All attached values
     come from the same matched right row (single-struct carry), including
-    its NULLs.
+    its NULLs. Plan: ONE hash shuffle on the key for every direction;
+    ``nearest`` adds a second in-partition sort (opposite order), never a
+    second exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     on = list(on)
     l_tagged = left.withColumn(_MARK, F.lit(1))
     r_tagged = right.select(
         *on,
         ts,
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias(_PAYLOAD),
+        F.struct(
+            F.col(ts).alias("__rts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias(_PAYLOAD),
     ).withColumn(_MARK, F.lit(0))
 
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts), F.col(_MARK))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*", F.last(_PAYLOAD, ignorenulls=True).over(w).alias("__f")
-    )
+
+    def carry(descending: bool):
+        # right (marker 0) sorts before left at equal ts either way —
+        # that is what makes both bounds inclusive
+        order = F.col(ts).desc() if descending else F.col(ts).asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col(_MARK))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    lsec = F.col(ts).cast("double")
+
+    def bounded(match, delta):
+        if tolerance_sec is None:
+            return match
+        return F.when(delta <= F.lit(float(tolerance_sec)), match)
+
+    if direction in ("backward", "forward"):
+        m = carry(descending=(direction == "forward"))
+        delta = (
+            (lsec - m["__rts"].cast("double"))
+            if direction == "backward"
+            else (m["__rts"].cast("double") - lsec)
+        )
+        filled = u.select("*", bounded(m, delta).alias("__f"))
+    else:
+        b, f = carry(False), carry(True)
+        db = lsec - b["__rts"].cast("double")
+        df_ = f["__rts"].cast("double") - lsec
+        b, f = bounded(b, db), bounded(f, df_)
+        pick = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(df_ < db, f)  # exact tie -> backward
+            .otherwise(b)
+        )
+        filled = u.select("*", pick.alias("__f"))
+    out_cols = list(right_cols) + (["__rts"] if include_right_ts else [])
+    names = list(right_cols) + ([ts] if include_right_ts else [])
     return (
         filled.where(F.col(_MARK) == 1)
         .select(
             *left.columns,
-            *[F.col(f"__f.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[
+                F.col(f"__f.{c}").alias(f"{n}{suffix}")
+                for c, n in zip(out_cols, names)
+            ],
         )
     )
 

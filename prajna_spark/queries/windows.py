@@ -949,3 +949,112 @@ def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(daily, k=64).select(
         "event_type", "epoch_start", "n_kept", "approx_distinct"
     )
+
+
+@query(
+    "asof_join_forward_views",
+    oracle="""
+    -- forward as-of: DuckDB's native ASOF with the inequality flipped
+    -- picks the EARLIEST right at-or-after each left row
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type, value
+      FROM events
+    ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, t AS vt, value AS vvalue FROM e
+             WHERE event_type = 'view')
+    SELECT p.event_id,
+           p.t      AS purchase_ts,
+           v.vvalue AS next_view_value,
+           v.vt     AS next_view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t <= v.vt
+    """,
+    tags=("asof-join", "forward", "custom-operator", "upgrade"),
+)
+def asof_join_forward_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD point-in-time join (operators.asof, direction='forward'):
+    each purchase gets the user's earliest at-or-after view — the
+    what-happened-next attribution shape. Same one-shuffle union+window
+    plan as backward, with the carry running over descending time."""
+    from prajna_spark.operators.asof import asof_join
+
+    tune(spark)
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("t"),
+        "event_type", "value",
+    )
+    p = e.where(F.col("event_type") == "purchase")
+    v = e.where(F.col("event_type") == "view").select("user_id", "t", "value")
+    out = asof_join(
+        p, v, on=["user_id"], ts="t", right_cols=["value"],
+        direction="forward", include_right_ts=True,
+    )
+    return out.select(
+        "event_id",
+        F.col("t").alias("purchase_ts"),
+        F.col("value_asof").alias("next_view_value"),
+        F.col("t_asof").alias("next_view_ts"),
+    )
+
+
+@query(
+    "asof_join_nearest_views",
+    oracle="""
+    -- nearest-within-tolerance: both native ASOF directions, masked at
+    -- the 1800 s bound, nearer one wins, exact tie -> backward
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type, value
+      FROM events
+    ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, t AS vt, value AS vvalue FROM e
+             WHERE event_type = 'view'),
+    b0 AS (
+      SELECT p.event_id, v.vt AS bt, v.vvalue AS bv
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.vt
+    ), f0 AS (
+      SELECT p.event_id, v.vt AS ft, v.vvalue AS fv
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t <= v.vt
+    ), m AS (
+      SELECT p.event_id, p.t,
+             CASE WHEN p.t - b0.bt <= 1800 THEN b0.bt END AS bt,
+             CASE WHEN p.t - b0.bt <= 1800 THEN b0.bv END AS bv,
+             CASE WHEN f0.ft - p.t <= 1800 THEN f0.ft END AS ft,
+             CASE WHEN f0.ft - p.t <= 1800 THEN f0.fv END AS fv
+      FROM p JOIN b0 USING (event_id) JOIN f0 USING (event_id)
+    )
+    SELECT event_id, t AS purchase_ts,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t)
+                THEN bt ELSE ft END AS near_view_ts,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t)
+                THEN bv ELSE fv END AS near_view_value
+    FROM m
+    """,
+    tags=("asof-join", "nearest", "tolerance", "custom-operator", "upgrade"),
+)
+def asof_join_nearest_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-within-tolerance point-in-time join (operators.asof,
+    direction='nearest', tolerance_sec=1800): each purchase gets the
+    closest view within half an hour either way, exact ties resolving
+    backward (pandas merge_asof's rule). Still one hash exchange — the
+    two opposite-order carries share the shuffle, Spark only re-sorts
+    within partitions."""
+    from prajna_spark.operators.asof import asof_join
+
+    tune(spark)
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("t"),
+        "event_type", "value",
+    )
+    p = e.where(F.col("event_type") == "purchase")
+    v = e.where(F.col("event_type") == "view").select("user_id", "t", "value")
+    out = asof_join(
+        p, v, on=["user_id"], ts="t", right_cols=["value"],
+        direction="nearest", tolerance_sec=1800, include_right_ts=True,
+    )
+    return out.select(
+        "event_id",
+        F.col("t").alias("purchase_ts"),
+        F.col("t_asof").alias("near_view_ts"),
+        F.col("value_asof").alias("near_view_value"),
+    )

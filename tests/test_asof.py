@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from prajna_spark.operators.asof import asof_join
 
 
@@ -95,3 +97,108 @@ def test_bucketed_asof_shards_the_window_by_bucket(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__asof_bucket" in plan
     assert plan.count("Exchange hashpartitioning") >= 2  # sharded + carry
+
+
+# --------------------------------------------------------------------------
+# Direction variants: forward / nearest / tolerance vs a local model
+# --------------------------------------------------------------------------
+
+
+def _local_asof(lrows, rrows, direction, tol=None):
+    """Reference over (key, ts) rows; rrows values unique per (key, ts)."""
+    out = {}
+    for lk, lt in lrows:
+        cands = [(rt, rv) for rk, rt, rv in rrows if rk == lk]
+        back = max(((rt, rv) for rt, rv in cands if rt <= lt), default=None)
+        fwd = min(((rt, rv) for rt, rv in cands if rt >= lt), default=None)
+        if tol is not None:
+            if back and lt - back[0] > tol:
+                back = None
+            if fwd and fwd[0] - lt > tol:
+                fwd = None
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        else:
+            if back is None:
+                pick = fwd
+            elif fwd is None:
+                pick = back
+            else:  # exact tie -> backward
+                pick = fwd if (fwd[0] - lt) < (lt - back[0]) else back
+        out[(lk, lt)] = pick and pick[1]
+    return out
+
+
+def _asof_case(spark, direction, tol):
+    import random
+
+    from prajna_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    lrows = sorted({(rng.randrange(5), rng.randrange(1000)) for _ in range(300)})
+    rrows = [
+        (k, t, k * 10000 + t)
+        for (k, t) in sorted({(rng.randrange(5), rng.randrange(1000)) for _ in range(200)})
+    ]
+    left = spark.createDataFrame(lrows, "k int, t long")
+    right = spark.createDataFrame(rrows, "k int, t long, v long")
+    got = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, on=["k"], ts="t", right_cols=["v"],
+            direction=direction, tolerance_sec=tol,
+        ).collect()
+    }
+    assert got == _local_asof(lrows, rrows, direction, tol), (direction, tol)
+
+
+def test_asof_directions_match_local_model(spark):
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50, 0):
+            _asof_case(spark, direction, tol)
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    from prajna_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 90, 7), (1, 110, 8)], "k int, t long, v long"
+    )
+    r = asof_join(
+        left, right, on=["k"], ts="t", right_cols=["v"], direction="nearest"
+    ).collect()[0]
+    assert r["v_asof"] == 7  # equidistant: backward wins
+
+
+def test_asof_exact_ts_match_is_inclusive_both_directions(spark):
+    from prajna_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, t long")
+    right = spark.createDataFrame([(1, 100, 5)], "k int, t long, v long")
+    for d in ("backward", "forward", "nearest"):
+        r = asof_join(
+            left, right, on=["k"], ts="t", right_cols=["v"], direction=d
+        ).collect()[0]
+        assert r["v_asof"] == 5, d
+
+
+def test_asof_single_exchange_for_nearest(spark):
+    """nearest runs TWO carries but must still shuffle the union once —
+    the opposite-order window re-sorts within partitions, it must not
+    re-exchange."""
+    from prajna_spark.operators.asof import asof_join
+
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("t"))
+    right = spark.range(50).select((F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("t"), F.col("id").alias("v"))
+    plan = (
+        asof_join(left, right, on=["k"], ts="t", right_cols=["v"], direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
