@@ -147,6 +147,8 @@ EXTENDED = [
     "lsh_stream_candidates",
     "asof_join_forward_views",
     "asof_join_nearest_views",
+    "kmv_overlap_orders_customers",
+    "top_event_paths",
 ]
 
 

@@ -199,3 +199,67 @@ def dataset_digest(df: DataFrame, row_expr: Column) -> DataFrame:
         ).alias("digest_sum"),
         F.coalesce(F.bit_xor("h"), F.lit(0)).alias("digest_xor"),
     )
+
+
+def kmv_key_overlap(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    k: int = 128,
+    seed: str = "kmv1",
+    est_decimals: int = 6,
+) -> DataFrame:
+    """Key-set overlap diagnostics WITHOUT joining the tables: one row
+    ``(n_a_est, n_b_est, union_est, jaccard_est, inter_est)`` from two
+    KMV sketches (operators.sketch_rollup) of the key columns.
+
+    The pre-flight FK-health check at scale: |A|, |B|, |A∪B| come from
+    the Bar-Yossef estimator on each sketch (exact below k); Jaccard is
+    the fraction of the MERGED sketch's hashes present in both sides
+    (Bayer et al.'s KMV set-operation rule: the k minima of the union
+    are an unbiased sample of A∪B); intersection = J * |A∪B|. Each side
+    costs one map-combined distinct + a TakeOrdered k-heap — the tables
+    never shuffle against each other (contrast join_size_estimate, which
+    histograms every key). md5-derived hashes make every number here
+    deterministic and replayable by the SQL oracle."""
+    from prajna_spark.operators.sketch_rollup import _KMV_SPACE, _kmv_hash
+
+    def k_min(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.where(F.col(key).isNotNull())
+            .select(_kmv_hash(key, seed).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ha, hb = k_min(a, a_key), k_min(b, b_key)
+    merged = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+    both = merged.join(ha, "h", "left_semi").join(hb, "h", "left_semi")
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk")
+        ).select(
+            F.when(F.col("__n") < k, F.col("__n").cast("double"))
+            .otherwise(F.lit(float(k - 1) * _KMV_SPACE) / F.col("__hk").cast("double"))
+            .alias(name),
+            *([F.col("__n").alias("__nm")] if name == "union_est" else []),
+        )
+
+    inter = both.agg(F.count(F.lit(1)).cast("double").alias("__ni"))
+    out = (
+        est(ha, "n_a_est")
+        .crossJoin(F.broadcast(est(hb, "n_b_est")))
+        .crossJoin(F.broadcast(est(merged, "union_est")))
+        .crossJoin(F.broadcast(inter))
+    )
+    j = F.when(F.col("__nm") > 0, F.col("__ni") / F.col("__nm")).otherwise(F.lit(0.0))
+    return out.select(
+        F.round("n_a_est", est_decimals).alias("n_a_est"),
+        F.round("n_b_est", est_decimals).alias("n_b_est"),
+        F.round("union_est", est_decimals).alias("union_est"),
+        F.round(j, est_decimals).alias("jaccard_est"),
+        F.round(j * F.col("union_est"), est_decimals).alias("inter_est"),
+    )

@@ -454,3 +454,56 @@ def cm_frequency_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
     return est.join(true_cnt, "user_id")
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    -- each user's first-5-event journey as a '>'-joined path, top 20
+    -- paths by user count ((user_id, ts) is globally unique, so the
+    -- per-user ordering — and thus every path string — is deterministic)
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM o WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    tags=("funnel", "paths", "journey", "analytics"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common user journeys: each user's first five events joined
+    into a path string, counted, top 20. The per-user assembly is ONE
+    user-keyed aggregation (sort_array over (ts, type) structs — no
+    window pass at all); the path count shuffles path-cardinality rows
+    and the top-20 is a TakeOrdered heap, so nothing beyond the first
+    aggregate is event-sized."""
+    ev = _events(spark, sf_dir)
+    paths = (
+        ev.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("ts", "event_type"))),
+                        lambda s: s.event_type,
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

@@ -1796,3 +1796,58 @@ def winsorized_totals_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         pround(F.col("raw_mean"), 6).alias("raw_mean"),
         pround(F.col("winsor_mean"), 6).alias("winsor_mean"),
     )
+
+
+from prajna_spark.operators.sketch_rollup import kmv_hash_sql as _kmv_sql  # noqa: E402
+
+_KMV_EST = (
+    "CASE WHEN {s}.n < 128 THEN CAST({s}.n AS DOUBLE) "
+    "ELSE (127e0 * 1152921504606846976) / {s}.hk END"
+)
+_KMV_J = "CASE WHEN sm.n > 0 THEN CAST(si.ni AS DOUBLE) / sm.n ELSE 0e0 END"
+
+
+@query(
+    "kmv_overlap_orders_customers",
+    oracle=f"""
+    -- KMV set-operation replay: k-min sketches of both key sets, the
+    -- merged sketch's in-both fraction is the Jaccard estimate
+    WITH ha AS (
+      SELECT DISTINCT {_kmv_sql("o_custkey", "kmv1")} AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ), hak AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+    hb AS (
+      SELECT DISTINCT {_kmv_sql("c_custkey", "kmv1")} AS h
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), hbk AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+    mk AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (
+          SELECT h FROM hak UNION ALL SELECT h FROM hbk)
+      ) ORDER BY h LIMIT 128
+    ),
+    sa AS (SELECT count(*) AS n, max(h) AS hk FROM hak),
+    sb AS (SELECT count(*) AS n, max(h) AS hk FROM hbk),
+    sm AS (SELECT count(*) AS n, max(h) AS hk FROM mk),
+    si AS (SELECT count(*) AS ni FROM mk
+           WHERE h IN (SELECT h FROM hak) AND h IN (SELECT h FROM hbk))
+    SELECT round({_KMV_EST.format(s="sa")}, 6) AS n_a_est,
+           round({_KMV_EST.format(s="sb")}, 6) AS n_b_est,
+           round({_KMV_EST.format(s="sm")}, 6) AS union_est,
+           round({_KMV_J}, 6) AS jaccard_est,
+           round(({_KMV_J}) * ({_KMV_EST.format(s="sm")}), 6) AS inter_est
+    FROM sa, sb, sm, si
+    """,
+    tags=("sketch", "kmv", "overlap", "diagnostics", "validation"),
+)
+def kmv_overlap_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set overlap of orders.o_custkey vs customer.c_custkey from two
+    KMV sketches (pipeline.validate.kmv_key_overlap) — the pre-flight FK
+    health check that never joins the tables: each side is one
+    map-combined distinct + a k-heap TakeOrdered; estimates (set sizes,
+    Jaccard, intersection) are deterministic md5 arithmetic the oracle
+    replays to the digit."""
+    from prajna_spark.pipeline.validate import kmv_key_overlap
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return kmv_key_overlap(orders, "o_custkey", customer, "c_custkey", k=128)

@@ -171,3 +171,44 @@ def test_dataset_digest_order_insensitive_change_sensitive(spark):
     assert d4["digest_xor"] == d1["digest_xor"]
     assert d4["digest_sum"] != d1["digest_sum"]
     assert d4["n_rows"] == 5
+
+
+# --------------------------------------------------------------------------
+# KMV key-overlap diagnostics
+# --------------------------------------------------------------------------
+
+
+def _overlap(spark, a_keys, b_keys, k=64):
+    from prajna_spark.pipeline.validate import kmv_key_overlap
+
+    a = spark.createDataFrame([(x,) for x in a_keys], "ka long")
+    b = spark.createDataFrame([(x,) for x in b_keys], "kb long")
+    return kmv_key_overlap(a, "ka", b, "kb", k=k).collect()[0]
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    r = _overlap(spark, range(30), range(10, 40), k=64)
+    assert r["n_a_est"] == 30.0 and r["n_b_est"] == 30.0
+    assert r["union_est"] == 40.0
+    assert abs(r["jaccard_est"] - 20 / 40) < 1e-9
+    assert abs(r["inter_est"] - 20.0) < 1e-9
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    same = _overlap(spark, range(100), range(100), k=32)
+    assert same["jaccard_est"] == 1.0
+    disj = _overlap(spark, range(100), range(1000, 1100), k=32)
+    assert disj["jaccard_est"] == 0.0 and disj["inter_est"] == 0.0
+
+
+def test_kmv_overlap_accuracy_above_k(spark):
+    # |A|=|B|=4000, |A∩B|=2000 -> J = 1/3; k=256 keeps stderr ~6%
+    r = _overlap(spark, range(4000), range(2000, 6000), k=256)
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(r["union_est"] - 6000) / 6000 < 0.25
+    assert abs(r["inter_est"] - 2000) / 2000 < 0.4
+
+
+def test_kmv_overlap_empty_side(spark):
+    r = _overlap(spark, range(10), [], k=16)
+    assert r["n_b_est"] == 0.0 and r["jaccard_est"] == 0.0 and r["inter_est"] == 0.0
