@@ -149,6 +149,8 @@ EXTENDED = [
     "asof_join_nearest_views",
     "kmv_overlap_orders_customers",
     "top_event_paths",
+    "clustering_coeff_parts",
+    "debounce_user_events",
 ]
 
 

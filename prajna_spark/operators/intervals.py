@@ -153,3 +153,22 @@ def max_concurrency(
             F.min("t").alias("first_peak_t"),
         )
     )
+
+
+def burst_first(
+    df: DataFrame, key_cols: list[str], ts_col: str, gap: float
+) -> DataFrame:
+    """Debounce: keep only the FIRST row of every activity burst per key,
+    where a burst chains rows whose successive gaps are <= ``gap`` (the
+    same chaining rule as session windows — a kept row represents the
+    burst that follows it). The other debounce flavor ("throttle":
+    distance measured from the last KEPT row) is inherently sequential
+    state and lives in the streaming tier; this chain form is one lag
+    window per key — a single hash shuffle, no state."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .where(F.col("__prev").isNull() | (F.col(ts_col) - F.col("__prev") > gap))
+        .drop("__prev")
+    )

@@ -26,11 +26,10 @@ from pyspark.sql import functions as F
 from prajna_spark.operators.lifecycle import scoped_persist
 
 
-def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
-    """Count triangles in the undirected graph given by ``edges`` (any
-    direction, duplicates tolerated — symmetrized and deduped here).
-    Returns one row ``(n_edges, n_triangles)`` where n_edges counts
-    undirected edges."""
+def _oriented(edges: DataFrame, src_col: str, dst_col: str):
+    """Shared machinery: returns (und, deg, o) — deduped undirected edges
+    (a < b), per-node degrees, and the degree-ordered oriented edge set
+    (s -> t with rank(s) < rank(t)), und and o scope-persisted."""
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
@@ -69,15 +68,66 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     )
     # persisted: probed three times (both wedge sides + the closing semi)
     o = scoped_persist(o)
+    return und, deg, o
 
-    # wedges rooted at the lowest-ranked vertex: out-neighbor pairs
+
+def _closed_wedges(o: DataFrame) -> DataFrame:
+    """(s, v, w) — one row per triangle, rooted at its lowest-ranked
+    vertex s (v, w its oriented out-neighbors, rank(v) < rank(w))."""
     left = o.select(F.col("s"), F.col("t").alias("v"), F.col("trank").alias("rv"))
     right = o.select(F.col("s"), F.col("t").alias("w"), F.col("trank").alias("rw"))
-    wedges = left.join(right, "s").where(F.col("rv") < F.col("rw")).select("v", "w")
-
+    wedges = (
+        left.join(right, "s").where(F.col("rv") < F.col("rw")).select("s", "v", "w")
+    )
     closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return wedges.join(closing, ["v", "w"], "left_semi")
 
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Count triangles in the undirected graph given by ``edges`` (any
+    direction, duplicates tolerated — symmetrized and deduped here).
+    Returns one row ``(n_edges, n_triangles)`` where n_edges counts
+    undirected edges."""
+    und, _, o = _oriented(edges, src_col, dst_col)
+    tri = _closed_wedges(o)
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(F.broadcast(n_tri))
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-node triangle counts and LOCAL clustering coefficients
+    ``(node, degree, n_triangles, clustering)`` where clustering =
+    2*T(v) / (d(v)*(d(v)-1)), 0 for degree < 2 — how close each node's
+    neighborhood is to a clique (community-structure / spam-farm signal).
+
+    Each triangle is still FOUND once (at its degree-ordered root — the
+    same bounded wedge fan-out as :func:`triangle_count`) and then
+    credited to its three corners by a 3-way explode: per-node counting
+    adds one narrow (node)-keyed aggregation over 3x#triangles rows,
+    nothing else. The coefficient is one integer-fed IEEE division —
+    oracle-exact."""
+    und, deg, o = _oriented(edges, src_col, dst_col)
+    corners = _closed_wedges(o).select(
+        F.explode(F.array("s", "v", "w")).alias("node")
+    )
+    tc = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    d = deg.select(F.col("a").alias("node"), F.col("d").cast("long").alias("degree"))
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return d.join(tc, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        F.round(coeff, decimals).alias("clustering"),
+    )

@@ -507,3 +507,35 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "debounce_user_events",
+    oracle="""
+    -- burst-first debounce: a row survives iff no same-key row within
+    -- the preceding 300 s ((user_id, ts) unique -> deterministic)
+    WITH l AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts
+             ) AS prev_t
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, t
+    FROM l WHERE prev_t IS NULL OR t - prev_t > 300
+    """,
+    tags=("debounce", "telemetry", "burst", "cleaning"),
+)
+def debounce_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce (operators.intervals.burst_first): only the
+    first event of every per-(user, type) burst survives — bursts chain
+    events whose gaps are <= 300 s, the standard duplicate-click /
+    retry-noise cleaner. One lag window per narrow key; no state, no
+    second pass."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("t")
+    )
+    from prajna_spark.operators.intervals import burst_first
+
+    return burst_first(ev, ["user_id", "event_type"], "t", 300)

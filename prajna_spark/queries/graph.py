@@ -177,3 +177,56 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return triangle_count(edges, "u", "v")
+
+
+@query(
+    "clustering_coeff_parts",
+    oracle="""
+    -- per-node triangle membership + local clustering coefficient,
+    -- brute-force triple-join ground truth credited to all 3 corners
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tc AS (
+      SELECT node, count(*) AS n_tri
+      FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node
+    ), d AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    )
+    SELECT d.node,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.deg >= 2
+                      THEN 2e0 * coalesce(tc.n_tri, 0)
+                           / (d.deg * (d.deg - 1e0))
+                      ELSE 0e0 END, 6) AS clustering
+    FROM d LEFT JOIN tc ON tc.node = d.node
+    """,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients of the part co-purchase graph
+    (operators.triangles.clustering_coefficients): each triangle is found
+    ONCE at its degree-ordered root — hub wedge fan-out stays bounded —
+    then credited to its three corners by a narrow explode+count. The
+    how-clique-like-is-this-neighborhood signal for community/spam-farm
+    analysis; the oracle's triple join is orientation-free ground
+    truth."""
+    tune(spark)
+    from prajna_spark.operators.triangles import clustering_coefficients
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return clustering_coefficients(edges, "u", "v")

@@ -258,3 +258,32 @@ def test_max_concurrency_no_broadcast_hint_path(spark):
         ).collect()
     }
     assert got == {1: (2, 5)}
+
+
+# --------------------------------------------------------------------------
+# burst_first (debounce)
+# --------------------------------------------------------------------------
+
+
+def test_burst_first_keeps_burst_heads_only(spark):
+    from prajna_spark.operators.intervals import burst_first
+
+    rows = [
+        # key 1: bursts {0,5,9}, {20}, {27,30} with gap 6
+        (1, 0), (1, 5), (1, 9), (1, 20), (1, 27), (1, 30),
+        # key 2: single event
+        (2, 100),
+    ]
+    df = spark.createDataFrame(rows, "k int, t long")
+    got = sorted(
+        (r["k"], r["t"]) for r in burst_first(df, ["k"], "t", 6).collect()
+    )
+    assert got == [(1, 0), (1, 20), (1, 27), (2, 100)]
+
+
+def test_burst_first_gap_boundary_is_inclusive(spark):
+    from prajna_spark.operators.intervals import burst_first
+
+    df = spark.createDataFrame([(1, 0), (1, 6), (1, 13)], "k int, t long")
+    got = sorted(r["t"] for r in burst_first(df, ["k"], "t", 6).collect())
+    assert got == [0, 13]  # gap == 6 chains (<=), 7 breaks

@@ -789,3 +789,42 @@ def test_histogram_sketch_merge_and_rank_bound(spark, vals, nb):
         k = math.ceil(q * len(clamped))
         target = clamped[max(k - 1, 0)]
         assert abs(est[q] - target) <= width + 1e-9, (q, est[q], target)
+
+
+def _brute_clustering(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for a in nb for b in nb if a < b and b in adj[a])
+        c = 2 * t / (d * (d - 1)) if d >= 2 else 0.0
+        out[n] = (d, t, round(c, 6))
+    return out
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_clustering_coefficients_match_brute_force(spark, edges):
+    from prajna_spark.operators.triangles import clustering_coefficients
+
+    from prajna_spark.operators.lifecycle import persist_scope
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    with persist_scope():
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in clustering_coefficients(df).collect()
+        }
+    assert got == _brute_clustering(edges)
