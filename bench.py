@@ -151,6 +151,7 @@ EXTENDED = [
     "top_event_paths",
     "clustering_coeff_parts",
     "debounce_user_events",
+    "trend_hourly_events",
 ]
 
 

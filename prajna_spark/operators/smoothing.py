@@ -102,3 +102,63 @@ def rolling_distinct(
     )
     present = events.select(*key_cols, bucket_col).distinct()
     return counts.join(present, [*key_cols, bucket_col], "left_semi")
+
+
+def ols_trend(
+    df: "DataFrame",
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+):
+    """Per-group ordinary-least-squares line fit from sufficient
+    statistics: ``(group..., n, slope, intercept, r2)``.
+
+    ONE map-combined aggregation computes (n, Σx, Σy, Σxy, Σx², Σy²);
+    the closed forms
+
+        slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)
+        intercept = (Σy - slope·Σx) / n
+        r² = (nΣxy - ΣxΣy)² / ((nΣx² - (Σx)²)(nΣy² - (Σy)²))
+
+    are pure column arithmetic. With INTEGER x and y every sufficient
+    statistic is exact (long sums — no fp accumulation order anywhere)
+    and the final divisions are single IEEE ops, so the result is
+    bit-identical on any engine — the catalog query exploits this with
+    integer hour indexes and counts. Degenerate groups (constant x)
+    return NULL slope/intercept/r2 rather than Inf; constant y with
+    varying x fits slope 0, r2 NULL (zero variance to explain)."""
+    from pyspark.sql import functions as F
+
+    x, y = F.col(x_col), F.col(y_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nn = F.col("n")
+    cov_n = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(var_x != 0, cov_n.cast("double") / var_x.cast("double"))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nn.cast(
+        "double"
+    )
+    # square/multiply in DOUBLE space: (nΣxy - ΣxΣy)^2 overflows long for
+    # entirely ordinary magnitudes; the double spelling is what the
+    # oracle mirrors
+    cd = cov_n.cast("double")
+    r2 = F.when(
+        (var_x != 0) & (var_y != 0),
+        (cd * cd) / (var_x.cast("double") * var_y.cast("double")),
+    )
+    return stats.select(
+        *group_cols,
+        "n",
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )

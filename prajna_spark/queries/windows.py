@@ -1058,3 +1058,69 @@ def asof_join_nearest_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_asof").alias("near_view_ts"),
         F.col("value_asof").alias("near_view_value"),
     )
+
+
+@query(
+    "trend_hourly_events",
+    oracle="""
+    -- OLS trend replay on INTEGER sufficient statistics: every sum is
+    -- exact (DuckDB HUGEINT == Spark long in range), the closed-form
+    -- divisions are single IEEE ops -> bit-identical slopes
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)
+               AS eh,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (SELECT min(eh) AS mh FROM h),
+    p AS (SELECT event_type, eh - m.mh AS x, y FROM h, m),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(CASE WHEN n * sxx - sx * sx <> 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CASE WHEN n * sxx - sx * sx <> 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) END)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                 THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                       * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+    FROM s
+    """,
+    tags=("regression", "trend", "timeseries", "analytics"),
+)
+def trend_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity trend per event type (operators.smoothing.ols_trend):
+    OLS slope/intercept/r2 of hourly event counts against the hour
+    index. Hourly counts are one map-combined aggregation; the
+    regression itself is a second tiny aggregation over #hours rows per
+    type — sufficient statistics, never a point-wise fit. Integer x/y
+    keep every sum exact, so even the driver's hash gate sees identical
+    slopes."""
+    from prajna_spark.operators.smoothing import ols_trend
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("eh"),
+        )
+        .groupBy("event_type", "eh")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    minh = hourly.agg(F.min("eh").alias("mh"))
+    pts = hourly.crossJoin(F.broadcast(minh)).select(
+        "event_type", (F.col("eh") - F.col("mh")).alias("x"), "y"
+    )
+    return ols_trend(pts, ["event_type"], "x", "y")

@@ -131,3 +131,47 @@ def test_rolling_distinct_rejects_bad_window(spark):
 )
 def test_rolling_distinct_matches_local_model(spark, rows, window):
     assert _spark_rolling(spark, rows, window) == _local_rolling(rows, window)
+
+
+# --------------------------------------------------------------------------
+# ols_trend
+# --------------------------------------------------------------------------
+
+
+def test_ols_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from prajna_spark.operators.smoothing import ols_trend
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in (0, 1):
+        xs = np.arange(40)
+        ys = (3 * xs + 7 + rng.integers(-5, 6, 40)) * (g + 1)
+        rows += [(g, int(x), int(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    for g in (0, 1):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert abs(got[g]["slope"] - slope) < 1e-6
+        assert abs(got[g]["intercept"] - intercept) < 1e-6
+        assert abs(got[g]["r2"] - r2) < 1e-6
+
+
+def test_ols_trend_degenerate_groups(spark):
+    from prajna_spark.operators.smoothing import ols_trend
+
+    rows = [
+        (0, 5, 1), (0, 5, 9),        # constant x: undefined fit
+        (1, 1, 4), (1, 2, 4), (1, 3, 4),  # constant y: slope 0, r2 NULL
+        (2, 7, 3),                   # single point
+    ]
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got[0]["slope"] is None and got[0]["r2"] is None
+    assert got[1]["slope"] == 0.0 and got[1]["intercept"] == 4.0
+    assert got[1]["r2"] is None
+    assert got[2]["slope"] is None
