@@ -152,6 +152,7 @@ EXTENDED = [
     "clustering_coeff_parts",
     "debounce_user_events",
     "trend_hourly_events",
+    "quantile_map_doclen",
 ]
 
 

@@ -110,3 +110,42 @@ def winsorized_stats(
         F.avg(value_col).alias("raw_mean"),
         F.avg("__w").alias("winsor_mean"),
     )
+
+
+def quantile_map(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_col: str = "mapped",
+    grid: int = 100,
+) -> DataFrame:
+    """Quantile normalization: re-express each ``df`` value on the REF
+    distribution's scale (score calibration across heterogeneous corpus
+    sources — source B's p73 value becomes whatever source A's p73 is).
+
+    Method: ref's exact interpolated quantiles at a (grid+1)-point
+    lattice (ONE aggregation -> a one-row broadcast array), each df row's
+    exact rank percentile (distributed zip-with-index over (value, id) —
+    ties id-broken, no single-task ORDER BY), nearest-lattice lookup.
+    Rank and cell arithmetic are integer-exact; the lattice is
+    engine-portable (Spark percentile == DuckDB quantile_cont), so the
+    mapping is deterministic to the digit. Precision is 1/grid of the
+    ref ECDF — raise ``grid`` for finer calibration; cost is unchanged
+    (the lattice row stays tiny)."""
+    ps = [i / grid for i in range(grid + 1)]
+    g = ref.agg(F.percentile(F.col(value_col), F.lit(ps)).alias("__grid"))
+    from prajna_spark.operators.zipindex import zip_with_index
+
+    ranked = zip_with_index(df, [value_col, id_col], "__rk")
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    pct = F.col("__rk").cast("double") / (F.col("__n") - 1).cast("double")
+    cell = F.when(
+        F.col("__n") > 1, F.least(F.floor(pct * grid), F.lit(grid))
+    ).otherwise(F.lit(grid // 2))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(g))
+        .withColumn(out_col, F.element_at("__grid", cell.cast("int") + 1))
+        .drop("__rk", "__n", "__grid")
+    )

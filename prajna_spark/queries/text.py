@@ -1523,3 +1523,48 @@ def lsh_stream_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     queries_df = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 25)
     return search_lsh_index(spark, f"{base}/index", queries_df)
+
+
+_QM_PS = "[" + ", ".join(repr(i / 100) for i in range(101)) + "]"
+
+
+@query(
+    "quantile_map_doclen",
+    oracle=f"""
+    -- quantile-normalization replay: identical lattice (quantile_cont ==
+    -- Spark percentile), identical integer rank arithmetic
+    WITH g AS (
+      SELECT quantile_cont(n_chars, {_QM_PS}) AS grid
+      FROM documents WHERE lang = 'en'
+    ), b AS (
+      SELECT doc_id, n_chars FROM documents WHERE lang <> 'en'
+    ), r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM b
+    )
+    SELECT r.doc_id, r.n_chars,
+           round(g.grid[CAST(least(floor(
+                   (CAST(rk AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 100
+                 ), 100) AS INT) + 1], 6) AS mapped
+    FROM r, g
+    """,
+    tags=("features", "calibration", "quantile-normalization", "pipeline"),
+)
+def quantile_map_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (pipeline.features.quantile_map):
+    non-English documents' length scores re-expressed on the English
+    subcorpus's distribution — each value lands at the ref quantile
+    matching its own rank percentile. The ref lattice is one broadcast
+    row; ranks come from the distributed zip-with-index (id-broken ties,
+    no single-task ORDER BY), so the whole mapping is two tiny
+    broadcasts over one ranked pass."""
+    from prajna_spark.pipeline.features import quantile_map
+
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.where(F.col("lang") == "en")
+    b = docs.where(F.col("lang") != "en").select("doc_id", "n_chars")
+    out = quantile_map(b, ref, "n_chars", "doc_id", grid=100)
+    return out.select("doc_id", "n_chars", pround(F.col("mapped"), 6).alias("mapped"))

@@ -97,3 +97,54 @@ def test_winsorized_mean_is_outlier_robust(spark):
     assert r["raw_mean"] > 1e6  # the outlier wrecks the raw mean
     assert r["winsor_mean"] < 2e8  # clamped at p95 (interpolation bounded)
     assert r["winsor_mean"] < r["raw_mean"]
+
+
+# --------------------------------------------------------------------------
+# quantile_map
+# --------------------------------------------------------------------------
+
+
+def test_quantile_map_is_monotone_and_spans_ref(spark):
+    from prajna_spark.pipeline.features import quantile_map
+
+    rng = random.Random(9)
+    b = spark.createDataFrame(
+        [(i, rng.uniform(0, 1)) for i in range(200)], "id long, v double"
+    )
+    ref = spark.createDataFrame(
+        [(i, rng.gauss(50, 10)) for i in range(300)], "id long, v double"
+    )
+    with persist_scope():
+        rows = quantile_map(b, ref, "v", "id", grid=100).collect()
+    ref_vals = [r["v"] for r in ref.collect()]
+    by_v = sorted(rows, key=lambda r: (r["v"], r["id"]))
+    mapped = [r["mapped"] for r in by_v]
+    assert mapped == sorted(mapped)  # rank order preserved
+    assert min(mapped) >= min(ref_vals) and max(mapped) <= max(ref_vals)
+    # extremes land at the ref extremes (rank 0 -> p0, rank n-1 -> p100)
+    assert mapped[0] == min(ref_vals) and mapped[-1] == max(ref_vals)
+
+
+def test_quantile_map_onto_self_recovers_values(spark):
+    """Mapping a sample onto its own distribution is ~identity (exact at
+    lattice points; within one lattice cell elsewhere)."""
+    from prajna_spark.pipeline.features import quantile_map
+
+    vals = [(i, float(v)) for i, v in enumerate(range(0, 101))]
+    df = spark.createDataFrame(vals, "id long, v double")
+    with persist_scope():
+        rows = quantile_map(df, df, "v", "id", grid=100).collect()
+    for r in rows:
+        assert abs(r["mapped"] - r["v"]) <= 1.0 + 1e-9
+
+
+def test_quantile_map_single_row_uses_median(spark):
+    from prajna_spark.pipeline.features import quantile_map
+
+    b = spark.createDataFrame([(1, 42.0)], "id long, v double")
+    ref = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id long, v double"
+    )
+    with persist_scope():
+        r = quantile_map(b, ref, "v", "id", grid=100).collect()[0]
+    assert r["mapped"] == 50.0  # n==1 -> ref median
