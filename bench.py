@@ -153,6 +153,7 @@ EXTENDED = [
     "debounce_user_events",
     "trend_hourly_events",
     "quantile_map_doclen",
+    "psi_price_drift",
 ]
 
 

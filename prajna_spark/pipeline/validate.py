@@ -263,3 +263,67 @@ def kmv_key_overlap(
         F.round(j, est_decimals).alias("jaccard_est"),
         F.round(j * F.col("union_est"), est_decimals).alias("inter_est"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two samples of ``value_col`` —
+    the standard drift monitor between a reference snapshot and current
+    data: ``(bin, n_ref, n_cur, term)`` per reference-quantile bin, with
+    PSI = Σ term = Σ (p_cur - p_ref) · ln(p_cur / p_ref).
+
+    Bins are the REF distribution's exact quantile edges (a one-row
+    broadcast lattice; perfectly calibrated: p_ref ≈ 1/n_bins each).
+    Proportions are add-half smoothed — (cnt + 0.5) / (n + n_bins/2) —
+    so empty bins contribute a finite, deterministic penalty instead of
+    an infinity or an arbitrary clamp. Each side is one map-combined
+    bin-count aggregation; ln and the integer-fed divisions are
+    bit-identical cross-engine (PSI > 0.2 is the conventional
+    investigate threshold)."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.agg(F.percentile(F.col(value_col), F.lit(ps)).alias("__edges"))
+
+    def bin_counts(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col)
+        b = F.size(F.filter(F.col("__edges"), lambda e: v > e))
+        return (
+            df.where(v.isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    r = bin_counts(ref, "n_ref")
+    c = bin_counts(cur, "n_cur")
+    tot = (
+        r.agg(F.sum("n_ref").alias("__tr"))
+        .crossJoin(c.agg(F.sum("n_cur").alias("__tc")))
+    )
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            "__tr",
+            "__tc",
+        )
+    )
+    half = F.lit(0.5)
+    pr = (F.col("n_ref") + half) / (F.col("__tr") + half * n_bins)
+    pc = (F.col("n_cur") + half) / (F.col("__tc") + half * n_bins)
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((pc - pr) * F.log(pc / pr), decimals).alias("term"),
+    )

@@ -1851,3 +1851,62 @@ def kmv_overlap_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     return kmv_key_overlap(orders, "o_custkey", customer, "c_custkey", k=128)
+
+
+_PSI_PS = "[" + ", ".join(repr(i / 10) for i in range(1, 10)) + "]"
+# outer parens are load-bearing: these interpolate into `a / b` — an
+# unparenthesized x / y macro would chain left-associatively
+_PSI_PR = "((coalesce(rc.n_ref, 0) + 5e-1) / (t.tr + 5e-1 * 10))"
+_PSI_PC = "((coalesce(cc.n_cur, 0) + 5e-1) / (t.tc + 5e-1 * 10))"
+
+
+@query(
+    "psi_price_drift",
+    oracle=f"""
+    -- PSI replay: ref-decile edges, add-half-smoothed proportions, ln
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    ), cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    ), g AS (
+      SELECT quantile_cont(v, {_PSI_PS}) AS edges FROM ref
+    ), rc AS (
+      SELECT len(list_filter(g.edges, e -> v > e)) AS bin,
+             CAST(count(*) AS BIGINT) AS n_ref
+      FROM ref, g GROUP BY 1
+    ), cc AS (
+      SELECT len(list_filter(g.edges, e -> v > e)) AS bin,
+             CAST(count(*) AS BIGINT) AS n_cur
+      FROM cur, g GROUP BY 1
+    ), bins AS (
+      SELECT CAST(generate_series AS INT) AS bin FROM generate_series(0, 9)
+    ), t AS (
+      SELECT CAST((SELECT sum(n_ref) FROM rc) AS BIGINT) AS tr,
+             CAST((SELECT sum(n_cur) FROM cc) AS BIGINT) AS tc
+    )
+    SELECT bins.bin,
+           CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(cc.n_cur, 0) AS BIGINT) AS n_cur,
+           round(({_PSI_PC} - {_PSI_PR}) * ln({_PSI_PC} / {_PSI_PR}), 6)
+             AS term
+    FROM bins LEFT JOIN rc ON rc.bin = bins.bin
+              LEFT JOIN cc ON cc.bin = bins.bin
+              CROSS JOIN t
+    """,
+    tags=("drift", "psi", "monitoring", "validation", "pipeline"),
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (pipeline.validate.psi_drift): PSI of
+    order totals, pre-1997 snapshot vs since — per-ref-decile terms whose
+    sum is the headline index (>0.2 = investigate). Edges are a one-row
+    broadcast; each side is one map-combined bin count; add-half
+    smoothing keeps empty bins finite and deterministic."""
+    from prajna_spark.pipeline.validate import psi_drift
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")
+    ref = orders.where(cut).select(F.col("o_totalprice").alias("v"))
+    cur = orders.where(~cut).select(F.col("o_totalprice").alias("v"))
+    return psi_drift(ref, cur, "v", n_bins=10)

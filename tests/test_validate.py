@@ -212,3 +212,43 @@ def test_kmv_overlap_accuracy_above_k(spark):
 def test_kmv_overlap_empty_side(spark):
     r = _overlap(spark, range(10), [], k=16)
     assert r["n_b_est"] == 0.0 and r["jaccard_est"] == 0.0 and r["inter_est"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# PSI drift
+# --------------------------------------------------------------------------
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    import random
+
+    from prajna_spark.pipeline.validate import psi_drift
+
+    rng = random.Random(4)
+    base = [rng.gauss(100, 15) for _ in range(2000)]
+    ref = spark.createDataFrame([(v,) for v in base], "v double")
+    same = spark.createDataFrame([(v,) for v in base], "v double")
+    shifted = spark.createDataFrame([(v + 40,) for v in base], "v double")
+
+    psi_same = sum(r["term"] for r in psi_drift(ref, same, "v").collect())
+    psi_shift = sum(r["term"] for r in psi_drift(ref, shifted, "v").collect())
+    assert abs(psi_same) < 1e-6  # identical data: exactly calibrated bins
+    assert psi_shift > 0.5  # 2.7-sigma shift is unmistakable drift
+
+
+def test_psi_terms_are_nonnegative_and_bins_complete(spark):
+    import random
+
+    from prajna_spark.pipeline.validate import psi_drift
+
+    rng = random.Random(7)
+    ref = spark.createDataFrame(
+        [(rng.uniform(0, 1),) for _ in range(500)], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(rng.uniform(0.5, 1.5),) for _ in range(300)], "v double"
+    )
+    rows = psi_drift(ref, cur, "v", n_bins=10).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(10))  # empty bins kept
+    assert all(r["term"] >= 0 for r in rows)  # (x-y)ln(x/y) >= 0 always
+    assert sum(r["n_cur"] for r in rows) == 300
