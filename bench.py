@@ -154,6 +154,7 @@ EXTENDED = [
     "trend_hourly_events",
     "quantile_map_doclen",
     "psi_price_drift",
+    "source_overlap_matrix",
 ]
 
 

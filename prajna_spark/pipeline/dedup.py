@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from prajna_spark.functions.rounding import pround
 from prajna_spark.operators.fanout import fan_out
 from prajna_spark.operators.lifecycle import release_local_checkpoint, scoped_persist
-from prajna_spark.pipeline.textqa import normalized, tokens
+from prajna_spark.pipeline.textqa import fingerprint, normalized, tokens
 
 #: Cap on characters fed to shingling — bounds per-row work at scale while
 #: keeping the signature stable for long documents.
@@ -723,4 +723,50 @@ def jaccard_similarity_join(
             pround(inter / union.cast("double"), jaccard_decimals).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def source_overlap_kmv(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    est_decimals: int = 6,
+) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES from per-source
+    KMV sketches — the inter-source dedup prioritization matrix: which
+    source pairs share enough exact-duplicate content to be worth a full
+    cross-dedup pass. ``(source_a, source_b, jaccard_est, inter_est)``
+    for every unordered pair.
+
+    Plan shape at 100 TB: ONE pass builds a <= k-hash sketch per source
+    (distinct + WindowGroupLimit rank — only (source, 8-byte hash) rows
+    shuffle); the pairwise stage is pure ARRAY arithmetic on the
+    #sources-row sketch table self-crossed (broadcast) — S^2 tiny rows,
+    the corpus is never touched again. The hash is a 60-bit slice of the
+    content fingerprint itself (already md5), so the whole matrix is
+    deterministic and oracle-replayable."""
+    from prajna_spark.operators.sketch_rollup import _KMV_SPACE, _k_smallest
+
+    h = F.conv(F.substring(fingerprint(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    sketches = _k_smallest(
+        docs.select(F.col(source_col).alias("src"), h.alias("h")), ["src"], k
+    )
+    a = sketches.select(F.col("src").alias("source_a"), F.col("sketch").alias("sa"))
+    b = sketches.select(F.col("src").alias("source_b"), F.col("sketch").alias("sb"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("source_a") < F.col("source_b"))
+    mk = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    both = F.array_intersect(F.array_intersect(mk, F.col("sa")), F.col("sb"))
+    nm = F.size(mk)
+    j = F.when(nm > 0, F.size(both).cast("double") / nm.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    union_est = F.when(nm < k, nm.cast("double")).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.element_at(mk, k).cast("double")
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(j, est_decimals).alias("jaccard_est"),
+        F.round(j * union_est, est_decimals).alias("inter_est"),
     )

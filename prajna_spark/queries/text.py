@@ -1568,3 +1568,67 @@ def quantile_map_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.where(F.col("lang") != "en").select("doc_id", "n_chars")
     out = quantile_map(b, ref, "n_chars", "doc_id", grid=100)
     return out.select("doc_id", "n_chars", pround(F.col("mapped"), 6).alias("mapped"))
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    -- per-source KMV sketches (60-bit fingerprint slices), pairwise
+    -- merged-sketch Jaccard/intersection estimates — replayed with
+    -- window ranks instead of Spark's array algebra, same numbers
+    WITH f AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substring(md5({_NORM.format(c='text')}), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    ), r AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM f
+    ), sk AS (SELECT source, h FROM r WHERE rn <= 64),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), u AS (
+      SELECT p.sa, p.sb, s.h
+      FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+      GROUP BY p.sa, p.sb, s.h
+    ), um AS (
+      SELECT sa, sb, h,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM u
+    ), mk AS (SELECT sa, sb, h FROM um WHERE rn <= 64),
+    stats AS (
+      SELECT mk.sa, mk.sb,
+             CAST(count(*) AS BIGINT) AS nm, max(mk.h) AS hk,
+             CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ni
+      FROM mk
+      LEFT JOIN sk ia ON ia.source = mk.sa AND ia.h = mk.h
+      LEFT JOIN sk ib ON ib.source = mk.sb AND ib.h = mk.h
+      GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           round(CASE WHEN nm > 0 THEN CAST(ni AS DOUBLE) / nm
+                 ELSE 0e0 END, 6) AS jaccard_est,
+           round((CASE WHEN nm > 0 THEN CAST(ni AS DOUBLE) / nm
+                  ELSE 0e0 END)
+                 * (CASE WHEN nm < 64 THEN CAST(nm AS DOUBLE)
+                    ELSE (63e0 * 1152921504606846976) / hk END), 6)
+             AS inter_est
+    FROM stats
+    """,
+    tags=("dedup", "sketch", "kmv", "overlap", "diagnostics", "pipeline"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplicate-content matrix
+    (pipeline.dedup.source_overlap_kmv): which source pairs share enough
+    exact-dup content to deserve a full cross-dedup pass. One corpus pass
+    builds a <= 64-hash sketch per source; the pairwise stage is array
+    arithmetic on the #sources-row sketch table self-crossed — S^2 tiny
+    rows, the corpus never touched again."""
+    from prajna_spark.pipeline.dedup import source_overlap_kmv
+
+    docs = _docs(spark, sf_dir)
+    return source_overlap_kmv(docs, "source", "text", k=64)

@@ -374,3 +374,28 @@ def test_cm_sketch_size_is_bounded(spark):
     sk = cm_sketch(df, "k", w=16, d=4).collect()
     assert len(sk) <= 16 * 4
     assert sum(r["cnt"] for r in sk) == 5000 * 4  # every row lands in every hash row
+
+
+def test_source_overlap_matrix_detects_planted_overlap(spark):
+    """Sources A/B share half their docs; C is disjoint — the KMV matrix
+    must rank (A,B) high and (A,C)/(B,C) at zero, with exact numbers in
+    the below-k regime."""
+    from prajna_spark.pipeline.dedup import source_overlap_kmv
+
+    shared = [f"shared document number {i} with unique text" for i in range(20)]
+    rows = (
+        [("A", t) for t in shared]
+        + [("A", f"only in a {i}") for i in range(20)]
+        + [("B", t) for t in shared]
+        + [("B", f"only in b {i}") for i in range(20)]
+        + [("C", f"only in c {i}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["jaccard_est"], r["inter_est"])
+        for r in source_overlap_kmv(df, "source", "text", k=64).collect()
+    }
+    # |A|=|B|=40 distinct, |A∩B|=20, |A∪B|=60 -> J=1/3 exactly (below k)
+    j, inter = got[("A", "B")]
+    assert abs(j - 20 / 60) < 1e-6 and abs(inter - 20.0) < 1e-4  # 6-dec rounding
+    assert got[("A", "C")] == (0.0, 0.0) and got[("B", "C")] == (0.0, 0.0)
