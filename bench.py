@@ -155,6 +155,7 @@ EXTENDED = [
     "quantile_map_doclen",
     "psi_price_drift",
     "source_overlap_matrix",
+    "kmv_stream_distinct_daily",
 ]
 
 

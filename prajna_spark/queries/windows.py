@@ -893,14 +893,13 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmv_distinct_users_daily",
-    oracle="""
-    -- the KMV pipeline replayed from raw data: the sketch's merge
-    -- invariant is EXACT (k minima of a union == merge of per-part k
-    -- minima), so building daily sketches directly here must reproduce
-    -- the engine's hourly-partials->daily-merge path hash-for-hash.
-    -- 63e0 * 1152921504606846976 == (k-1) * 2^60 exactly in IEEE double.
+# Shared by the batch query AND the streaming-store twin below: the KMV
+# pipeline replayed from raw data. The sketch's merge invariant is EXACT
+# (k minima of a union == merge of per-part k minima), so hourly->daily
+# merge — batch in one plan or through the streamed delta store — must
+# reproduce this hash-for-hash. 63e0 * 1152921504606846976 == (k-1)*2^60
+# exactly in IEEE double.
+_KMV_DAILY_ORACLE = """
     WITH h AS (
       SELECT DISTINCT event_type,
              CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) * 86400
@@ -923,7 +922,12 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  END, 6) AS approx_distinct
     FROM r WHERE rn <= 64
     GROUP BY event_type, epoch_start
-    """,
+    """
+
+
+@query(
+    "kmv_distinct_users_daily",
+    oracle=_KMV_DAILY_ORACLE,
     tags=("sketch", "kmv", "distinct", "continuous-aggregate"),
 )
 def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,3 +1128,40 @@ def trend_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.col("eh") - F.col("mh")).alias("x"), "y"
     )
     return ols_trend(pts, ["event_type"], "x", "y")
+
+
+@query(
+    "kmv_stream_distinct_daily",
+    oracle=_KMV_DAILY_ORACLE,
+    tags=("sketch", "kmv", "distinct", "streaming", "continuous-aggregate"),
+)
+def kmv_stream_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users through the STREAMED sketch store
+    (streaming.kmv_stream): readStream over events -> per-micro-batch
+    hourly KMV partials appended to a delta store -> read-side merge +
+    daily cascade + estimate. Shares the batch twin's oracle VERBATIM —
+    the merge idempotence that makes retried appends harmless is the
+    same equality that makes the streamed path reproduce the one-shot
+    batch numbers hash-for-hash."""
+    import tempfile
+
+    from prajna_spark.streaming.kmv_stream import (
+        distinct_from_store,
+        start_incremental_kmv,
+    )
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="kmv_stream_q_")
+    ev = events_readstream(spark, sf_dir).select(
+        F.col("ts").cast("long").alias("t"), "event_type", "user_id"
+    )
+    q = start_incremental_kmv(
+        ev, "t", ["event_type"], "user_id", 3600,
+        f"{base}/store", f"{base}/ckpt", k=64, seed="kmv1",
+    )
+    q.awaitTermination()
+    out = distinct_from_store(spark, f"{base}/store", ["event_type"], [3600, 86400])
+    return out.where(F.col("resolution") == 86400).select(
+        "event_type", "epoch_start", "n_kept", "approx_distinct"
+    )
