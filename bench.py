@@ -156,6 +156,8 @@ EXTENDED = [
     "psi_price_drift",
     "source_overlap_matrix",
     "kmv_stream_distinct_daily",
+    "dedup_cluster_size_histogram",
+    "ndcg_bm25_queries",
 ]
 
 

@@ -329,3 +329,81 @@ def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, integer-exact across engines."""
     docs = _docs(spark, sf_dir)
     return retrieval.hashed_tf_features(docs, dim=64)
+
+
+@query(
+    "ndcg_bm25_queries",
+    oracle=f"""
+    -- ranking-quality eval: nDCG@10 of the BM25 ranking under tf-graded
+    -- relevance (gain = total tf of the query's terms in the doc);
+    -- log2 spelled ln(x)/ln(2) identically on both engines
+    WITH {_BM25_CTES},
+    qt AS (SELECT * FROM (VALUES {_QT_VALUES}) AS t(query_id, term)),
+    {_bm25_scored_cte("qt")},
+    rel AS (
+      SELECT q.query_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS rel
+      FROM p JOIN qt q USING (term) GROUP BY 1, 2
+    ), rb AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ), dcg AS (
+      SELECT rb.query_id,
+             sum(CAST(rel.rel AS DOUBLE) / (ln(rk + 1e0) / ln(2e0))) AS dcg
+      FROM rb JOIN rel USING (query_id, doc_id) GROUP BY 1
+    ), ib AS (
+      SELECT query_id, rel,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, doc_id
+             ) AS rk
+      FROM rel
+    ), idcg AS (
+      SELECT query_id,
+             sum(CAST(rel AS DOUBLE) / (ln(rk + 1e0) / ln(2e0))) AS idcg
+      FROM ib WHERE rk <= 10 GROUP BY 1
+    )
+    SELECT d.query_id, round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id)
+    """,
+    tags=("retrieval", "bm25", "ndcg", "eval", "pipeline"),
+)
+def ndcg_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval for the BM25 tier: nDCG@10 under tf-graded
+    relevance — did length normalization help or hurt versus the ideal
+    (pure-gain) ordering the corpus itself defines? Completes the eval
+    surface (ANN has recall@10, kNN label-consistency; retrieval now has
+    ranking quality). All frames after the postings pass are
+    #queries-bounded; the ideal ranking's WindowGroupLimit bounds its
+    shuffle like every other top-k."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    topk = retrieval.bm25_topk(docs, qt, k=10)
+    postings = retrieval.doc_postings(docs, "doc_id", "text")
+    rel = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("rel"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    disc = F.log(F.col("rk") + F.lit(1.0)) / ln2
+    dcg = (
+        topk.join(rel, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel").cast("double") / disc).alias("dcg"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel").cast("double") / disc).alias("idcg"))
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
+    )

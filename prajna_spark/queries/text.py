@@ -1632,3 +1632,34 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return source_overlap_kmv(docs, "source", "text", k=64)
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    -- dedup health report: how many exact-duplicate clusters exist at
+    -- each multiplicity (size 1 = unique documents)
+    WITH f AS (
+      SELECT md5({_NORM.format(c='text')}) AS fp FROM documents
+    ), c AS (
+      SELECT fp, count(*) AS sz FROM f GROUP BY fp
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY sz
+    """,
+    tags=("dedup", "reporting", "histogram", "pipeline"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster-size distribution — the before/after dedup
+    report every curation run publishes (duplication factor = 1 -
+    n_clusters/n_docs). Two map-combined shuffles, both on narrow keys
+    (fingerprint, then the size integer)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(textqa.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
