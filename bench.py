@@ -158,6 +158,7 @@ EXTENDED = [
     "kmv_stream_distinct_daily",
     "dedup_cluster_size_histogram",
     "ndcg_bm25_queries",
+    "telemetry_interpolated_hours",
 ]
 
 

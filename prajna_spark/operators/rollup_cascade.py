@@ -145,3 +145,55 @@ def gapfill(
             for m in measures
         ],
     )
+
+
+def interpolate(
+    rollup: DataFrame,
+    dims: list[str],
+    width: int,
+    value_col: str,
+    out_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Linear interpolation across missing buckets — gapfill's other
+    half (TimescaleDB ``interpolate`` vs its zero-filling ``gapfill``):
+    a sensor that reports 10 then 16 an absent-hour apart charts 13 in
+    between, not 0. Buckets before the first / after the last known
+    value stay NULL (no extrapolation).
+
+    Plan: densify on the grid (gapfill with NULL fill), then per series
+    carry (last known value, its bucket) forward and (first known value,
+    its bucket) backward with two frame windows over the SAME partition
+    key — one hash exchange of grid-sized rows, a second in-partition
+    sort for the reversed frame, no second shuffle. The interpolation
+    weight is exact integer bucket arithmetic fed to one IEEE division.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or value_col
+    dense = gapfill(rollup, dims, width, fill={value_col: None})
+    t = F.col("epoch_start")
+    wb = (
+        Window.partitionBy(*dims)
+        .orderBy("epoch_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*dims)
+        .orderBy(F.col("epoch_start").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    known = F.when(F.col(value_col).isNotNull(), F.struct(t.alias("t"), F.col(value_col).alias("v")))
+    prev = F.last(known, ignorenulls=True).over(wb)
+    nxt = F.last(known, ignorenulls=True).over(wf)
+    frac = (t - prev["t"]).cast("double") / (nxt["t"] - prev["t"]).cast("double")
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double")).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["v"].cast("double")
+            + (nxt["v"].cast("double") - prev["v"].cast("double")) * frac,
+        )
+    )
+    return dense.select(
+        *dims, "epoch_start", F.round(interp, decimals).alias(out_col)
+    )

@@ -1165,3 +1165,70 @@ def kmv_stream_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("resolution") == 86400).select(
         "event_type", "epoch_start", "n_kept", "approx_distinct"
     )
+
+
+@query(
+    "telemetry_interpolated_hours",
+    oracle=f"""
+    -- linear interpolation replay via two native ASOF joins (prev/next
+    -- known bucket per series) — an independent formulation of the
+    -- engine's carry-window spelling, same arithmetic order
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS epoch_start,
+             {R('sum(value)', 2)} AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(epoch_start) AS lo, max(epoch_start) AS hi
+      FROM r GROUP BY 1
+    ), g AS (
+      SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS epoch_start
+      FROM b
+    ), pv AS (
+      SELECT g.event_type, g.epoch_start, k.epoch_start AS pt, k.v AS pval
+      FROM g ASOF LEFT JOIN r k
+        ON g.event_type = k.event_type AND g.epoch_start >= k.epoch_start
+    ), nx AS (
+      SELECT g.event_type, g.epoch_start, k.epoch_start AS nt, k.v AS nval
+      FROM g ASOF LEFT JOIN r k
+        ON g.event_type = k.event_type AND g.epoch_start <= k.epoch_start
+    )
+    SELECT p.event_type, p.epoch_start,
+           round(CASE
+             WHEN p.pt = p.epoch_start THEN p.pval
+             WHEN p.pt IS NOT NULL AND n.nt IS NOT NULL
+             THEN p.pval + (n.nval - p.pval)
+                  * (CAST(p.epoch_start - p.pt AS DOUBLE)
+                     / CAST(n.nt - p.pt AS DOUBLE))
+           END, 6) AS value_interp
+    FROM pv p JOIN nx n USING (event_type, epoch_start)
+    """,
+    tags=("gapfill", "interpolation", "time-series", "rollup"),
+)
+def telemetry_interpolated_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolated hourly totals
+    (operators.rollup_cascade.interpolate) — gapfill's other half: a
+    sensor absent for an hour charts the line between its neighbors, not
+    zero; edges stay NULL (no extrapolation). One hash exchange of
+    grid-sized rows; the reversed carry re-sorts in partition, never
+    re-shuffles. Interpolation weights are exact integer bucket deltas
+    fed to one IEEE division, so the ASOF-based oracle matches to the
+    digit."""
+    from prajna_spark.operators.rollup_cascade import interpolate
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+            .cast("long")
+            .alias("epoch_start"),
+            "value",
+        )
+        .groupBy("event_type", "epoch_start")
+        .agg(pround(F.sum("value"), 2).alias("v"))
+    )
+    return interpolate(
+        hourly, ["event_type"], 3600, "v", out_col="value_interp"
+    )

@@ -108,3 +108,42 @@ def test_gapfill_plants_zero_rows(spark):
         ("a", 7200): (2, 0.5),
         ("b", 3600): (1, 9.0),   # single-bucket dim: grid is one row
     }
+
+
+def test_interpolate_fills_linear_edges_null(spark):
+    from prajna_spark.operators.rollup_cascade import interpolate
+
+    rows = [
+        ("a", 0, 10.0), ("a", 30, 16.0), ("a", 40, 20.0),  # gaps 10,20
+        ("b", 100, 5.0),                                    # singleton
+    ]
+    df = spark.createDataFrame(rows, "k string, epoch_start long, v double")
+    got = {
+        (r["k"], r["epoch_start"]): r["v"]
+        for r in interpolate(df, ["k"], 10, "v").collect()
+    }
+    assert got[("a", 0)] == 10.0 and got[("a", 30)] == 16.0  # known kept
+    assert got[("a", 10)] == 12.0 and got[("a", 20)] == 14.0  # linear
+    assert got[("a", 40)] == 20.0
+    assert got[("b", 100)] == 5.0
+    assert len(got) == 6  # grid covers [min, max] per series only
+
+
+def test_interpolate_single_exchange(spark):
+    from prajna_spark.operators.rollup_cascade import interpolate
+    import re
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 20).alias("epoch_start"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = (
+        interpolate(df, ["k"], 10, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the grid join + two carries must not multiply data-sized exchanges:
+    # bounds agg, grid join, one window partition hash — all on k
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3

@@ -45,6 +45,11 @@ SAMPLE = [
     # also behave under a hostile session
     "rollup_stream_hourly",
     "dedup_stream_firstseen",
+    # round-5 ts-arithmetic additions (epoch bucketing, streamed sketch
+    # store, stateful throttle twin's batch query)
+    "kmv_stream_distinct_daily",
+    "trend_hourly_events",
+    "debounce_user_events",
 ]
 # events-reading subset for the INT96 rewrite scenario
 SAMPLE_EVENTS = [
@@ -52,6 +57,7 @@ SAMPLE_EVENTS = [
     "telemetry_hourly_rollup",
     "session_window_users",
     "rollup_stream_hourly",
+    "kmv_stream_distinct_daily",
 ]
 
 SCENARIOS = {
