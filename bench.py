@@ -159,6 +159,7 @@ EXTENDED = [
     "dedup_cluster_size_histogram",
     "ndcg_bm25_queries",
     "telemetry_interpolated_hours",
+    "join_view_orders_customer",
 ]
 
 

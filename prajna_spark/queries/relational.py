@@ -1910,3 +1910,72 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.where(cut).select(F.col("o_totalprice").alias("v"))
     cur = orders.where(~cut).select(F.col("o_totalprice").alias("v"))
     return psi_drift(ref, cur, "v", n_bins=10)
+
+
+@query(
+    "join_view_orders_customer",
+    oracle="""
+    -- ground truth for the incrementally-maintained join view: after
+    -- all deltas drain, the view must equal the plain batch join
+    SELECT o.o_orderkey,
+           o.o_custkey AS custkey,
+           o.o_orderpriority,
+           c.c_nationkey,
+           c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("streaming", "ivm", "join-view", "cdc"),
+)
+def join_view_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided delta-join IVM end-to-end (streaming.join_view): half
+    the customers drain first, then every order (ΔA ⋈ B partial view),
+    then the remaining customers (A ⋈ ΔB completes it) — the maintained
+    view converges to the batch join without ever re-running it. Each
+    batch's work is delta-sized joins plus touched-partition rewrites,
+    never O(view)."""
+    import tempfile
+
+    from prajna_spark.streaming.join_view import (
+        JoinViewSpec,
+        drain_a,
+        drain_b,
+        read_view,
+    )
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    base = tempfile.mkdtemp(prefix="join_view_q_")
+    spec = JoinViewSpec(
+        base,
+        join_col="custkey",
+        a_pk="o_orderkey",
+        b_pk="custkey",
+        a_part="o_orderpriority",
+        b_part="c_mktsegment",
+        view_part="o_orderpriority",
+        view_cols=[
+            "o_orderkey", "custkey", "o_orderpriority",
+            "c_nationkey", "c_mktsegment",
+        ],
+    )
+    a = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderpriority"
+    )
+    b = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey", "c_mktsegment"
+    )
+    a_src, b_src = f"{base}/a_src", f"{base}/b_src"
+    b.where(F.col("custkey") % 2 == 0).write.parquet(b_src)
+    a.write.parquet(a_src)
+    b_schema = b.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
+    a_schema = a.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
+    drain_b(
+        spark.readStream.schema(b_schema).parquet(b_src), spec, f"{base}/ckb"
+    ).awaitTermination()
+    drain_a(
+        spark.readStream.schema(a_schema).parquet(a_src), spec, f"{base}/cka"
+    ).awaitTermination()
+    b.where(F.col("custkey") % 2 == 1).write.mode("append").parquet(b_src)
+    drain_b(
+        spark.readStream.schema(b_schema).parquet(b_src), spec, f"{base}/ckb"
+    ).awaitTermination()
+    return read_view(spark, spec)
