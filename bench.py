@@ -160,6 +160,7 @@ EXTENDED = [
     "ndcg_bm25_queries",
     "telemetry_interpolated_hours",
     "join_view_orders_customer",
+    "sssp_supplier_costs",
 ]
 
 

@@ -83,3 +83,59 @@ def multi_source_bfs(
     release_local_checkpoint(frontier)
     release_local_checkpoint(e)
     return out
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    id_col: str = "nid",
+    decimals: int = 6,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, bounded at
+    ``max_hops`` edges — Bellman-Ford rounds (the weighted upgrade of
+    :func:`multi_source_bfs`): after round k every node holds the exact
+    min-weight path using <= k edges. ``(node_id, dist)``; unreachable
+    nodes absent.
+
+    Each round is one edge-cardinality hash join (dist side SHUFFLE_HASH
+    — no per-round broadcast build) + a node-keyed min aggregation;
+    localCheckpoint keeps plan/lineage O(1) and superseded rounds are
+    released eagerly. Distances accumulate left-associatively per hop
+    (d + w at each relaxation), the exact op sequence the oracle's
+    unrolled ladder replays — min over IEEE doubles is engine-portable,
+    so bounded-SSSP is hash-checkable, no rounding slack needed beyond
+    the final display rounding."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+
+    dist = (
+        seeds.select(F.col(id_col).alias("nid"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        cand = e.join(dist.hint("SHUFFLE_HASH"), e.src == dist.nid).select(
+            F.col("dst").alias("nid"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        prev = dist
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("nid")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(prev)
+    out = dist.select(
+        F.col("nid").alias("node_id"), F.round("dist", decimals).alias("dist")
+    ).localCheckpoint(eager=True)
+    release_local_checkpoint(dist)
+    release_local_checkpoint(e)
+    return out

@@ -230,3 +230,69 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return clustering_coefficients(edges, "u", "v")
+
+
+def _sssp_level(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+      SELECT nid, min(dist) AS dist FROM (
+        SELECT nid, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS nid, {prev}.dist + e.w AS dist
+        FROM {prev} JOIN e ON e.src = {prev}.nid
+      ) GROUP BY nid
+    )"""
+
+
+@query(
+    "sssp_supplier_costs",
+    oracle=f"""
+    -- Bellman-Ford ladder replay: after level k each node holds the
+    -- exact min-weight path using <= k edges; d + w accumulates
+    -- left-associatively exactly as the engine's relaxation does
+    WITH pe AS (
+      SELECT l_partkey * 2 AS p_nid, l_suppkey * 2 + 1 AS s_nid,
+             min(l_extendedprice) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT p_nid AS src, s_nid AS dst, w FROM pe
+      UNION ALL
+      SELECT s_nid AS src, p_nid AS dst, w FROM pe
+    ), d0 AS MATERIALIZED (
+      SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS nid, 0e0 AS dist
+      FROM supplier WHERE s_nationkey = 0
+    ),
+    {_sssp_level("d0", "d1")},
+    {_sssp_level("d1", "d2")},
+    {_sssp_level("d2", "d3")},
+    {_sssp_level("d3", "d4")}
+    SELECT nid AS node_id, round(dist, 6) AS dist FROM d4
+    """,
+    tags=("graph", "sssp", "shortest-path", "weighted", "iterative"),
+)
+def sssp_supplier_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bounded-hop shortest paths (operators.bfs.bounded_sssp):
+    min-cost <= 4-edge path from nation-0 suppliers over the
+    part-supplier graph, edge weight = the pair's cheapest line price.
+    Bellman-Ford rounds: one edge-keyed hash join + node-keyed min per
+    round, O(1) lineage via checkpoints — the weighted twin of the BFS
+    hop query, and like it, exactly replayed by an unrolled SQL ladder
+    (min over IEEE doubles is engine-portable)."""
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    pe = li.groupBy(
+        (F.col("l_partkey") * 2).alias("p_nid"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_nid"),
+    ).agg(F.min("l_extendedprice").alias("w"))
+    edges = pe.select(
+        F.col("p_nid").alias("src"), F.col("s_nid").alias("dst"), "w"
+    ).unionAll(
+        pe.select(F.col("s_nid").alias("src"), F.col("p_nid").alias("dst"), "w")
+    )
+    seeds = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).cast("long").alias("nid"))
+    )
+    from prajna_spark.operators.bfs import bounded_sssp
+
+    return bounded_sssp(edges, seeds, max_hops=4)

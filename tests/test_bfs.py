@@ -71,3 +71,49 @@ def test_bfs_matches_local_model(spark, edges, seeds, max_hops):
     assert _spark_bfs(spark, edges, sorted(seeds), max_hops) == _local_bfs(
         edges, seeds, max_hops
     )
+
+
+# --------------------------------------------------------------------------
+# bounded_sssp (weighted)
+# --------------------------------------------------------------------------
+
+
+def _local_bf(edges, seeds, rounds):
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = min(nxt.get(d, float("inf")), dist[s] + w)
+        dist = nxt
+    return {k: round(v, 6) for k, v in dist.items()}
+
+
+def test_bounded_sssp_matches_local_bellman_ford(spark):
+    import random
+
+    from prajna_spark.operators.bfs import bounded_sssp
+
+    rng = random.Random(6)
+    edges = [
+        (rng.randrange(20), rng.randrange(20), round(rng.uniform(1, 9), 2))
+        for _ in range(60)
+    ]
+    seeds = [0, 7]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    s = spark.createDataFrame([(x,) for x in seeds], "nid long")
+    got = {
+        r["node_id"]: r["dist"] for r in bounded_sssp(e, s, max_hops=4).collect()
+    }
+    assert got == _local_bf(edges, seeds, 4)
+
+
+def test_bounded_sssp_prefers_cheap_two_hop_over_direct(spark):
+    from prajna_spark.operators.bfs import bounded_sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 2.0)], "src long, dst long, w double"
+    )
+    s = spark.createDataFrame([(0,)], "nid long")
+    got = {r["node_id"]: r["dist"] for r in bounded_sssp(e, s, 4).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 1.0}  # 0->2->1 beats the direct edge
