@@ -161,6 +161,7 @@ EXTENDED = [
     "telemetry_interpolated_hours",
     "join_view_orders_customer",
     "sssp_supplier_costs",
+    "chunk_sentences_budget",
 ]
 
 

@@ -249,3 +249,51 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"  # in the Java-regex / RE2 intersection
+
+
+def chunk_by_sentence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 64,
+) -> DataFrame:
+    """Sentence-boundary chunking — the RAG-style alternative to
+    :func:`chunk_documents`'s fixed token windows: chunks never split a
+    sentence; a sentence belongs to the chunk its token PREFIX starts in
+    (the same start-offset convention as pack_sequences, so a long
+    sentence may overflow its chunk rather than be cut).
+
+    Returns ``(id_col, chunk_id, n_sentences, n_tokens)``. Plan:
+    sentence split + token counts are one projection (Generate keeps the
+    regex pass linear); the running prefix is a per-DOCUMENT window
+    (document-sized partitions — never global). The sentence regex lives
+    in the Java/RE2 intersection so the SQL oracle tokenizes identically.
+    """
+    from prajna_spark.pipeline.textqa import token_count
+
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_PATTERN), 0)
+        ).alias("pos", "sent"),
+    ).where(F.trim(F.col("sent")) != "")
+    toks = sents.select(id_col, "pos", token_count(F.col("sent")).alias("nt"))
+    w_rank = Window.partitionBy(id_col).orderBy("pos")
+    ranked = toks.withColumn("rn", F.row_number().over(w_rank) - 1)
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = ranked.withColumn("cb", F.coalesce(F.sum("nt").over(w_cum), F.lit(0)))
+    return (
+        cum.withColumn("chunk_id", F.floor(F.col("cb") / budget).cast("long"))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )

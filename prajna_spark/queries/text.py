@@ -1663,3 +1663,48 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
     )
+
+
+@query(
+    "chunk_sentences_budget",
+    oracle=f"""
+    -- sentence-boundary chunking replay: same regex (Java/RE2
+    -- intersection), same tokenizer, same start-offset chunk rule
+    WITH s0 AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(ss, 1) AS BIGINT) - 1 AS pos,
+             unnest(ss) AS sent
+      FROM (SELECT doc_id,
+                   regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, pos,
+             len({_TOKS.format(c='sent')}) AS nt
+      FROM s0 WHERE trim(sent) <> ''
+    ), r AS (
+      SELECT doc_id, nt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS rn
+      FROM s
+    ), c AS (
+      SELECT doc_id, rn, nt,
+             coalesce(sum(nt) OVER (
+               PARTITION BY doc_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM r
+    )
+    SELECT doc_id, CAST(floor(cb / 64) AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("chunking", "sentences", "rag", "pipeline"),
+)
+def chunk_sentences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking (pipeline.packing.chunk_by_sentence):
+    64-token chunks that never split a sentence — the RAG ingestion
+    shape, next to the fixed-window chunker. One linear regex pass plus
+    a per-document window; nothing global."""
+    from prajna_spark.pipeline.packing import chunk_by_sentence
+
+    docs = _docs(spark, sf_dir)
+    return chunk_by_sentence(docs, "doc_id", "text", budget=64)

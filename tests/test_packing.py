@@ -168,3 +168,42 @@ def test_prefix_sum_null_and_nan_keys_match_spark_ordering(spark):
         expected[rid] = cum
         cum += w
     assert out == expected
+
+
+def test_chunk_by_sentence_matches_local_model(spark):
+    import re
+
+    from prajna_spark.pipeline.packing import chunk_by_sentence
+
+    docs = [
+        (0, "One two three. Four five! Six seven eight nine? Ten."),
+        (1, "Single sentence without terminator"),
+        (2, ""),
+        (3, "A. B. C. D. E. F. G. H."),  # many tiny sentences
+        (4, "word " * 30 + ". Tail."),   # long first sentence overflows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_sentences"], r["n_tokens"])
+        for r in chunk_by_sentence(df, budget=5).collect()
+    }
+
+    want = {}
+    for doc_id, text in docs:
+        cb = 0
+        for sent in re.findall(r"[^.!?]+[.!?]*", text):
+            if not sent.strip():
+                continue
+            nt = len(
+                [w for w in re.sub(r"[^a-z0-9 ]", " ", sent.lower()).split() if w]
+            )
+            cid = cb // 5
+            ns, tt = want.get((doc_id, cid), (0, 0))
+            want[(doc_id, cid)] = (ns + 1, tt + nt)
+            cb += nt
+    assert got == want
+    assert (2, 0) not in {k for k in got}  # empty doc: no chunks
+    # doc 4: 31-token first sentence fills chunk 0 alone (no splitting);
+    # the tail starts a later chunk by its start offset
+    doc4 = sorted(k[1] for k in got if k[0] == 4)
+    assert doc4 == [0, 6]
