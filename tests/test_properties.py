@@ -828,3 +828,127 @@ def test_clustering_coefficients_match_brute_force(spark, edges):
             for r in clustering_coefficients(df).collect()
         }
     assert got == _brute_clustering(edges)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-8, 8), st.integers(-8, 8)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_matches_dominance_definition(spark, pts):
+    from collections import Counter
+
+    from prajna_spark.operators.lifecycle import persist_scope
+    from prajna_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    ).repartition(4)
+    with persist_scope():
+        got = sorted(
+            (r["x"], r["y"], r["n_rows"]) for r in skyline_2d(df, "x", "y").collect()
+        )
+    cnt = Counter((float(x), float(y)) for x, y in pts)
+    want = sorted(
+        (x, y, n)
+        for (x, y), n in cnt.items()
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for (qx, qy) in cnt
+        )
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),  # (bucket_slot, key)
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(2, 8),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_equals_direct_for_any_bucketing(spark, rows, k):
+    """kmv_merge(finer partials) == kmv_partials at the coarse width, for
+    ANY event placement — the sketch-algebra equality as a property, not
+    just the fixed-fixture case."""
+    from prajna_spark.operators.sketch_rollup import kmv_merge, kmv_partials
+
+    df = spark.createDataFrame(
+        [(slot * 10, f"u{key}") for slot, key in rows], "t long, user_id string"
+    )
+    fine = kmv_partials(df, "t", [], "user_id", 10, k=k)
+    merged = {
+        r["epoch_start"]: r["sketch"]
+        for r in kmv_merge(fine, [], 30, k=k).collect()
+    }
+    direct = {
+        r["epoch_start"]: r["sketch"]
+        for r in kmv_partials(df, "t", [], "user_id", 30, k=k).collect()
+    }
+    assert merged == direct
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),  # (key, t)
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    gap=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_burst_first_matches_local_chain_model(spark, rows, gap):
+    from prajna_spark.operators.intervals import burst_first
+
+    df = spark.createDataFrame(rows, "k int, t long")
+    got = sorted(
+        (r["k"], r["t"]) for r in burst_first(df, ["k"], "t", gap).collect()
+    )
+    want = []
+    by_key: dict[int, list[int]] = {}
+    for kk, t in rows:
+        by_key.setdefault(kk, []).append(t)
+    for kk, ts in by_key.items():
+        prev = None
+        for t in sorted(ts):
+            if prev is None or t - prev > gap:
+                want.append((kk, t))
+            prev = t  # chain: measured from the previous RAW event
+    assert got == sorted(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    hops=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_bounded_sssp_matches_local_relaxation(spark, edges, hops):
+    from prajna_spark.operators.bfs import bounded_sssp
+
+    e = spark.createDataFrame(
+        [(s, d, float(w)) for s, d, w in edges], "src long, dst long, w double"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "nid long")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in bounded_sssp(e, seeds, max_hops=hops).collect()
+    }
+    dist = {0: 0.0, 5: 0.0}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist:
+                cand = dist[s] + w
+                if cand < nxt.get(d, float("inf")):
+                    nxt[d] = cand
+        dist = nxt
+    assert got == {n: round(v, 6) for n, v in dist.items()}
