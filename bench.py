@@ -162,6 +162,10 @@ EXTENDED = [
     "join_view_orders_customer",
     "sssp_supplier_costs",
     "chunk_sentences_budget",
+    "image_resize_half_meta",
+    "kcore_parts_dense",
+    "hrw_shard_orders",
+    "top_event_types_with_other",
 ]
 
 

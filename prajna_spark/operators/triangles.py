@@ -131,3 +131,79 @@ def clustering_coefficients(
         t.alias("n_triangles"),
         F.round(coeff, decimals).alias("clustering"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k — found by iterative peeling (drop
+    sub-k-degree nodes, recompute, repeat to fixpoint; the fixpoint is
+    unique regardless of peel order). Returns ``(node_id, core_degree)``
+    — survivors with their degree INSIDE the core (the community-density
+    tier used to rank graph regions before expensive per-region work).
+
+    Per round: two semi-joins restrict edges to survivors + one
+    node-keyed degree count; localCheckpoint keeps lineage O(1); the
+    removed-count rides the checkpoint job via observe() — no extra
+    count() job. Raises if ``max_rounds`` is hit before the fixpoint
+    (the SQL-ladder oracle replays a fixed depth, so silent
+    non-convergence must be loud)."""
+    from pyspark.sql import Observation
+
+    from prajna_spark.operators.lifecycle import release_local_checkpoint
+
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    und = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    survivors = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= k)
+        .select(F.col("a").alias("nid"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    n_prev = survivors.count()  # the ONLY count() job; rounds use observe()
+    for _ in range(max_rounds):
+        keep = survivors.select("nid")
+        restricted = (
+            sym.join(
+                keep.hint("SHUFFLE_HASH"), sym.a == keep.nid, "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("nid", "__n").hint("SHUFFLE_HASH"),
+                F.col("b") == F.col("__n"),
+                "left_semi",
+            )
+        )
+        obs = Observation()
+        nxt = (
+            restricted.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("nid"), "deg")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = obs.get["n"] or 0
+        release_local_checkpoint(survivors)
+        survivors = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+    out = survivors.select(
+        F.col("nid").alias("node_id"), F.col("deg").cast("long").alias("core_degree")
+    ).localCheckpoint(eager=True)
+    release_local_checkpoint(survivors)
+    release_local_checkpoint(sym)
+    return out

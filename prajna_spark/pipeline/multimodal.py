@@ -534,3 +534,30 @@ def sample_frames(
         )
         .withColumn("frame_bytes", F.octet_length("frame").cast("long"))
     )
+
+
+def resize_bmp_half(media: DataFrame) -> DataFrame:
+    """REAL image transform: decode each BMP, nearest-neighbor downscale
+    to (w//2, h//2) — output pixel (xo, yo) samples source (2*xo, 2*yo),
+    the canonical integer half-scale — and RE-ENCODE a genuine BMP.
+    Returns the same (doc_id, media_type, payload) shape, so the decode
+    path verifies the whole round trip (decode -> transform -> encode ->
+    decode); per-row work is numpy slicing over Arrow batches, the
+    production shape for a thumbnail pass over a binary image column."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _bmp_encode(_bmp_decode(bytes(b))[::2, ::2]) for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize, schema="doc_id long, media_type string, payload binary"
+    )

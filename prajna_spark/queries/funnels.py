@@ -539,3 +539,57 @@ def debounce_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.operators.intervals import burst_first
 
     return burst_first(ev, ["user_id", "event_type"], "t", 300)
+
+
+@query(
+    "top_event_types_with_other",
+    oracle="""
+    -- the BI staple: top-3 buckets + an 'other' rollup with shares
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT event_type, n,
+             row_number() OVER (ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    b AS (
+      SELECT event_type AS bucket, n AS n_events FROM t WHERE rk <= 3
+      UNION ALL
+      SELECT 'other' AS bucket, CAST(coalesce(sum(n), 0) AS BIGINT)
+      FROM t WHERE rk > 3
+    )
+    SELECT bucket, n_events,
+           round(CAST(n_events AS DOUBLE) / tot.tot, 6) AS share
+    FROM b, tot
+    """,
+    tags=("analytics", "topk", "other-bucket", "reporting"),
+)
+def top_event_types_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types plus an 'other' rollup with traffic shares. The
+    scale-principled spelling for arbitrary group cardinality: counts ->
+    TakeOrdered top-3 (bounded heap, no global sort) -> broadcast
+    anti-join folds the tail into one row; total rides a one-row
+    broadcast."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    counts = scoped_persist(counts)
+    top3 = counts.orderBy(F.col("n").desc(), "event_type").limit(3)
+    other = (
+        counts.join(F.broadcast(top3.select("event_type")), "event_type", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events"))
+        .select(F.lit("other").alias("bucket"), "n_events")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("tot"))
+    buckets = top3.select(
+        F.col("event_type").alias("bucket"), F.col("n").alias("n_events")
+    ).unionByName(other)
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("tot"), 6).alias("share"),
+    )

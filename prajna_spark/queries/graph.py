@@ -296,3 +296,61 @@ def sssp_supplier_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.operators.bfs import bounded_sssp
 
     return bounded_sssp(edges, seeds, max_hops=4)
+
+
+def _kcore_level(prev: str, cur: str, k: int) -> str:
+    return f"""{cur} AS MATERIALIZED (
+      SELECT s.a AS nid, count(*) AS deg
+      FROM sym s
+      JOIN {prev} x ON s.a = x.nid
+      JOIN {prev} y ON s.b = y.nid
+      GROUP BY s.a HAVING count(*) >= {k}
+    )"""
+
+
+@query(
+    "kcore_parts_dense",
+    oracle=f"""
+    -- k-core peeling ladder (k=80): each level drops sub-k nodes and
+    -- recomputes restricted degrees; the fixpoint lands by level 5 on
+    -- this graph (probed), level 8 gives margin — equality proves the
+    -- engine's observe()-driven loop peels to the same fixpoint
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ), l0 AS MATERIALIZED (
+      SELECT a AS nid FROM sym GROUP BY a HAVING count(*) >= 80
+    ),
+    {_kcore_level("l0", "l1", 80)},
+    {_kcore_level("l1", "l2", 80)},
+    {_kcore_level("l2", "l3", 80)},
+    {_kcore_level("l3", "l4", 80)},
+    {_kcore_level("l4", "l5", 80)},
+    {_kcore_level("l5", "l6", 80)},
+    {_kcore_level("l6", "l7", 80)},
+    {_kcore_level("l7", "l8", 80)}
+    SELECT nid AS node_id, CAST(deg AS BIGINT) AS core_degree FROM l8
+    """,
+    tags=("graph", "k-core", "peeling", "iterative"),
+)
+def kcore_parts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80-core of the part co-purchase graph
+    (operators.triangles.k_core): iterative peeling to the unique
+    fixpoint — the community-density tier that ranks graph regions
+    before expensive per-region work. Per round two survivor semi-joins
+    + one degree count, O(1) lineage, removed-count riding the
+    checkpoint via observe(); the operator RAISES if the round budget is
+    hit before the fixpoint, so the oracle's fixed-depth ladder can
+    never silently diverge."""
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    from prajna_spark.operators.triangles import k_core
+
+    return k_core(edges, k=80, src_col="u", dst_col="v")

@@ -395,3 +395,48 @@ def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_audio(fan_out(docs))
     out = multimodal.audio_chunk_rms(media, chunk_ms=50)
     return out.select("doc_id", "chunk_no", pround(F.col("rms"), 6).alias("rms"))
+
+
+@query(
+    "image_resize_half_meta",
+    oracle=f"""
+    -- the resize round trip replayed from the synth formula: [::2, ::2]
+    -- nearest-neighbor keeps EVEN source coordinates, so output dims are
+    -- ceil-halves and the resized checksum sums even-coordinate pixels;
+    -- file_bytes re-derives the padded-row BMP layout at the new dims
+    WITH {_IMG_DIMS_SQL},
+    rp AS (
+      SELECT d.doc_id,
+             (d.seed*31 + x.i*13 + y.i*7
+              + CASE WHEN (d.doc_id*11 + x.i*5 + y.i*3) % 199 = 0
+                     THEN 96 ELSE 0 END) % 256 AS v
+      FROM dims d
+      JOIN range(0, 33) x(i) ON x.i < d.w AND x.i % 2 = 0
+      JOIN range(0, 23) y(i) ON y.i < d.h AND y.i % 2 = 0
+    )
+    SELECT d.doc_id,
+           CAST((d.w + 1) // 2 AS INT) AS width,
+           CAST((d.h + 1) // 2 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(54 + ((d.h + 1) // 2)
+                * ((3 * ((d.w + 1) // 2) + 3) // 4 * 4) AS BIGINT)
+             AS file_bytes,
+           s.gray_sum
+    FROM dims d
+    JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS gray_sum
+          FROM rp GROUP BY doc_id) s USING (doc_id)
+    """,
+    tags=("multimodal", "image", "resize", "bmp", "pandas-udf"),
+)
+def image_resize_half_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image TRANSFORM end-to-end
+    (pipeline.multimodal.resize_bmp_half): decode every BMP, numpy
+    nearest-neighbor half-scale, re-encode a genuine BMP, then decode the
+    RESULT for its header walk + exact pixel checksum — four codec
+    passes, all verified against the formula replay. The thumbnail-pass
+    shape for a binary image column: Arrow-batched numpy per row,
+    metadata and grouping JVM-side."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_bmp(fan_out(docs))
+    return multimodal.decode_bmp_meta(multimodal.resize_bmp_half(media))

@@ -1979,3 +1979,48 @@ def join_view_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(b_schema).parquet(b_src), spec, f"{base}/ckb"
     ).awaitTermination()
     return read_view(spark, spec)
+
+
+_HRW_SHARDS = ["s0", "s1", "s2", "s3", "s4"]
+
+
+@query(
+    "hrw_shard_orders",
+    oracle=f"""
+    -- rendezvous (HRW) assignment replay: per key the shard with the
+    -- max md5(shard|key) wins; fixed-length hex compares lexicographic
+    -- == numeric, ties impossible modulo md5 collisions
+    WITH h AS (
+      SELECT o_orderkey,
+             {", ".join(f"md5('{s}|' || CAST(o_orderkey AS VARCHAR)) AS h_{s}" for s in _HRW_SHARDS)}
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE greatest({", ".join(f"h_{s}" for s in _HRW_SHARDS)})
+             {" ".join(f"WHEN h_{s} THEN '{s}'" for s in _HRW_SHARDS)}
+           END AS shard
+    FROM h
+    """,
+    tags=("sharding", "rendezvous", "hrw", "diagnostics"),
+)
+def hrw_shard_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-placement primitive whose property is MINIMAL disruption:
+    removing a shard moves ONLY that shard's keys (tested), unlike mod-N
+    hashing which reshuffles nearly everything. Pure row-local column
+    arithmetic (one md5 per shard per key, argmax via struct max) —
+    zero shuffle at any table size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(F.lit(f"{s}|"), key)).alias("h"),
+                F.lit(s).alias("shard"),
+            )
+            for s in _HRW_SHARDS
+        ]
+    )
+    return orders.select(
+        "o_orderkey", F.array_max(pairs).getField("shard").alias("shard")
+    )

@@ -131,3 +131,25 @@ def test_band_pigeonhole_guarantee(h, flips):
         for band in range(4)
     )
     assert shares
+
+
+def test_resize_half_is_pixelwise_nearest_neighbor(spark):
+    """decode(resize(encode(img))) == img[::2, ::2] exactly, per doc —
+    the whole four-pass codec chain, pixel-for-pixel."""
+    import numpy as np
+
+    from prajna_spark.pipeline.multimodal import (
+        _bmp_decode,
+        _img_pixels,
+        resize_bmp_half,
+        synthesize_bmp,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = resize_bmp_half(synthesize_bmp(docs)).collect()
+    assert len(out) == 12
+    for r in out:
+        got = _bmp_decode(bytes(r["payload"]))
+        want = _img_pixels(int(r["doc_id"]))[::2, ::2]
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), r["doc_id"]

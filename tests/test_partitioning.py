@@ -56,3 +56,38 @@ def test_repartition_by_unique_key_isolates_each_key(spark):
     per_part = d.df.rdd.mapPartitions(keys_per_part).collect()
     assert sorted(per_part) == [1] * 7  # one key per partition, all present
     assert d.count() == 300
+
+
+def test_hrw_rendezvous_minimal_disruption(spark):
+    """Removing a shard must move ONLY that shard's keys — the property
+    that distinguishes rendezvous hashing from mod-N (which reshuffles
+    nearly everything on resize)."""
+    from pyspark.sql import functions as F
+
+    def assign(shards):
+        key = F.col("id").cast("string")
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.md5(F.concat(F.lit(f"{s}|"), key)).alias("h"),
+                    F.lit(s).alias("shard"),
+                )
+                for s in shards
+            ]
+        )
+        return {
+            r["id"]: r["shard"]
+            for r in spark.range(500)
+            .select("id", F.array_max(pairs).getField("shard").alias("shard"))
+            .collect()
+        }
+
+    full = assign(["s0", "s1", "s2", "s3", "s4"])
+    reduced = assign(["s0", "s1", "s2", "s3"])  # s4 removed
+    # balance sanity: every shard owns something
+    assert {v for v in full.values()} == {"s0", "s1", "s2", "s3", "s4"}
+    for k in full:
+        if full[k] != "s4":
+            assert reduced[k] == full[k], k  # untouched keys stay put
+        else:
+            assert reduced[k] != "s4"

@@ -952,3 +952,40 @@ def test_bounded_sssp_matches_local_relaxation(spark, edges, hops):
                     nxt[d] = cand
         dist = nxt
     assert got == {n: round(v, 6) for n, v in dist.items()}
+
+
+def _local_kcore(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    changed = True
+    while changed:
+        drop = {n for n in alive if sum(1 for m in adj[n] if m in alive) < k}
+        changed = bool(drop)
+        alive -= drop
+    return {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_k_core_matches_local_peeling(spark, edges, k):
+    from prajna_spark.operators.triangles import k_core
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in k_core(df, k, max_rounds=30).collect()
+    }
+    assert got == _local_kcore(edges, k)
