@@ -137,6 +137,8 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         "image_bmp_meta",
         "image_dhash_dedup",
         "image_dhash_hamming_pairs",
+        # decode -> numpy resize -> re-encode is Arrow-batched by design
+        "image_resize_half_meta",
         # PCA's single corpus pass is numpy matmul per Arrow batch by
         # design; everything downstream is driver-bounded dim x dim algebra
         "pca_top_component_embeddings",
