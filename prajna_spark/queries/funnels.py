@@ -593,3 +593,61 @@ def top_event_types_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events").cast("double") / F.col("tot"), 6).alias("share"),
     )
+
+
+def _ab_oracle() -> str:
+    from prajna_spark.pipeline.experiments import ab_assign_sql, two_proportion_ztest_sql
+
+    exposed = f"""(
+      SELECT {ab_assign_sql("user_id", seed="ab1")} AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 1.5e2
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    )"""
+    return (
+        "\n    -- two-proportion z-test: deterministic md5 variant split of all"
+        "\n    -- event-active users; conversion = a purchase above 150\n"
+        + two_proportion_ztest_sql(exposed)
+    )
+
+
+@query(
+    "ab_test_purchase_conversion",
+    oracle=_ab_oracle(),
+    tags=("experiment", "ab-test", "events", "analytics"),
+)
+def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over the event log (pipeline.experiments): every
+    event-active user is deterministically assigned a variant by the md5
+    hash-gate (sticky, uniform — no stored assignment table needed), the
+    log reduces to one (user, variant, converted-on-a->150-purchase) row
+    at the first aggregate, and the pooled two-proportion z-test
+    collapses that to a single stats row. One user_id-keyed shuffle total; everything after
+    is sub-data-sized. z arithmetic keeps one fixed IEEE association so
+    the DuckDB oracle matches bit-for-bit (see experiments docstring)."""
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.pipeline import experiments
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    )
+    units = units.select(
+        experiments.ab_assign(F.col("user_id"), seed="ab1").alias("variant"),
+        "converted",
+    )
+    stats = experiments.two_proportion_ztest(units)
+    return stats.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        pround(F.col("rate_a"), 6).alias("rate_a"),
+        pround(F.col("rate_b"), 6).alias("rate_b"),
+        pround(F.col("z_score"), 6).alias("z_score"),
+    )
