@@ -651,3 +651,47 @@ def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("rate_b"), 6).alias("rate_b"),
         pround(F.col("z_score"), 6).alias("z_score"),
     )
+
+
+def _cusum_oracle() -> str:
+    from prajna_spark.operators.changepoint import cusum_integer_sql
+
+    hourly = """(
+      SELECT event_type AS k, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    )"""
+    return f"""
+    -- integer-exact one-sided CUSUM control chart per event_type series
+    SELECT k AS event_type, t AS epoch_hour, x AS n_events,
+           cusum_scaled, scale, is_alarm
+    FROM {cusum_integer_sql(hourly)}
+    """
+
+
+@query(
+    "cusum_event_bursts",
+    oracle=_cusum_oracle(),
+    tags=("changepoint", "cusum", "timeseries", "events"),
+)
+def cusum_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection on hourly event-type series
+    (operators.changepoint.cusum_integer): the CUSUM recursion
+    max(0, S+x-k) is rewritten as cumsum-minus-prefix-min — two
+    ordered-window aggregates, ONE event_type-keyed exchange, each
+    series evaluated independently in its partition. The whole chart is
+    scaled to BIGINT (slack = mean/4, threshold = mean as rationals), so
+    both engines do exact integer arithmetic end-to-end — no float, no
+    rounding alignment. Complements anomaly_mad_events: MAD flags single
+    outlier hours, CUSUM flags sustained drifts."""
+    from prajna_spark.operators.changepoint import cusum_integer
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("epoch_hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = cusum_integer(hourly, "event_type", "epoch_hour", "n_events")
+    return out.select(
+        "event_type", "epoch_hour", "n_events", "cusum_scaled", "scale", "is_alarm"
+    )
