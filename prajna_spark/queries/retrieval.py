@@ -407,3 +407,67 @@ def ndcg_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dcg.join(ideal, "query_id").select(
         "query_id", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
     )
+
+
+@query(
+    "copurchase_similar_parts",
+    oracle="""
+    -- "also bought": top-5 co-occurrence-cosine neighbors per part over
+    -- order baskets, baskets capped at their 16 lowest part ids
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM d
+      ) WHERE rn <= 16
+    ), pairs AS (
+      SELECT a.l_partkey AS item_i, b.l_partkey AS item_j,
+             CAST(count(*) AS BIGINT) AS c_ij
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), freq AS (
+      SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS ci
+      FROM capped GROUP BY 1
+    ), sym AS (
+      SELECT item_i AS item, item_j AS neighbor, c_ij FROM pairs
+      UNION ALL
+      SELECT item_j AS item, item_i AS neighbor, c_ij FROM pairs
+    ), scored AS (
+      SELECT s.item, s.neighbor, s.c_ij AS c_pair, fi.ci AS c_item,
+             fn.ci AS c_neighbor,
+             (floor((CAST(s.c_ij AS DOUBLE)
+               / sqrt(CAST(fi.ci AS DOUBLE) * CAST(fn.ci AS DOUBLE)))
+               * 1e6 + 5e-1) / 1e6) AS sim
+      FROM sym s
+      JOIN freq fi ON fi.item = s.item
+      JOIN freq fn ON fn.item = s.neighbor
+    )
+    SELECT item, neighbor, c_pair, c_item, c_neighbor, sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY sim DESC, neighbor) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("recommendation", "cooccurrence", "similarity", "lineitem"),
+)
+def copurchase_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering neighbors (pipeline.cooccur): order
+    baskets -> structural 16-item cap (WindowGroupLimit partial limit
+    BEFORE the shuffle) -> basket-keyed self-join bounded at cap^2/2
+    pairs per basket -> pair-keyed cosine -> top-5 per item. The
+    all-pairs blow-up is capped by construction, every shuffle key is
+    narrow (orderkey, then (item,item)), and the cosine on integer
+    counts is IEEE-exact so both engines rank identical doubles."""
+    from prajna_spark.pipeline.cooccur import item_similarity_topk
+
+    li = load_table(spark, "lineitem", sf_dir)
+    tune(spark)
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", cap=16, k=5, sim_decimals=6
+    ).select("item", "neighbor", "c_pair", "c_item", "c_neighbor", "sim", "rk")
