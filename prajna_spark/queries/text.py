@@ -1708,3 +1708,74 @@ def chunk_sentences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return chunk_by_sentence(docs, "doc_id", "text", budget=64)
+
+
+def _cdc_oracle() -> str:
+    from prajna_spark.pipeline.cdc_chunking import (
+        MASK,
+        cdc_fingerprint_sql,
+        cdc_joins_sql,
+    )
+
+    return f"""
+    -- content-defined chunking replay: closed-form Rabin fingerprints
+    -- (an O(n*w) positional expansion checking the UDTF's O(n) rolling
+    -- update), boundary where fp % {MASK} = 0
+    WITH cs AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '')) AS c,
+             CAST(generate_subscripts(regexp_split_to_array(text, ''), 1)
+                  AS BIGINT) AS p
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, p, CAST(unicode(c) AS BIGINT) AS code FROM cs
+    ), d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+    ), fp AS (
+      SELECT c0.doc_id, c0.p,
+             {cdc_fingerprint_sql()} AS fp
+      FROM {cdc_joins_sql()}
+    ), bounds AS (
+      SELECT doc_id, p FROM fp WHERE fp % {MASK} = 0
+    ), starts AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS start_pos FROM d WHERE n > 0
+      UNION ALL
+      SELECT b.doc_id, b.p + 1 FROM bounds b JOIN d USING (doc_id)
+      WHERE b.p < d.n
+    ), chunks AS (
+      SELECT s.doc_id, s.start_pos,
+             CAST(row_number() OVER (PARTITION BY s.doc_id
+                                     ORDER BY s.start_pos) - 1
+                  AS BIGINT) AS chunk_idx,
+             coalesce(lead(s.start_pos) OVER (PARTITION BY s.doc_id
+                                              ORDER BY s.start_pos),
+                      d.n + 1) - s.start_pos AS n_chars
+      FROM starts s JOIN d USING (doc_id)
+    )
+    SELECT c.doc_id, c.chunk_idx, c.start_pos, c.n_chars,
+           md5(substring(d.text, CAST(c.start_pos AS INT),
+                         CAST(c.n_chars AS INT))) AS chunk_md5
+    FROM chunks c JOIN d USING (doc_id)
+    """
+
+
+@query(
+    "cdc_chunk_documents",
+    oracle=_cdc_oracle(),
+    tags=("chunking", "cdc", "udtf", "dedup", "pipeline"),
+)
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (pipeline.cdc_chunking): Rabin
+    rolling-hash boundaries so edits perturb chunk hashes only locally —
+    the dedup-friendly chunking for incrementally edited corpora, and
+    the catalog's native Python UDTF exemplar (Spark 4 ``@udtf`` +
+    ``lateralJoin``; the boundary scan is a sequential per-document
+    recurrence, the one shape that genuinely needs imperative Python).
+    Per-document, O(1) state, output carries coords + md5 only. The
+    oracle replays the same fingerprints via a closed-form O(n*w)
+    positional expansion — rolling update and closed form check each
+    other."""
+    from prajna_spark.pipeline.cdc_chunking import chunk_content_defined
+
+    docs = _docs(spark, sf_dir)
+    return chunk_content_defined(docs, "doc_id", "text")

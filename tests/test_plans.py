@@ -142,6 +142,9 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         # PCA's single corpus pass is numpy matmul per Arrow batch by
         # design; everything downstream is driver-bounded dim x dim algebra
         "pca_top_component_embeddings",
+        # the native Python UDTF exemplar: the CDC boundary scan is a
+        # sequential per-document recurrence — imperative by design
+        "cdc_chunk_documents",
     }
     for name, fn in queries().items():
         if name in allowed:
