@@ -1,0 +1,194 @@
+"""Product quantization (PQ) — sub-vector codebook compression + ADC search.
+
+The vector-compression step BETWEEN the int8 scalar quantization
+(:func:`similarity.quantize_int8`, 4x) and full-precision storage: split
+each d-dim embedding into ``m`` sub-vectors, snap every sub-vector to its
+nearest entry in a per-subspace codebook, and store only the ``m`` code
+bytes — a d*4 / m byte compression (32x here) that asymmetric-distance
+(ADC) search can query WITHOUT decompressing: the query stays exact and
+each candidate's distance is a sum of m codebook-table lookups
+(Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011 — public literature).
+
+Scale shapes, deliberately:
+- The codebook is deterministic and TINY (m * k sub-vectors; the k
+  lowest-id embeddings' sub-vectors, the same seeding rule as the
+  oracle-checked ivf_kmeans Lloyd init) — it rides into every executor
+  as literal expressions, so ENCODE IS MAP-ONLY: zero shuffles, zero
+  joins, one projection per vector regardless of corpus size.
+- ADC search broadcasts the query set (with per-query lookup tables
+  folded into array columns); candidates never shuffle — the same
+  broadcast-cross shape as the proven knn_bruteforce.
+
+Exactness contract: all distances are explicit LEFT-ASSOCIATED squared-L2
+term chains over float32-exact doubles (IEEE-exact: products < 2^52,
+same association both engines) and are portably rounded before any
+ranking; argmin ties break on the lowest code id / vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prajna_spark.functions.rounding import pround
+
+M_SUB = 8  # subspaces
+K_CODES = 16  # codebook entries per subspace
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+) -> list[list[list[float]]]:
+    """Deterministic codebook: the ``k`` lowest-id vectors' sub-vectors.
+    Driver-bounded read (k rows — the same adjudicated pattern as the
+    k-means centroid reads); returns codebook[s][c] = that sub-vector
+    as Python floats (float32 values, exactly representable)."""
+    sub = dim // m
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("e"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [
+        [list(r.e[s * sub : (s + 1) * sub]) for r in rows] for s in range(m)
+    ]
+
+
+def _sq_dist(sub: Column, entry: list[float]) -> Column:
+    """Left-associated squared-L2 between a sub-vector column and a
+    literal codebook entry."""
+    expr: Column | None = None
+    for i, c in enumerate(entry):
+        d = sub[i] - F.lit(float(c))
+        t = d * d
+        expr = t if expr is None else expr + t
+    assert expr is not None
+    return expr
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_decimals: int = 6,
+) -> DataFrame:
+    """Map-only PQ encode: (id, codes array<long> of length m,
+    recon_err). The codebook is folded into literal expressions, so the
+    plan is ONE projection — no join, no shuffle, any corpus size."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes, err = [], None
+    for s in range(m):
+        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        dists = F.array(*[_sq_dist(sub, e) for e in codebook[s]])
+        best = F.array_min(dists)
+        # first index of the min == lowest-code tie-break
+        codes.append((F.array_position(dists, best) - 1).cast("long"))
+        err = best if err is None else err + best
+    return emb.select(
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        pround(err, err_decimals).alias("recon_err"),
+    )
+
+
+def pq_adc_recall(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    n_queries: int = 20,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dec: int = 6,
+) -> DataFrame:
+    """Recall@k of ADC search vs exact squared-L2, per query.
+
+    One broadcast cross join computes BOTH distances per (query,
+    candidate) pair — the exact one on full vectors, the ADC one by
+    summing the m codebook entries the candidate's codes select (the
+    query side of each term is exact: asymmetric) — then two windows
+    rank them and recall@k is the overlap. Candidates never shuffle;
+    pair frame is |queries| * N with narrow payloads."""
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    enc = pq_encode(emb, codebook, id_col, vec_col)
+    cand = (
+        emb.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .join(enc.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+    )
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    pairs = cand.crossJoin(F.broadcast(q)).where(
+        F.col("cand_id") != F.col("query_id")
+    )
+
+    exact: Column | None = None
+    for i in range(m * sub_dim):
+        d = F.col("q_vec")[i] - F.col("c_vec")[i]
+        t = d * d
+        exact = t if exact is None else exact + t
+
+    adc: Column | None = None
+    for s in range(m):
+        qsub = F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim)
+        # distance from the EXACT query sub-vector to the codebook entry
+        # the candidate's code selects: a 16-way CASE on codes[s]
+        code = F.col("codes")[s]
+        term: Column | None = None
+        sel = None
+        for c, entry in enumerate(codebook[s]):
+            d = _sq_dist(qsub, entry)
+            sel = F.when(code == c, d) if sel is None else sel.when(code == c, d)
+        term = sel
+        adc = term if adc is None else adc + term
+
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        pround(exact, dec).alias("d_exact"),
+        pround(adc, dec).alias("d_adc"),
+    )
+    w_e = Window.partitionBy("query_id").orderBy("d_exact", "cand_id")
+    w_a = Window.partitionBy("query_id").orderBy("d_adc", "cand_id")
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_a).alias("rk_a"),
+    )
+    # group over the exact top-k (always k rows per query) so a query
+    # with ZERO overlap still emits a row
+    return (
+        ranked.where(F.col("rk_e") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("rk_a") <= k, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            pround(F.col("n_overlap").cast("double") / F.lit(float(k)), 2).alias(
+                "recall"
+            ),
+        )
+    )

@@ -791,3 +791,148 @@ def standardize_embeddings_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") + 1).cast("long").alias("dim"),
         pround(F.col("zval"), 6).alias("z"),
     )
+
+
+# ----- product quantization (pipeline/pq.py) ---------------------------------
+
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, DIM // 8
+
+
+def _pq_sq(a: str, b: str, s_expr: str, sub: int = _PQ_SUB) -> str:
+    """Left-associated squared-L2 over subspace ``s_expr``'s positions
+    (s*sub + 1 .. s*sub + sub) of two DOUBLE[] columns."""
+    terms = []
+    for i in range(1, sub + 1):
+        p = f"CAST(({s_expr}) * {sub} + {i} AS INT)"
+        terms.append(f"({a}[{p}] - {b}[{p}]) * ({a}[{p}] - {b}[{p}])")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_common_ctes() -> str:
+    """Shared oracle CTEs: cast view, deterministic codebook (the 16
+    lowest-id vectors — the ivf_kmeans seeding rule), per-(vec, subspace)
+    argmin codes, and the pivoted (codes array, recon_err) encoding."""
+    code_list = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END)" for s in range(_PQ_M)
+    )
+    err_chain = " + ".join(
+        f"MAX(CASE WHEN s = {s} THEN d END)" for s in range(_PQ_M)
+    )
+    return f"""
+    v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
+      FROM v ORDER BY vec_id LIMIT {_PQ_K}
+    ), dists AS (
+      SELECT v.vec_id, s.s, cb.cid,
+             {_pq_sq("v.e", "cb.e", "s.s")} AS d
+      FROM v
+      CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+      CROSS JOIN cb
+    ), code1 AS (
+      SELECT vec_id, s, cid AS code, d FROM (
+        SELECT vec_id, s, cid, d,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cid) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ), enc AS MATERIALIZED (
+      SELECT vec_id,
+             [{code_list}] AS codes,
+             {R(err_chain, 6)} AS recon_err
+      FROM code1 GROUP BY vec_id
+    )"""
+
+
+@query(
+    "pq_encode_embeddings",
+    oracle=f"""
+    -- PQ encode replay: per-subspace argmin against the deterministic
+    -- 16-entry codebooks; recon_err summed in the same left-assoc order
+    WITH {_pq_common_ctes()}
+    SELECT vec_id, codes, recon_err FROM enc
+    """,
+    tags=("pq", "quantization", "vectors", "compression"),
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (pipeline.pq): 64-dim embeddings ->
+    8 sub-vector codes against 16-entry per-subspace codebooks (32x
+    compression). The codebook (deterministic: the 16 lowest-id
+    vectors' sub-vectors, the same seeding rule the oracle-checked
+    ivf_kmeans uses) folds into literal expressions, so the encode is
+    MAP-ONLY — one projection, zero shuffles, zero joins, at any corpus
+    scale. Distances are left-associated squared-L2 chains (IEEE-exact),
+    so codes AND the rounded reconstruction error hash-match DuckDB's
+    replay exactly."""
+    from prajna_spark.pipeline import pq
+
+    emb = _emb(spark, sf_dir)
+    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    return pq.pq_encode(emb, cb)
+
+
+def _pq_recall_oracle() -> str:
+    adc_terms = " + ".join(
+        _pq_sq("p.qe", f"cb{s}.e", str(s)) for s in range(_PQ_M)
+    )
+    exact_terms = " + ".join(
+        f"(p.qe[{i}] - p.ce[{i}]) * (p.qe[{i}] - p.ce[{i}])"
+        for i in range(1, DIM + 1)
+    )
+    joins = "\n      ".join(
+        f"JOIN cb cb{s} ON cb{s}.cid = p.codes[{s + 1}]" for s in range(_PQ_M)
+    )
+    return f"""
+    -- ADC recall@10 replay: exact vs asymmetric-distance rankings from
+    -- the same codes; identical association, rounding, tie-breaks
+    WITH {_pq_common_ctes()}
+    , qs AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS cand_id, q.qe, c.e AS ce, enc.codes
+      FROM v c JOIN enc ON enc.vec_id = c.vec_id
+      CROSS JOIN qs q
+      WHERE c.vec_id <> q.query_id
+    ), scored AS (
+      SELECT p.query_id, p.cand_id,
+             {R(f"({exact_terms})", 6)} AS d_exact,
+             {R(f"({adc_terms})", 6)} AS d_adc
+      FROM pairs p
+      {joins}
+    ), ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d_exact, cand_id) AS rk_e,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d_adc, cand_id) AS rk_a
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN rk_a <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           {R("sum(CASE WHEN rk_a <= 10 THEN 1 ELSE 0 END) / 1e1", 2)}
+             AS recall
+    FROM ranked WHERE rk_e <= 10 GROUP BY query_id
+    """
+
+
+@query(
+    "pq_adc_knn_recall",
+    oracle=_pq_recall_oracle(),
+    tags=("pq", "quantization", "knn", "eval", "vectors"),
+)
+def pq_adc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search vs exact squared-L2
+    (pipeline.pq.pq_adc_recall) — the eval that tells you whether 32x
+    compression kept the neighborhoods. One broadcast cross join scores
+    BOTH distances per (query, candidate) pair (the ADC side is a 16-way
+    CASE over the candidate's code per subspace — the lookup-table walk,
+    with the query sub-vector exact); two windows rank; candidates never
+    shuffle. Completes the quantization ladder: int8 (4x, oracle-exact)
+    -> PQ (32x, recall-evaluated)."""
+    from prajna_spark.pipeline import pq
+
+    emb = _emb(spark, sf_dir)
+    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    return pq.pq_adc_recall(emb, cb, n_queries=20, k=10)

@@ -109,6 +109,9 @@ def test_no_accidental_cartesian_anywhere_in_catalog(spark, sf_dir):
         "ann_ivf_topk",
         "ann_recall_eval",
         "ivf_kmeans_centroids",
+        # ADC recall: broadcast cross of 20 queries x candidates, the
+        # same bounded shape as knn_bruteforce
+        "pq_adc_knn_recall",
     }
     for name, fn in queries().items():
         if name in allowed:

@@ -1,0 +1,64 @@
+"""Product quantization: numpy differential for encode, codebook
+self-coding, ADC recall sanity, and the map-only plan claim."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from prajna_spark.pipeline.pq import pq_adc_recall, pq_codebook, pq_encode
+
+
+def _emb_df(spark, n=60, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_encode_matches_numpy(spark):
+    df, vecs = _emb_df(spark, n=60, dim=16)
+    m, k, sub = 4, 8, 4
+    cb = pq_codebook(df, dim=16, m=m, k=k)
+    got = {r.vec_id: (list(r.codes), r.recon_err) for r in pq_encode(df, cb).collect()}
+    cbn = np.array(cb)  # (m, k, sub)
+    for i in range(60):
+        want_codes, err = [], 0.0
+        for s in range(m):
+            d = ((vecs[i, s * sub : (s + 1) * sub] - cbn[s]) ** 2).sum(axis=1)
+            c = int(np.argmin(d))
+            want_codes.append(c)
+            err += float(d[c])
+        codes, recon = got[i]
+        assert codes == want_codes, f"vec {i}"
+        assert abs(recon - err) < 1e-6
+
+
+def test_codebook_vectors_self_code(spark):
+    df, _ = _emb_df(spark, n=40, dim=16)
+    cb = pq_codebook(df, dim=16, m=4, k=8)
+    enc = {r.vec_id: r for r in pq_encode(df, cb).collect()}
+    # the 8 lowest-id vectors ARE the codebook: they code to themselves
+    # in every subspace with zero reconstruction error
+    for i in range(8):
+        assert list(enc[i].codes) == [i] * 4
+        assert enc[i].recon_err == 0.0
+
+
+def test_adc_recall_bounds_and_self_consistency(spark):
+    df, _ = _emb_df(spark, n=60, dim=16)
+    cb = pq_codebook(df, dim=16, m=4, k=8)
+    out = pq_adc_recall(df, cb, n_queries=5, k=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r.n_overlap <= 5
+        assert abs(r.recall - r.n_overlap / 5) < 1e-9
+
+
+def test_encode_plan_is_map_only(spark):
+    df, _ = _emb_df(spark, n=30, dim=16)
+    cb = pq_codebook(df, dim=16, m=4, k=8)
+    plan = pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
