@@ -695,3 +695,64 @@ def cusum_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "epoch_hour", "n_events", "cusum_scaled", "scale", "is_alarm"
     )
+
+
+def _geo_oracle() -> str:
+    from prajna_spark.operators.spatial import planar_pairs_sql
+
+    pts = """(
+      SELECT user_id AS id,
+             3.7e1 + (CAST('0x' || substring(md5('geo|' || CAST(user_id AS VARCHAR)), 1, 6)
+                      AS BIGINT) / 1.6777216e7) AS lat,
+             -1.22e2 + (CAST('0x' || substring(md5('geo|' || CAST(user_id AS VARCHAR)), 7, 6)
+                      AS BIGINT) / 1.6777216e7) AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    )"""
+    return (
+        "\n    -- planar radius join replayed as naive all-pairs (same metric,\n"
+        "    -- different plan): deterministic md5-derived coordinates\n"
+        "    SELECT id_i AS user_i, id_j AS user_j, dist_km FROM "
+        + planar_pairs_sql(pts, radius_km=10.0)
+    )
+
+
+@query(
+    "geo_near_users",
+    oracle=_geo_oracle(),
+    tags=("spatial", "range-join", "grid", "events"),
+)
+def geo_near_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial range join (operators.spatial.within_radius_pairs):
+    all user pairs within 10 km, coordinates derived deterministically
+    from user ids (md5 -> uniform box, the hash-gate spelling). Each
+    point hashes to an r-sided grid cell; one side explodes to its 3x3
+    neighborhood (constant fan-out) and candidates meet in a cell-id
+    EQUI-join — candidate count scales with local density, never
+    corpus size, vs the oracle's all-pairs spelling. Planar fixed-
+    constant metric = pure IEEE arithmetic, so both engines agree
+    bit-for-bit even at the radius boundary (haversine's libm sin/cos
+    would not)."""
+    from prajna_spark.operators.spatial import within_radius_pairs
+
+    ev = _events(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("geo|"), F.col("user_id").cast("string")))
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("id"),
+            (
+                F.lit(37.0)
+                + F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+                / F.lit(16777216.0)
+            ).alias("lat"),
+            (
+                F.lit(-122.0)
+                + F.conv(F.substring(h, 7, 6), 16, 10).cast("long")
+                / F.lit(16777216.0)
+            ).alias("lon"),
+        )
+    )
+    return within_radius_pairs(pts, "id", "lat", "lon", radius_km=10.0).select(
+        F.col("id_i").alias("user_i"), F.col("id_j").alias("user_j"), "dist_km"
+    )
