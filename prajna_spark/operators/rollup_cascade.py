@@ -197,3 +197,34 @@ def interpolate(
     return dense.select(
         *dims, "epoch_start", F.round(interp, decimals).alias(out_col)
     )
+
+
+def locf(
+    rollup: DataFrame,
+    dims: list[str],
+    width: int,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward — the third fill mode beside
+    :func:`gapfill` (zeros) and :func:`interpolate` (lines): a gauge
+    metric (queue depth, balance, temperature) holds its LAST reading
+    through silent buckets; zero/line fills would both chart lies.
+    Buckets before a series' first known value stay NULL.
+
+    Plan: densify on the grid, then ONE forward carry window per series
+    (same single hash exchange as interpolate's forward half; no
+    backward pass needed). The carried value is copied bit-for-bit,
+    never recomputed, so no rounding policy is involved.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or value_col
+    dense = gapfill(rollup, dims, width, fill={value_col: None})
+    wb = (
+        Window.partitionBy(*dims)
+        .orderBy("epoch_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.col(value_col), ignorenulls=True).over(wb)
+    return dense.select(*dims, "epoch_start", carried.alias(out_col))

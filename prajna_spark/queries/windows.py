@@ -1232,3 +1232,53 @@ def telemetry_interpolated_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate(
         hourly, ["event_type"], 3600, "v", out_col="value_interp"
     )
+
+
+@query(
+    "telemetry_locf_hours",
+    oracle=f"""
+    -- LOCF replay via one backward ASOF join: each grid bucket carries
+    -- the latest known bucket's value (copied, never recomputed)
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS epoch_start,
+             {R('sum(value)', 2)} AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(epoch_start) AS lo, max(epoch_start) AS hi
+      FROM r GROUP BY 1
+    ), g AS (
+      SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS epoch_start
+      FROM b
+    )
+    SELECT g.event_type, g.epoch_start, k.v AS value_locf
+    FROM g ASOF LEFT JOIN r k
+      ON g.event_type = k.event_type AND g.epoch_start >= k.epoch_start
+    """,
+    tags=("gapfill", "locf", "time-series", "rollup"),
+)
+def telemetry_locf_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward hourly series
+    (operators.rollup_cascade.locf) — the fill mode for GAUGE metrics,
+    completing the trio: gapfill charts zeros (counters), interpolate
+    charts lines (smooth trends), locf holds the last reading (queue
+    depth, balances). One forward carry window per series — a single
+    hash exchange of grid-sized rows; the carried value is copied
+    bit-for-bit so the ASOF-join oracle matches with no rounding
+    alignment beyond the rollup's own."""
+    from prajna_spark.operators.rollup_cascade import locf
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+            .cast("long")
+            .alias("epoch_start"),
+            "value",
+        )
+        .groupBy("event_type", "epoch_start")
+        .agg(pround(F.sum("value"), 2).alias("v"))
+    )
+    return locf(hourly, ["event_type"], 3600, "v", out_col="value_locf")

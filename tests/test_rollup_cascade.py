@@ -147,3 +147,39 @@ def test_interpolate_single_exchange(spark):
     # the grid join + two carries must not multiply data-sized exchanges:
     # bounds agg, grid join, one window partition hash — all on k
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_locf_carries_last_known_value(spark):
+    from prajna_spark.operators.rollup_cascade import locf
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 30, 16.0),  # buckets 10,20 missing -> carry 10.0
+        ("b", 10, 5.0),  # single-bucket series
+    ]
+    df = spark.createDataFrame(rows, "k string, epoch_start long, v double")
+    out = {
+        (r.k, r.epoch_start): r.v
+        for r in locf(df, ["k"], 10, "v").collect()
+    }
+    assert out == {
+        ("a", 0): 10.0,
+        ("a", 10): 10.0,
+        ("a", 20): 10.0,
+        ("a", 30): 16.0,
+        ("b", 10): 5.0,
+    }
+
+
+def test_locf_vs_interpolate_vs_gapfill_fill_modes(spark):
+    """The trio differ exactly where buckets are absent."""
+    from prajna_spark.operators.rollup_cascade import gapfill, interpolate, locf
+
+    rows = [("a", 0, 10.0), ("a", 20, 16.0)]
+    df = spark.createDataFrame(rows, "k string, epoch_start long, v double")
+    g = {r.epoch_start: r.v for r in gapfill(df, ["k"], 10).collect()}
+    i = {r.epoch_start: r.v for r in interpolate(df, ["k"], 10, "v").collect()}
+    c = {r.epoch_start: r.v for r in locf(df, ["k"], 10, "v").collect()}
+    assert (g[10], i[10], c[10]) == (0.0, 13.0, 10.0)
+    # known buckets identical in all three modes
+    assert g[0] == i[0] == c[0] == 10.0 and g[20] == i[20] == c[20] == 16.0
