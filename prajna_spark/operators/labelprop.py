@@ -1,0 +1,70 @@
+"""Synchronous label propagation — community detection.
+
+Completes the graph tier's community ladder: connected components give
+the coarsest partition (reachability), k-core ranks density, label
+propagation finds COMMUNITIES — regions denser inside than out — with
+no parameter beyond an iteration budget (Raghavan, Albert, Kumara 2007;
+the synchronous variant with a deterministic tie-break, so results are
+reproducible and SQL-replayable, unlike the randomized asynchronous
+original).
+
+Per iteration every node adopts the label that is most frequent among
+its neighbors (ties -> smallest label). All arithmetic is integer
+counting — no floats anywhere — so a fixed-depth SQL ladder replays the
+schedule EXACTLY.
+
+Scale shape per iteration: one neighbor-label join (edge-cardinality,
+narrow (node, label) rows, SHUFFLE_HASH pinned so the build side never
+broadcasts a corpus-sized frame) + one (node, label) count + one
+per-node argmax window. localCheckpoint truncates lineage each round;
+superseded checkpoints are released. Synchronous updates can oscillate
+on bipartite-ish structures — the iteration count is a BUDGET, not a
+convergence promise, and identical on both engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Run ``n_iter`` synchronous LP rounds; returns (node_id, community)
+    where community is the surviving label (node ids seed labels)."""
+    from prajna_spark.operators.lifecycle import release_local_checkpoint
+
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    und = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("nid"))
+        .distinct()
+        .select("nid", F.col("nid").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels.hint("SHUFFLE_HASH"), sym.b == labels.nid
+        ).select(F.col("a").alias("node"), "lbl")
+        counts = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        nxt = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("node").alias("nid"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(labels)
+        labels = nxt
+    return labels.select(F.col("nid").alias("node_id"), F.col("lbl").alias("community"))

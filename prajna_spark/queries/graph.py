@@ -354,3 +354,59 @@ def kcore_parts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.operators.triangles import k_core
 
     return k_core(edges, k=80, src_col="u", dst_col="v")
+
+
+def _lp_level(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+      SELECT nid, lbl FROM (
+        SELECT s.a AS nid, p.lbl,
+               row_number() OVER (PARTITION BY s.a
+                                  ORDER BY count(*) DESC, p.lbl) AS rk
+        FROM sym s JOIN {prev} p ON p.nid = s.b
+        GROUP BY s.a, p.lbl
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "labelprop_part_communities",
+    oracle=f"""
+    -- 4 synchronous label-propagation rounds, replayed as a fixed-depth
+    -- ladder: adopt the most frequent neighbor label, ties -> smallest.
+    -- Pure integer counting — no rounding policy anywhere
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS nid, a AS lbl FROM sym
+    ),
+    {_lp_level("l0", "l1")},
+    {_lp_level("l1", "l2")},
+    {_lp_level("l2", "l3")},
+    {_lp_level("l3", "l4")}
+    SELECT nid AS node_id, lbl AS community FROM l4
+    """,
+    tags=("graph", "community", "label-propagation", "iterative"),
+)
+def labelprop_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph
+    (operators.labelprop.label_propagation): 4 synchronous rounds of
+    adopt-the-majority-neighbor-label with a deterministic smallest-label
+    tie-break — completing the community ladder (connected components =
+    reachability, k-core = density rank, label propagation = community
+    structure). Per round one edge-cardinality neighbor join
+    (SHUFFLE_HASH pinned), one (node, label) count, one per-node argmax
+    window; O(1) lineage via localCheckpoint. Integer-only arithmetic,
+    so the fixed-depth SQL ladder replays the schedule exactly."""
+    tune(spark)
+    from prajna_spark.operators.labelprop import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return label_propagation(edges, "u", "v", n_iter=4)
