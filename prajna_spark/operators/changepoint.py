@@ -111,3 +111,39 @@ def cusum_integer_sql(
                AS is_alarm
       FROM pre
     )"""
+
+
+def cusum_integer_fixed(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    slack: int,
+    threshold: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """:func:`cusum_integer` with CALLER-FIXED integer slack/threshold
+    instead of series-mean rationals — the variant a STREAMING monitor
+    needs (the mean of a series that hasn't finished arriving is
+    unknowable), and the batch twin its drain is checked against.
+    Same cumsum-minus-prefix-min identity, pure BIGINT end to end.
+    ``tiebreak_col`` disambiguates equal timestamps deterministically."""
+    order = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    prefix = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("long")
+    with_c = series.withColumn("_ct", F.sum(x - F.lit(int(slack))).over(prefix))
+    cusum = F.col("_ct") - F.least(
+        F.lit(0).cast("long"), F.min("_ct").over(prefix)
+    )
+    return with_c.select(
+        key_col,
+        *([tiebreak_col] if tiebreak_col else []),
+        time_col,
+        F.col(value_col).cast("long").alias(value_col),
+        cusum.alias("cusum"),
+        (cusum > F.lit(int(threshold))).alias("is_alarm"),
+    )

@@ -1282,3 +1282,73 @@ def telemetry_locf_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pround(F.sum("value"), 2).alias("v"))
     )
     return locf(hourly, ["event_type"], 3600, "v", out_col="value_locf")
+
+
+@query(
+    "cusum_stream_alarms",
+    oracle="""
+    -- batch replay of the live CUSUM chart: same fixed slack/threshold,
+    -- same (ts, event_id) fold order, pure BIGINT identity
+    WITH base AS (
+      SELECT event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id AS tb, CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ), pre AS (
+      SELECT k, t, tb, x,
+             CAST(sum(x - 60) OVER (
+               PARTITION BY k ORDER BY t, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ct
+      FROM base
+    )
+    SELECT k AS event_type, t AS epoch_sec, tb AS event_id, x,
+           CAST(ct - least(CAST(0 AS BIGINT), min(ct) OVER (
+             PARTITION BY k ORDER BY t, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS BIGINT) AS cusum,
+           (ct - least(CAST(0 AS BIGINT), min(ct) OVER (
+             PARTITION BY k ORDER BY t, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 500
+             AS is_alarm
+    FROM pre
+    """,
+    tags=("streaming", "cusum", "changepoint", "stateful"),
+)
+def cusum_stream_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live level-shift alerting (streaming.cusum_stream): a stateful
+    per-event_type CUSUM over the event stream — the alarm fires in the
+    micro-batch the drift crosses the threshold, not at the next batch
+    job. State is TWO BIGINTs per series (running cumsum + prefix min:
+    the whole chart identity), integer-exact, so the AvailableNow drain
+    equals the fixed-parameter batch chart row for row — which is
+    exactly what the oracle replays."""
+    import uuid
+
+    from prajna_spark.streaming.cusum_stream import cusum_stream
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    ev = events_readstream(spark, sf_dir).select(
+        F.col("event_type").alias("k"),
+        "ts",
+        F.col("event_id").alias("tb"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    name = f"cusum_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        cusum_stream(ev, slack=60, threshold=500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("k").alias("event_type"),
+        F.col("t").alias("epoch_sec"),
+        F.col("tb").alias("event_id"),
+        "x",
+        "cusum",
+        "is_alarm",
+    )
