@@ -166,6 +166,18 @@ EXTENDED = [
     "kcore_parts_dense",
     "hrw_shard_orders",
     "top_event_types_with_other",
+    # round-5 final wave: experiments, changepoints, recommendations,
+    # UDTF chunking, product quantization, spatial, communities
+    "ab_test_purchase_conversion",
+    "cusum_event_bursts",
+    "copurchase_similar_parts",
+    "cdc_chunk_documents",
+    "pq_encode_embeddings",
+    "pq_adc_knn_recall",
+    "geo_near_users",
+    "telemetry_locf_hours",
+    "labelprop_part_communities",
+    "cusum_stream_alarms",
 ]
 
 
