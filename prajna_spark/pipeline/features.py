@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prajna_spark.functions.rounding import pround
 from prajna_spark.operators.lifecycle import scoped_persist
 
 
@@ -148,4 +149,53 @@ def quantile_map(
         .crossJoin(F.broadcast(g))
         .withColumn(out_col, F.element_at("__grid", cell.cast("int") + 1))
         .drop("__rk", "__n", "__grid")
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 10.0,
+    dec: int = 4,
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing — the
+    categorical->numeric feature a training pipeline derives from
+    (category, outcome) pairs. Each ROW's encoding excludes its OWN
+    target (the leakage guard: a naive category-mean feature lets the
+    model read its label through the feature):
+
+        enc = (sum_cat - y + w * g) / (n_cat - 1 + w)
+
+    with g the global target mean and w the prior weight (singleton
+    categories fall back smoothly to g instead of 0/0).
+
+    Scale shape: per-category sum/count are ONE unbounded window over
+    the category key (single hash exchange, category-keyed — no join
+    against a stats table, no second shuffle); the global mean is a
+    one-row broadcast. Sums of doubles are order-sensitive, so the
+    encoding is rounded at ``dec`` <= 4 (the repo's grouped-double
+    convention) for cross-engine comparison.
+    """
+    from pyspark.sql import Window
+
+    w_cat = Window.partitionBy(cat_col)
+    y = F.col(target_col).cast("double")
+    g = df.agg(
+        (F.sum(y) / F.count(F.lit(1)).cast("double")).alias("__g")
+    )
+    denom = (
+        F.count(F.lit(1)).over(w_cat).cast("double")
+        - F.lit(1.0)
+        + F.lit(float(prior_weight))
+    )
+    enc = (
+        F.sum(y).over(w_cat) - y + F.lit(float(prior_weight)) * F.col("__g")
+    ) / denom
+    # w=0 + singleton category -> 0/0: fall back to the global mean (the
+    # guard never fires when prior_weight > 0, so oracles need no twin)
+    enc = F.when(denom == F.lit(0.0), F.col("__g")).otherwise(enc)
+    return df.crossJoin(F.broadcast(g)).select(
+        *df.columns,
+        pround(enc, dec).alias(f"{cat_col}_te"),
     )

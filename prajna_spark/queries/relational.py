@@ -2024,3 +2024,38 @@ def hrw_shard_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.array_max(pairs).getField("shard").alias("shard")
     )
+
+
+@query(
+    "target_encode_priority",
+    oracle="""
+    -- leave-one-out target encoding replay: same window stats, same
+    -- association ((sum - y) + w*g) / ((n - 1) + w), rounded at 4
+    WITH g AS (
+      SELECT sum(o_totalprice) / CAST(count(*) AS DOUBLE) AS g FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           (floor((((sum(o_totalprice) OVER w - o_totalprice)
+                    + 1e1 * g.g)
+                   / ((CAST(count(*) OVER w AS DOUBLE) - 1e0) + 1e1))
+                  * 1e4 + 5e-1) / 1e4) AS o_orderpriority_te
+    FROM orders, g
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+    tags=("features", "target-encoding", "ml", "orders"),
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (pipeline.features.target_encode_loo) — the leakage-guarded
+    categorical feature: each row's encoding excludes its OWN target, a
+    prior (w=10) pulls rare categories toward the global mean. One
+    category-keyed window exchange computes per-category sum/count; the
+    global mean rides a one-row broadcast — no stats-table join, no
+    second shuffle."""
+    from prajna_spark.pipeline.features import target_encode_loo
+
+    orders = load_table(spark, "orders", sf_dir)
+    tune(spark)
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", prior_weight=10.0, dec=4
+    ).select("o_orderkey", "o_orderpriority", "o_orderpriority_te")

@@ -148,3 +148,44 @@ def test_quantile_map_single_row_uses_median(spark):
     with persist_scope():
         r = quantile_map(b, ref, "v", "id", grid=100).collect()[0]
     assert r["mapped"] == 50.0  # n==1 -> ref median
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from prajna_spark.pipeline.features import target_encode_loo
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {
+        (r.cat, r.y): r.cat_te
+        for r in target_encode_loo(df, "cat", "y", prior_weight=0.0, dec=4).collect()
+    }
+    # w=0: pure leave-one-out means
+    assert out[("a", 10.0)] == 25.0  # (20+30)/2
+    assert out[("a", 20.0)] == 20.0  # (10+30)/2
+    assert out[("a", 30.0)] == 15.0  # (10+20)/2
+
+
+def test_target_encode_singleton_falls_back_to_prior(spark):
+    from prajna_spark.pipeline.features import target_encode_loo
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 99.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r.cat: r.cat_te for r in
+           target_encode_loo(df, "cat", "y", prior_weight=5.0).collect()
+           if r.cat == "b"}
+    g = (10.0 + 20.0 + 99.0) / 3
+    # singleton: (sum - y) = 0, (n - 1) = 0 -> exactly the prior g
+    import math
+    assert abs(out["b"] - math.floor((5.0 * g / 5.0) * 1e4 + 0.5) / 1e4) < 1e-12
+
+
+def test_target_encode_no_leakage_vs_naive_mean(spark):
+    """The naive category mean CONTAINS the row's own label; LOO must
+    differ on any category whose targets aren't all equal."""
+    from prajna_spark.pipeline.features import target_encode_loo
+
+    rows = [("a", 0.0), ("a", 1.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r.y: r.cat_te for r in
+           target_encode_loo(df, "cat", "y", prior_weight=0.0).collect()}
+    assert out[0.0] == 1.0 and out[1.0] == 0.0  # each sees only the OTHER
