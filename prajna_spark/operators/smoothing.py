@@ -162,3 +162,67 @@ def ols_trend(
         F.round(intercept, decimals).alias("intercept"),
         F.round(r2, decimals).alias("r2"),
     )
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    t_col: str,
+    value_col: str,
+    bucket_width: int,
+    tiebreak_col: str | None = None,
+    dec: int = 4,
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) over IRREGULAR samples —
+    the correct mean for gauge metrics (a reading that held for 50
+    minutes must weigh 50x one that held a minute; the row-count mean
+    the plain ``avg`` computes is a polling-frequency artifact). Each
+    sample holds (LOCF semantics) until the next sample in its bucket,
+    the last until the bucket's end:
+
+        twa = sum(v_i * (t_{i+1 or bucket_end} - t_i))
+              / (bucket_end - t_first)
+
+    One lead window + one aggregate, both on the (keys, bucket) key —
+    a single exchange. Weights are exact integer second deltas; the
+    weighted sum of doubles is order-sensitive, so the result is
+    rounded at ``dec`` <= 4 (the repo's grouped-double convention).
+    ``bucket_col`` must hold the bucket START epoch (t div width * width).
+    """
+    from pyspark.sql import Window
+
+    order = [t_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols, bucket_col).orderBy(*order)
+    end = F.col(bucket_col) + F.lit(int(bucket_width))
+    nxt = F.coalesce(F.lead(t_col).over(w), end)
+    weighted = samples.select(
+        *key_cols,
+        bucket_col,
+        t_col,
+        (F.col(value_col).cast("double") * (nxt - F.col(t_col)).cast("double")).alias(
+            "__wv"
+        ),
+    )
+    from prajna_spark.functions.rounding import pround
+
+    return (
+        weighted.groupBy(*key_cols, bucket_col)
+        .agg(
+            F.sum("__wv").alias("__s"),
+            F.min(t_col).alias("__t0"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+        )
+        .select(
+            *key_cols,
+            bucket_col,
+            "n_samples",
+            pround(
+                F.col("__s")
+                / (F.col(bucket_col) + F.lit(int(bucket_width)) - F.col("__t0")).cast(
+                    "double"
+                ),
+                dec,
+            ).alias("twa"),
+        )
+    )

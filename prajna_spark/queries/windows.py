@@ -1352,3 +1352,63 @@ def cusum_stream_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         "is_alarm",
     )
+
+
+@query(
+    "twa_daily_value",
+    oracle="""
+    -- time-weighted daily average replay: lead-window hold durations
+    -- (exact integer seconds), identical weighted-sum formula
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id, value
+      FROM events
+    ), wgt AS (
+      SELECT event_type, day_start, t,
+             value * CAST(coalesce(
+               lead(t) OVER (PARTITION BY event_type, day_start
+                             ORDER BY t, event_id),
+               day_start + 86400) - t AS DOUBLE) AS wv
+      FROM s
+    )
+    SELECT event_type, day_start,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           (floor((sum(wv) / CAST(day_start + 86400 - min(t) AS DOUBLE))
+                  * 1e4 + 5e-1) / 1e4) AS twa
+    FROM wgt GROUP BY 1, 2
+    """,
+    tags=("timeseries", "twa", "gauge", "events"),
+)
+def twa_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily value average per event type
+    (operators.smoothing.time_weighted_avg): each sample holds until
+    the next (LOCF semantics), the last until midnight — the correct
+    gauge mean where the row-count ``avg`` is a polling-frequency
+    artifact. One (type, day)-keyed exchange serves both the lead
+    window and the aggregate; hold durations are exact integer
+    seconds."""
+    from prajna_spark.operators.smoothing import time_weighted_avg
+
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400)
+        .cast("long")
+        .alias("day_start"),
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+        "value",
+    )
+    return time_weighted_avg(
+        s,
+        ["event_type"],
+        "day_start",
+        "t",
+        "value",
+        86400,
+        tiebreak_col="event_id",
+        dec=4,
+    )

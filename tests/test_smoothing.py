@@ -175,3 +175,62 @@ def test_ols_trend_degenerate_groups(spark):
     assert got[1]["slope"] == 0.0 and got[1]["intercept"] == 4.0
     assert got[1]["r2"] is None
     assert got[2]["slope"] is None
+
+
+def test_twa_weights_hold_durations(spark):
+    from prajna_spark.operators.smoothing import time_weighted_avg
+
+    # day [0, 100): v=10 holds t=0..90 (90s), v=100 holds t=90..100 (10s)
+    rows = [("a", 0, 0, 1, 10.0), ("a", 0, 90, 2, 100.0)]
+    df = spark.createDataFrame(
+        rows, "k string, b long, t long, tb long, v double"
+    )
+    out = time_weighted_avg(df, ["k"], "b", "t", "v", 100, "tb").collect()[0]
+    assert out.n_samples == 2
+    assert out.twa == (10.0 * 90 + 100.0 * 10) / 100  # 19.0, not avg=55
+    # the row-count mean would be 55 — the polling artifact TWA removes
+
+
+def test_twa_constant_series_is_the_constant(spark):
+    from prajna_spark.operators.smoothing import time_weighted_avg
+
+    rows = [("a", 0, t, t, 7.5) for t in (3, 20, 50, 99)]
+    df = spark.createDataFrame(
+        rows, "k string, b long, t long, tb long, v double"
+    )
+    out = time_weighted_avg(df, ["k"], "b", "t", "v", 100, "tb").collect()[0]
+    assert out.twa == 7.5  # invariant to sampling times
+
+
+def test_twa_matches_local_model(spark):
+    import random
+
+    from prajna_spark.operators.smoothing import time_weighted_avg
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b"):
+        for b in (0, 1000):
+            ts = sorted(rng.sample(range(1000), 12))
+            rows += [(k, b, b + t, i, rng.uniform(0, 50)) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(
+        rows, "k string, b long, t long, tb long, v double"
+    )
+    got = {
+        (r.k, r.b): r.twa
+        for r in time_weighted_avg(df, ["k"], "b", "t", "v", 1000, "tb").collect()
+    }
+    by = {}
+    for k, b, t, tb, v in rows:
+        by.setdefault((k, b), []).append((t, v))
+    import math
+
+    for key, samples in by.items():
+        samples.sort()
+        end = key[1] + 1000
+        s = sum(
+            v * ((samples[i + 1][0] if i + 1 < len(samples) else end) - t)
+            for i, (t, v) in enumerate(samples)
+        )
+        want = math.floor(s / (end - samples[0][0]) * 1e4 + 0.5) / 1e4
+        assert abs(got[key] - want) < 1e-9, key
