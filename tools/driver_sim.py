@@ -50,6 +50,12 @@ SAMPLE = [
     "kmv_stream_distinct_daily",
     "trend_hourly_events",
     "debounce_user_events",
+    # second round-5 wave: epoch-second CUSUM fold, day-bucketed TWA,
+    # grid LOCF carry, and the stateful streaming chart's drain
+    "cusum_event_bursts",
+    "twa_daily_value",
+    "telemetry_locf_hours",
+    "cusum_stream_alarms",
 ]
 # events-reading subset for the INT96 rewrite scenario
 SAMPLE_EVENTS = [
@@ -58,6 +64,7 @@ SAMPLE_EVENTS = [
     "session_window_users",
     "rollup_stream_hourly",
     "kmv_stream_distinct_daily",
+    "cusum_stream_alarms",
 ]
 
 SCENARIOS = {
