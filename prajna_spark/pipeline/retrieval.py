@@ -331,3 +331,48 @@ def hashed_tf_features(
         .groupBy("doc_id", "bucket")
         .agg(F.sum("sign").cast("long").alias("val"))
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dec: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — :func:`salient_terms`'s
+    corpus-aware upgrade (raw tf surfaces stopwords; the idf factor
+    ln(N / df) suppresses terms every document shares). Returns
+    (doc_id, term, tf, df, tfidf, rk).
+
+    Plan: one postings pass (doc-keyed), a term-keyed df count (narrow
+    (term, df) rows joined back BY TERM — term cardinality, not corpus
+    cardinality), a one-row broadcast for N, then the standard
+    WindowGroupLimit top-k. ln is engine-bit-identical (libm), tf/df
+    are integers and N/df one exact division, so ranking doubles match
+    the oracle before the portable round."""
+    p = scoped_persist(doc_postings(docs, id_col, text_col))
+    df_counts = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        p.join(df_counts, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            pround(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n") / F.col("df").cast("double")),
+                dec,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

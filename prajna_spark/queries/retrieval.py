@@ -471,3 +471,44 @@ def copurchase_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_similarity_topk(
         li, "l_orderkey", "l_partkey", cap=16, k=5, sim_decimals=6
     ).select("item", "neighbor", "c_pair", "c_item", "c_neighbor", "sim", "rk")
+
+
+@query(
+    "tfidf_keywords_docs",
+    oracle=f"""
+    -- TF-IDF keyword replay: same tokenizer, ln(N/df) idf (libm ln is
+    -- engine-bit-identical), same rounding and (score desc, term) ties
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), p AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfs AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.term, p.tf, dfs.df,
+             {R('p.tf * ln(n.n / dfs.df)', 6)} AS tfidf
+      FROM p JOIN dfs USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("retrieval", "tfidf", "keywords", "text"),
+)
+def tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (pipeline.retrieval
+    .tfidf_keywords) — the corpus-aware document representation (raw-tf
+    salient_terms surfaces stopwords; idf suppresses what every doc
+    shares). One postings pass, a term-keyed df join (term cardinality,
+    never corpus cardinality), a one-row broadcast for N, and the
+    WindowGroupLimit top-k."""
+    from prajna_spark.pipeline.retrieval import tfidf_keywords
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_keywords(docs, k=5)

@@ -132,3 +132,51 @@ def test_persisted_index_matches_from_scratch_and_prunes(spark, corpus, tmp_path
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_tfidf_keywords_match_local_model(spark):
+    import math
+    from collections import Counter
+
+    from prajna_spark.pipeline.retrieval import tfidf_keywords
+
+    docs = [
+        (0, "spark shuffles data and spark joins data"),
+        (1, "duckdb scans data fast"),
+        (2, "spark streams windows"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in tfidf_keywords(df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rk, r.term, r.tf, r.df, r.tfidf))
+    n = len(docs)
+    tf = {i: Counter(t.split()) for i, t in docs}
+    dfs = Counter()
+    for c in tf.values():
+        for term in c:
+            dfs[term] += 1
+    for i, _ in docs:
+        scored = sorted(
+            (
+                (-math.floor(c * math.log(n / dfs[t]) * 1e6 + 0.5) / 1e6, t, c)
+                for t, c in tf[i].items()
+            )
+        )[:2]
+        want = [
+            (rk + 1, t, c, dfs[t], -s) for rk, (s, t, c) in enumerate(scored)
+        ]
+        assert sorted(got[i]) == want, i
+
+
+def test_tfidf_suppresses_ubiquitous_terms(spark):
+    from prajna_spark.pipeline.retrieval import tfidf_keywords
+
+    # 'data' is in every doc -> idf = ln(1) = 0: never a keyword even
+    # with the highest tf; the rarer term wins
+    docs = [(i, "data data data unique" + str(i)) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_keywords(df, k=1).collect()
+    }
+    assert top1 == {i: f"unique{i}" for i in range(4)}
