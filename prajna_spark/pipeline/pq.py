@@ -101,6 +101,28 @@ def pq_encode(
     )
 
 
+def adc_distance(
+    codebook: list[list[list[float]]], q_vec: Column, codes: Column
+) -> Column:
+    """Asymmetric distance: the EXACT query against a candidate's codes —
+    per subspace a k-way CASE on codes[s] selects the codebook entry and
+    the squared-L2 to the query's exact sub-vector (the lookup-table
+    walk); terms chain left-associated."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    adc: Column | None = None
+    for s in range(m):
+        qsub = F.slice(q_vec, s * sub_dim + 1, sub_dim)
+        code = codes[s]
+        sel = None
+        for c, entry in enumerate(codebook[s]):
+            d = _sq_dist(qsub, entry)
+            sel = F.when(code == c, d) if sel is None else sel.when(code == c, d)
+        adc = sel if adc is None else adc + sel
+    assert adc is not None
+    return adc
+
+
 def pq_adc_recall(
     emb: DataFrame,
     codebook: list[list[list[float]]],
@@ -144,19 +166,7 @@ def pq_adc_recall(
         t = d * d
         exact = t if exact is None else exact + t
 
-    adc: Column | None = None
-    for s in range(m):
-        qsub = F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim)
-        # distance from the EXACT query sub-vector to the codebook entry
-        # the candidate's code selects: a 16-way CASE on codes[s]
-        code = F.col("codes")[s]
-        term: Column | None = None
-        sel = None
-        for c, entry in enumerate(codebook[s]):
-            d = _sq_dist(qsub, entry)
-            sel = F.when(code == c, d) if sel is None else sel.when(code == c, d)
-        term = sel
-        adc = term if adc is None else adc + term
+    adc = adc_distance(codebook, F.col("q_vec"), F.col("codes"))
 
     scored = pairs.select(
         "query_id",
@@ -191,4 +201,77 @@ def pq_adc_recall(
                 "recall"
             ),
         )
+    )
+
+
+def ivf_pq_search(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    n_queries: int = 5,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dec: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composed vector-index architecture — a coarse
+    quantizer prunes the candidate set to ``nprobe`` cells, ADC on PQ
+    codes ranks the survivors. The memory story at scale: the index
+    stores CODES (m bytes/vector) partitioned by cell; full vectors are
+    touched only for queries.
+
+    Both quantizer passes fold into literal expressions (centroids and
+    codebooks are tiny): cell assignment and encode are MAP-ONLY over
+    the corpus; the only data-sized operation is the cell-id equi-join
+    against the broadcast probe list. Returns
+    (query_id, neighbor_id, d_adc, rk).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    cell_dists = F.array(*[_sq_dist(v, ce) for _, ce in centroids])
+    cell_ids = [cid for cid, _ in centroids]
+    cell = F.element_at(
+        F.array(*[F.lit(c) for c in cell_ids]),
+        F.array_position(cell_dists, F.array_min(cell_dists)).cast("int"),
+    ).cast("long")
+
+    enc = pq_encode(emb, codebook, id_col, vec_col)
+    indexed = (
+        emb.select(F.col(id_col).alias("cand_id"), cell.alias("cell"))
+        .join(enc.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+    )
+
+    # per-query probe list: nprobe nearest cells by the same coarse metric
+    probe_structs = F.array(
+        *[
+            F.struct(_sq_dist(v, ce).alias("d"), F.lit(cid).cast("long").alias("cid"))
+            for cid, ce in centroids
+        ]
+    )
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        v.alias("q_vec"),
+        F.slice(F.array_sort(probe_structs), 1, nprobe).alias("probed"),
+    )
+    probes = q.select(
+        "query_id", "q_vec", F.explode("probed").alias("p")
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cell"))
+
+    cand = indexed.join(F.broadcast(probes), "cell").where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        pround(adc_distance(codebook, F.col("q_vec"), F.col("codes")), dec).alias(
+            "d_adc"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("d_adc", "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "d_adc", "rk")
     )

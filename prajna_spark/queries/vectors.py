@@ -936,3 +936,84 @@ def pq_adc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
     return pq.pq_adc_recall(emb, cb, n_queries=20, k=10)
+
+
+def _pq_fullsq(a: str, b: str) -> str:
+    """Left-associated full-dimension squared-L2 between two DOUBLE[]."""
+    return "(" + " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, DIM + 1)
+    ) + ")"
+
+
+def _ivf_pq_oracle() -> str:
+    adc_terms = " + ".join(
+        _pq_sq("p.qe", f"cb{s}.e", str(s)) for s in range(_PQ_M)
+    )
+    joins = "\n      ".join(
+        f"JOIN cb cb{s} ON cb{s}.cid = p.codes[{s + 1}]" for s in range(_PQ_M)
+    )
+    return f"""
+    -- IVF-PQ replay: coarse L2 cells (the 16 codebook seed vectors double
+    -- as coarse centroids), nprobe=4, ADC ranking from the same codes
+    WITH {_pq_common_ctes()}
+    , asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cb.cid AS cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_pq_fullsq("v.e", "cb.e")}, cb.cid) AS rn
+        FROM v CROSS JOIN cb
+      ) WHERE rn = 1
+    ), qs AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, cb.cid AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_pq_fullsq("q.qe", "cb.e")}, cb.cid) AS rn
+        FROM qs q CROSS JOIN cb
+      ) WHERE rn <= 4
+    ), cand AS (
+      SELECT pr.query_id, a.vec_id AS cand_id, q.qe, enc.codes
+      FROM probes pr
+      JOIN asg a ON a.cell = pr.cell
+      JOIN enc ON enc.vec_id = a.vec_id
+      JOIN qs q ON q.query_id = pr.query_id
+      WHERE a.vec_id <> pr.query_id
+    ), scored AS (
+      SELECT p.query_id, p.cand_id, {R(f"({adc_terms})", 6)} AS d_adc
+      FROM cand p
+      {joins}
+    )
+    SELECT query_id, cand_id AS neighbor_id, d_adc, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d_adc, cand_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@query(
+    "ivf_pq_search_topk",
+    oracle=_ivf_pq_oracle(),
+    tags=("pq", "ivf", "ann", "vectors", "composition"),
+)
+def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed vector-index architecture
+    (pipeline.pq.ivf_pq_search): a coarse quantizer (the 16 codebook
+    seed vectors, full-dim L2) restricts each query to its nprobe=4
+    nearest cells; ADC on the 32x-compressed codes ranks the survivors.
+    Cell assignment AND encode are map-only literal-expression
+    projections; the only data-sized op is the cell-id equi-join
+    against the broadcast probe list — at scale the index stores m
+    bytes per vector partitioned by cell, and full vectors are touched
+    only on the query side. Caps the ANN ladder: brute force -> SRP-LSH
+    -> IVF -> int8 -> PQ -> IVF-PQ."""
+    from prajna_spark.pipeline import pq
+
+    emb = _emb(spark, sf_dir)
+    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    centroids = [
+        (c, [x for s in range(_PQ_M) for x in cb[s][c]]) for c in range(_PQ_K)
+    ]
+    return pq.ivf_pq_search(emb, cb, centroids, n_queries=5, nprobe=4, k=10)

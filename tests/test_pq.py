@@ -62,3 +62,48 @@ def test_encode_plan_is_map_only(spark):
     cb = pq_codebook(df, dim=16, m=4, k=8)
     plan = pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ivf_pq_matches_local_model(spark):
+    from prajna_spark.pipeline.pq import ivf_pq_search
+
+    df, vecs = _emb_df(spark, n=80, dim=16, seed=4)
+    m, k_codes, sub = 4, 8, 4
+    cb = pq_codebook(df, dim=16, m=m, k=k_codes)
+    centroids = [(c, [x for s in range(m) for x in cb[s][c]]) for c in range(k_codes)]
+    got = {}
+    for r in ivf_pq_search(
+        df, cb, centroids, n_queries=3, nprobe=2, k=4
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rk, r.neighbor_id, r.d_adc))
+
+    cbn = np.array(cb)  # (m, k, sub)
+    cent = np.array([v for _, v in centroids])  # (k, dim)
+
+    def codes_of(x):
+        return [
+            int(np.argmin(((x[s * sub : (s + 1) * sub] - cbn[s]) ** 2).sum(axis=1)))
+            for s in range(m)
+        ]
+
+    cells = {i: int(np.argmin(((vecs[i] - cent) ** 2).sum(axis=1))) for i in range(80)}
+    for q in range(3):
+        probed = np.argsort(((vecs[q] - cent) ** 2).sum(axis=1), kind="stable")[:2]
+        cand = [
+            i for i in range(80) if cells[i] in set(int(p) for p in probed) and i != q
+        ]
+        scored = []
+        for i in cand:
+            cs = codes_of(vecs[i])
+            d = sum(
+                ((vecs[q][s * sub : (s + 1) * sub] - cbn[s][cs[s]]) ** 2).sum()
+                for s in range(m)
+            )
+            scored.append((np.floor(d * 1e6 + 0.5) / 1e6, i))
+        want = [
+            (rk + 1, i, d) for rk, (d, i) in enumerate(sorted(scored)[:4])
+        ]
+        have = sorted(got.get(q, []))
+        assert [(rk, i) for rk, i, _ in have] == [(rk, i) for rk, i, _ in want], q
+        for (_, _, da), (_, _, dw) in zip(have, want):
+            assert abs(da - dw) < 1e-9
