@@ -10,7 +10,7 @@ event-cardinality, so a 100 TB event log reduces at the first aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.queries import query
@@ -755,4 +755,178 @@ def geo_near_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return within_radius_pairs(pts, "id", "lat", "lon", radius_km=10.0).select(
         F.col("id_i").alias("user_i"), F.col("id_j").alias("user_j"), "dist_km"
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    -- last-touch attribution: each purchase credits the user's most
+    -- recent click/view at-or-before it, IF within 1 hour; otherwise
+    -- 'direct'. Native ASOF picks the closest preceding touch; the
+    -- tolerance masks (never falls through to) a farther one — the
+    -- operator's documented reject-don't-fallthrough contract.
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS t_ts, event_type AS touch FROM events
+      WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT p.event_id, p.value,
+             CASE WHEN t.t_ts >= p.ts - INTERVAL 1 HOUR THEN t.touch END
+               AS ch
+      FROM p ASOF LEFT JOIN t
+        ON p.user_id = t.user_id AND p.ts >= t.t_ts
+    )
+    SELECT coalesce(ch, 'direct') AS channel,
+           count(*) AS n_conversions,
+           (floor((sum(value)) * 1e6 + 5e-1) / 1e6) AS credited_value
+    FROM m GROUP BY 1
+    """,
+    tags=("attribution", "asof-join", "events", "composition"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution composed from the as-of
+    operator (operators.asof.asof_join): every purchase is credited to
+    the user's most recent click/view at-or-before it, but only when that
+    touch is within a 1-hour lookback — farther matches become 'direct'
+    (reject, not fall-through, so the window filter is applied AFTER the
+    as-of pick on exact microsecond timestamps; integer-micros interval
+    arithmetic keeps the boundary decision bit-identical cross-engine).
+    Plan: one hash shuffle on user_id (the as-of carry), then a
+    channel-cardinality aggregate — event-log scale never survives the
+    first window."""
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", F.col("event_type").alias("touch")
+    )
+    m = asof_join(
+        p, t, on=["user_id"], ts="ts", right_cols=["touch"],
+        include_right_ts=True,
+    )
+    credited = m.select(
+        "value",
+        F.coalesce(
+            F.when(
+                F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("touch_asof"),
+            ),
+            F.lit("direct"),
+        ).alias("channel"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        pround(F.sum("value"), 6).alias("credited_value"),
+    )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    -- linear (multi-touch) attribution: every click/view in the hour
+    -- before a purchase shares its credit equally; purchases with no
+    -- touch in-window credit 'direct' fully. Shares are exact integer
+    -- ratios evaluated as one IEEE division, so per-row credits agree
+    -- bit-for-bit and the channel sums round-match at 6 decimals.
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS t_ts, event_type AS touch FROM events
+      WHERE event_type IN ('click', 'view')
+    ), c AS (
+      SELECT p.event_id, p.value, t.touch
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_ts <= p.ts AND t.t_ts >= p.ts - INTERVAL 1 HOUR
+    ), pc AS (
+      SELECT event_id, value, touch, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(count(*)) OVER (PARTITION BY event_id) AS DOUBLE)
+               AS n_tot
+      FROM c GROUP BY 1, 2, 3
+    ), credits AS (
+      SELECT touch AS channel, n / n_tot AS share,
+             value * (n / n_tot) AS vshare
+      FROM pc
+      UNION ALL
+      SELECT 'direct', 1e0, value FROM p
+      WHERE event_id NOT IN (SELECT event_id FROM c)
+    )
+    SELECT channel,
+           (floor((sum(share)) * 1e6 + 5e-1) / 1e6) AS credited_conversions,
+           (floor((sum(vshare)) * 1e6 + 5e-1) / 1e6) AS credited_value
+    FROM credits GROUP BY 1
+    """,
+    tags=("attribution", "range-join", "events", "composition"),
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view within the hour
+    before a purchase gets an equal slice of that conversion. The
+    purchase side explodes to its two covering hour buckets and meets
+    touches in a (user_id, bucket) EQUI-join — candidates are bounded by
+    per-user-per-hour activity, never |purchases| x |touches| — then the
+    exact interval predicate filters on microsecond timestamps. Credit
+    shares ride a window over the same event_id grouping key (no second
+    shuffle). 'direct' purchases (no in-window touch) arrive via LEFT
+    ANTI on the candidate set."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts").cast("long").alias("__t"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+        F.expr("CAST(ts AS LONG) div 3600").alias("__b"),
+    )
+    pb = p.withColumn(
+        "__b",
+        F.explode(
+            F.array(F.expr("__t div 3600 - 1"), F.expr("__t div 3600"))
+        ),
+    )
+    cand = pb.join(
+        t, (pb["__b"] == t["__b"]) & (pb["user_id"] == t["t_user"])
+    ).where(
+        (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    ).select("event_id", "value", "touch")
+
+    pc = (
+        cand.groupBy("event_id", "value", "touch")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .withColumn(
+            "n_tot",
+            F.sum("n").over(Window.partitionBy("event_id")),
+        )
+    )
+    touch_credits = pc.select(
+        F.col("touch").alias("channel"),
+        (F.col("n") / F.col("n_tot")).alias("share"),
+        (F.col("value") * (F.col("n") / F.col("n_tot"))).alias("vshare"),
+    )
+    direct = (
+        p.join(cand.select("event_id"), "event_id", "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(1.0).alias("share"),
+            F.col("value").alias("vshare"),
+        )
+    )
+    return (
+        touch_credits.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            pround(F.sum("share"), 6).alias("credited_conversions"),
+            pround(F.sum("vshare"), 6).alias("credited_value"),
+        )
     )
