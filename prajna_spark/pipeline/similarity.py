@@ -576,3 +576,96 @@ def quantize_int8(
         )
     )
     return df.withColumn(f"{out_col}_scale", scale).withColumn(out_col, codes)
+
+
+def semdedup_survivors(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.3,
+    round_decimals: int = 6,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with k-means, then inside each cluster drop every vector
+    that has a near-duplicate (rounded cosine >= ``threshold``) with a
+    SMALLER id — the deterministic greedy keep-one rule. Returns the
+    survivors as (id, centroid_id).
+
+    Clustering is what makes this scale: the pairwise comparison happens
+    only WITHIN a cell, so candidate work is sum(|cell|^2) instead of n^2
+    — at 100 TB you raise k so cells stay bounded, exactly like the IVF
+    index this shares its centroids with. Plan: one broadcast-assign pass
+    (no shuffle), one hash shuffle on centroid_id for the in-cell
+    self-join, one anti-join back.
+
+    Exactly replayable cross-engine: centroids come from the
+    round_decimals-rounded Lloyd run (see kmeans_centroids), assignment is
+    the same left-folded squared-L2 argmin with lowest-id tie-break, and
+    the dominance test uses the portable rounded cosine — so a DuckDB
+    replay of the whole chain hash-matches value-for-value."""
+    cents = kmeans_centroids(
+        vectors, id_col, vec_col, k=k, n_iter=n_iter, round_decimals=round_decimals
+    ).select("centroid_id", "centroid")
+    v = with_norm(
+        vectors.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        "__v",
+        "__n",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .groupBy("__id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "__v", "__n"),
+                F.struct(F.col("__d2"), F.col("centroid_id")),
+            ).alias("__a")
+        )
+        .select(
+            "__id",
+            F.col("__a.centroid_id").alias("centroid_id"),
+            F.col("__a.__v").alias("__v"),
+            F.col("__a.__n").alias("__n"),
+        )
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"),
+        "centroid_id",
+        F.col("__v").alias("v_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"),
+        "centroid_id",
+        F.col("__v").alias("v_b"),
+        F.col("__n").alias("n_b"),
+    )
+    dominated = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            pround(
+                paired_cosine(
+                    F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+                ),
+                sim_decimals,
+            )
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), "centroid_id")
+    )

@@ -448,14 +448,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> str:
-    """Full 3-iteration Lloyd replay in DuckDB SQL. Exactness contract
-    (mirrors pipeline.similarity.kmeans_centroids(round_decimals=dec)):
-    identical deterministic init (k lowest-id vectors), identical
-    left-associated squared-L2 term order, identical argmin tie-break
-    (lowest centroid_id), and centroid means rounded with the portable
-    R/pround spelling after every iteration — so fp aggregation-order
-    noise is absorbed and both engines walk the same centroid sequence."""
+def _kmeans_ctes(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> list[str]:
+    """Shared CTE chain replaying the deterministic Lloyd run in DuckDB,
+    ending in ``c{n_iter}`` (final rounded centroids) and ``af`` (final
+    assignment: vec_id, e, centroid_id). Exactness contract (mirrors
+    pipeline.similarity.kmeans_centroids(round_decimals=dec)): identical
+    deterministic init (k lowest-id vectors), identical left-associated
+    squared-L2 term order, identical argmin tie-break (lowest
+    centroid_id), and centroid means rounded with the portable R/pround
+    spelling after every iteration — so fp aggregation-order noise is
+    absorbed and both engines walk the same centroid sequence. Used by
+    the kmeans oracle AND every downstream replay (SemDeDup)."""
 
     def sq(a: str, b: str) -> str:
         return "(" + " + ".join(
@@ -485,13 +488,19 @@ def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> 
           SELECT p.centroid_id, coalesce(m.c, p.c) AS c
           FROM c{n - 1} p LEFT JOIN m{n} m USING (centroid_id))""")
     ctes.append(f"""af AS MATERIALIZED (
-      SELECT centroid_id FROM (
-        SELECT v.vec_id, p.centroid_id,
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, p.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY {sq("v.e", "p.c")}, p.centroid_id) AS rk
         FROM v CROSS JOIN c{n_iter} p
       ) WHERE rk = 1)""")
-    joined = ",\n    ".join(ctes)
+    return ctes
+
+
+def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> str:
+    """Final-centroid + assignment-count projection of the Lloyd replay
+    (see _kmeans_ctes for the exactness contract)."""
+    joined = ",\n    ".join(_kmeans_ctes(k, n_iter, d, dec))
     return f"""
     WITH {joined}
     SELECT p.centroid_id, p.c AS centroid,
@@ -499,6 +508,35 @@ def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> 
     FROM c{n_iter} p
     LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY centroid_id) cnt
       USING (centroid_id)
+    """
+
+
+def _semdedup_oracle(
+    k: int = 16,
+    n_iter: int = 3,
+    d: int = DIM,
+    dec: int = 6,
+    thr: str = "3e-1",
+) -> str:
+    """SemDeDup replay: the Lloyd chain's final assignment (af), then the
+    in-cluster dominance test — a vector is dropped iff some SMALLER-id
+    vector in the SAME cluster has rounded cosine >= thr with it. Mirrors
+    pipeline.similarity.semdedup_survivors exactly (same rounded
+    centroids, same argmin, same portable rounded cosine)."""
+    ctes = _kmeans_ctes(k, n_iter, d, dec)
+    ctes.append(f"""nn AS MATERIALIZED (
+      SELECT vec_id, e, centroid_id, sqrt({_dot_terms("e", "e", d)}) AS nrm
+      FROM af)""")
+    ctes.append(f"""dom AS (
+      SELECT DISTINCT b.vec_id FROM nn a JOIN nn b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {R(f"{_dot_terms('a.e', 'b.e', d)} / (a.nrm * b.nrm)", 6)} >= {thr})""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.vec_id, f.centroid_id
+    FROM af f LEFT JOIN dom ON f.vec_id = dom.vec_id
+    WHERE dom.vec_id IS NULL
     """
 
 
@@ -1017,3 +1055,24 @@ def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, [x for s in range(_PQ_M) for x in cb[s][c]]) for c in range(_PQ_K)
     ]
     return pq.ivf_pq_search(emb, cb, centroids, n_queries=5, nprobe=4, k=10)
+
+
+@query(
+    "semdedup_embeddings",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "semantic", "kmeans", "embedding", "composition"),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, composed from
+    pipeline.similarity.semdedup_survivors): k-means clusters the corpus,
+    then within each cluster every vector with a smaller-id near-duplicate
+    (rounded cosine >= 0.3) is dropped — the deterministic greedy
+    keep-one rule. Clustering bounds pair work to sum(|cell|^2) instead
+    of n^2; at 100 TB you raise k so cells stay small, sharing centroids
+    with the IVF index. The whole chain — rounded Lloyd run, L2-argmin
+    assignment, portable rounded cosine — replays exactly in DuckDB, so
+    the survivor SET hash-matches (not just its size)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semdedup_survivors(
+        emb, k=16, n_iter=3, threshold=0.3, round_decimals=6, sim_decimals=6
+    )
