@@ -1412,3 +1412,98 @@ def twa_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         dec=4,
     )
+
+
+@query(
+    "autocorr_hourly_counts",
+    oracle="""
+    -- lag-1 and lag-24 autocorrelation of hourly event counts per type,
+    -- from INTEGER sufficient statistics (pair count, sums, cross/square
+    -- sums are all exact BIGINTs): the Pearson r assembles in one fixed
+    -- IEEE association from exact integers, so both engines agree
+    -- bit-for-bit — no rounding slack needed, rounded only for display.
+    -- Pairs come from an equi-join on (type, hour + lag), so calendar
+    -- gaps pair nothing (never the previous EXISTING hour, a windowed
+    -- lag()'s classic gap bug).
+    WITH hc AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lags AS (SELECT CAST(1 AS BIGINT) AS lag_hours
+                UNION ALL SELECT CAST(24 AS BIGINT)),
+    pairs AS (
+      SELECT x.event_type, l.lag_hours, x.n AS xv, y.n AS yv
+      FROM lags l
+      JOIN hc x ON TRUE
+      JOIN hc y ON y.event_type = x.event_type
+              AND y.h + l.lag_hours * 3600 = x.h
+    ), s AS (
+      SELECT event_type, lag_hours,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag_hours, np AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+             THEN (floor((CAST(np * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))) * 1e6
+                   + 5e-1) / 1e6)
+           END AS autocorr
+    FROM s
+    """,
+    tags=("timeseries", "autocorrelation", "events", "sufficient-stats"),
+)
+def autocorr_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1 h and
+    24 h per event type — the seasonality diagnostic run before picking
+    smoothing/forecast windows (complements ewma_hourly_value). Pairing
+    is an equi-join on (type, hour + lag) so calendar gaps pair nothing
+    — a windowed lag() would silently pair across gaps. Pearson r is
+    assembled from INTEGER sufficient statistics (all sums exact
+    BIGINTs) in one fixed IEEE association, so the result is
+    bit-identical cross-engine before the display rounding. Plan: the
+    event log collapses to |types| x |hours| rows at the first
+    aggregate; everything after is narrow."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hc = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('HOUR', ts) AS LONG)").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = ev.sparkSession.createDataFrame(
+        [(1,), (24,)], "lag_hours long"
+    )
+    x = hc.select("event_type", "h", F.col("n").alias("xv"))
+    y = hc.select(
+        F.col("event_type").alias("y_type"),
+        F.col("h").alias("y_h"),
+        F.col("n").alias("yv"),
+    )
+    pairs = lags.crossJoin(x).join(
+        y,
+        (F.col("y_type") == F.col("event_type"))
+        & (F.col("y_h") + F.col("lag_hours") * 3600 == F.col("h")),
+    )
+    s = pairs.groupBy("event_type", "lag_hours").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    dxx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r = num / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")))
+    return s.select(
+        "event_type",
+        "lag_hours",
+        F.col("np").alias("n_pairs"),
+        F.when((dxx > 0) & (dyy > 0), pround(r, 6)).alias("autocorr"),
+    )
