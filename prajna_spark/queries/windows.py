@@ -1507,3 +1507,56 @@ def autocorr_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         F.when((dxx > 0) & (dyy > 0), pround(r, 6)).alias("autocorr"),
     )
+
+
+@query(
+    "seasonal_forecast_mae",
+    oracle=f"""
+    -- hour-of-day seasonal-naive forecast: train on the first three
+    -- weeks (per-type per-hour-of-day mean value, rounded portably),
+    -- score MAE + bias on the rest. The forecast is rounded BEFORE the
+    -- error pass, so per-row errors are exact IEEE diffs and only the
+    -- final averages need rounding slack.
+    WITH tr AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             {R("avg(value)", 6)} AS fc
+      FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY 1, 2
+    ), te AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           {R("avg(abs(value - fc))", 6)} AS mae,
+           {R("avg(value - fc)", 6)} AS bias
+    FROM te JOIN tr USING (event_type, hod)
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "eval", "events"),
+)
+def seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: per (event_type, hour-of-day)
+    mean value learned on the first three weeks becomes the forecast for
+    the remainder; MAE and signed bias score it per type — the baseline
+    every fancier forecaster must beat, and the natural consumer of
+    autocorr_hourly_counts' seasonality verdict. The forecast table is
+    |types| x 24 rows (broadcast), so the test pass is map-side; the
+    event log reduces at the first aggregate. Forecasts are rounded
+    portably BEFORE the error pass so per-row errors are exact."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit("2024-01-22").cast("timestamp")
+    tr = (
+        ev.where(F.col("ts") < split)
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hod"))
+        .agg(pround(F.avg("value"), 6).alias("fc"))
+    )
+    te = ev.where(F.col("ts") >= split).select(
+        "event_type", F.hour("ts").cast("long").alias("hod"), "value"
+    )
+    err = te.join(F.broadcast(tr), ["event_type", "hod"])
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        pround(F.avg(F.abs(F.col("value") - F.col("fc"))), 6).alias("mae"),
+        pround(F.avg(F.col("value") - F.col("fc")), 6).alias("bias"),
+    )
