@@ -930,3 +930,50 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("vshare"), 6).alias("credited_value"),
         )
     )
+
+
+@query(
+    "heavy_hitters_stream",
+    oracle="""
+    -- STREAMED heavy hitters share the batch twin's exact-count oracle
+    -- verbatim: the delta store's merged bounds are a no-false-negative
+    -- candidate certificate, and the confirmation pass counts the
+    -- immutable source — so live == batch == brute force, hash-for-hash.
+    WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events, tot
+    GROUP BY user_id, n_total
+    HAVING CAST(count(*) AS DOUBLE) > n_total * 7.5e-3
+    """,
+    tags=("sketch", "heavy-hitters", "streaming", "events", "pipeline"),
+)
+def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through the STREAMED Misra-Gries store
+    (streaming.heavyhitters_stream): readStream over events -> per-micro-
+    batch MG summaries appended to a delta store -> merged upper-bound
+    candidates -> exact confirmation against the batch table. Retried
+    appends only inflate upper bounds (candidates stay a superset), and
+    the exact pass removes every false positive — at-least-once appends
+    with no batch-id bookkeeping still reproduce the batch answer, which
+    is why this shares heavy_hitters_users' plain HAVING oracle
+    verbatim."""
+    import tempfile
+
+    from prajna_spark.streaming.heavyhitters_stream import (
+        heavy_hitters_from_store,
+        start_incremental_mg,
+    )
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="mg_stream_q_")
+    ev = events_readstream(spark, sf_dir).select("user_id")
+    q = start_incremental_mg(
+        ev, "user_id", m=266, store_path=f"{base}/store",
+        checkpoint_path=f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    src = load_table(spark, "events", sf_dir)
+    return heavy_hitters_from_store(
+        src, spark, f"{base}/store", "user_id", phi=7.5e-3
+    )
