@@ -2059,3 +2059,130 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode_loo(
         orders, "o_orderpriority", "o_totalprice", prior_weight=10.0, dec=4
     ).select("o_orderkey", "o_orderpriority", "o_orderpriority_te")
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    -- Benford's-law audit of order totals: first-significant-digit
+    -- distribution vs log10(1+1/d). Amounts become exact cent BIGINTs
+    -- (portable floor rounding), the leading digit comes from integer
+    -- string formatting (identical on both engines — no decimal point
+    -- involved), and the expected fractions use libm ln, bit-identical
+    -- cross-engine. Per-digit rows avoid any cross-row fp sum.
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ), d AS (
+      SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM c
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           (floor((CAST(count(*) AS DOUBLE) / n_total) * 1e6 + 5e-1) / 1e6)
+             AS obs_frac,
+           (floor((ln(1e0 + 1e0 / CAST(digit AS DOUBLE)) / ln(1e1)) * 1e6
+                  + 5e-1) / 1e6) AS exp_frac
+    FROM d, tot GROUP BY digit, n_total
+    """,
+    tags=("audit", "benford", "orders", "analytics"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-numbers screen an analytics engine runs over financial
+    columns. Amounts are scaled to exact cent BIGINTs first (the
+    portable floor spelling), the leading digit is read off integer
+    string formatting (engine-identical, unlike float formatting), and
+    expected fractions ln(1+1/d)/ln(10) ride libm — so everything but
+    the two display fractions is integer-exact. One aggregate over the
+    scan; the total rides a one-row broadcast."""
+    tune(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    d = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            pround(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "obs_frac"
+            ),
+            pround(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("exp_frac"),
+        )
+    )
+
+
+@query(
+    "quantile_bins_totalprice",
+    oracle="""
+    -- equal-frequency discretization: 9 exact decile boundaries
+    -- (quantile_cont == Spark percentile, bit-identical), each order
+    -- assigned bin = #boundaries at-or-below its amount; per-bin counts
+    -- + exact min/max. Boundary equality is safe precisely because the
+    -- boundary VALUES are bit-identical across engines.
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM orders
+    ), b AS (
+      SELECT CAST(len(list_filter(q.bs, x -> x <= o_totalprice)) AS BIGINT)
+               AS bin_id,
+             o_totalprice
+      FROM orders, q
+    )
+    SELECT bin_id, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM b GROUP BY bin_id
+    """,
+    tags=("binning", "quantiles", "features", "orders"),
+)
+def quantile_bins_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (the exact QuantileDiscretizer): 9 exact
+    decile boundaries from ONE sort-based percentile aggregate collapse
+    to a single broadcast row; every order then assigns its bin
+    map-side by counting boundaries at-or-below its amount (an array
+    filter over the 9-element literal — no join, no second sort). The
+    feature-engineering step upstream of every bucketized model input;
+    min/max of doubles are order-insensitive so the per-bin envelope
+    needs no rounding."""
+    tune(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    q = orders.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("bs")
+    )
+    b = orders.crossJoin(F.broadcast(q)).select(
+        F.size(
+            F.filter(F.col("bs"), lambda x: x <= F.col("o_totalprice"))
+        )
+        .cast("long")
+        .alias("bin_id"),
+        "o_totalprice",
+    )
+    return b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
