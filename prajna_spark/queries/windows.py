@@ -1560,3 +1560,47 @@ def seasonal_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg(F.abs(F.col("value") - F.col("fc"))), 6).alias("mae"),
         pround(F.avg(F.col("value") - F.col("fc")), 6).alias("bias"),
     )
+
+
+@query(
+    "dedup_stream_watermark",
+    oracle="""
+    -- batch twin of the ENGINE-NATIVE stateful dedup: after a clean
+    -- AvailableNow drain the survivor store holds exactly one row per
+    -- (user, type, hour) key — i.e. SELECT DISTINCT
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS epoch_hour
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("dedup", "streaming", "stateful", "watermark", "events"),
+)
+def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-credit-per-(user, type, hour) dedup through Spark's
+    NATIVE stateful operator (streaming.dedup_stream.start_watermark_dedup
+    -> dropDuplicatesWithinWatermark): the state store keeps first
+    arrivals and drops re-arrivals inside the watermark horizon — the
+    engine-managed twin of the hand-built fingerprint store
+    (dedup_stream_firstseen). A horizon wider than the fixture's span
+    makes the drain equal batch DISTINCT exactly; production picks the
+    horizon as a retention policy and accepts re-emission past it (the
+    documented eviction contract, tested in test_dedup_stream)."""
+    import tempfile
+
+    from prajna_spark.streaming.dedup_stream import start_watermark_dedup
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="wm_dedup_q_")
+    ev = events_readstream(spark, sf_dir).select(
+        "ts",
+        "user_id",
+        "event_type",
+        (F.expr("CAST(ts AS LONG) div 3600") * 3600).alias("epoch_hour"),
+    )
+    q = start_watermark_dedup(
+        ev, "ts", ["user_id", "event_type", "epoch_hour"],
+        f"{base}/store", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/store")

@@ -83,3 +83,45 @@ def start_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_watermark_dedup(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    store_path: str,
+    checkpoint_path: str,
+    watermark: str = "3650 days",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Engine-native stateful dedup: ``dropDuplicatesWithinWatermark``
+    keeps the FIRST arrival per ``keys`` and drops re-arrivals while the
+    key is still within the watermark horizon — Spark's state store does
+    the bookkeeping the fingerprint-store spelling above does by hand.
+
+    The two spellings trade durability for state cost: this one's state
+    lives in the checkpoint and EVICTS once the watermark passes (bounded
+    state — a duplicate arriving later than the horizon would re-emit,
+    which is the documented contract, not a bug), while
+    ``start_incremental_dedup``'s parquet store never forgets but must be
+    compacted. Use this for wide-window telemetry dedup where the horizon
+    is a retention policy; use the fingerprint store for corpus curation
+    where "ever ingested" is the contract. Survivors' key rows append to
+    ``store_path`` per micro-batch."""
+
+    deduped = (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+    def append_keys(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(store_path)
+
+    writer = (
+        deduped.writeStream.foreachBatch(append_keys)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from prajna_spark.streaming.dedup_stream import start_incremental_dedup
 
@@ -59,3 +60,37 @@ def test_incremental_dedup_first_seen_wins(spark, tmp_path):
     _write(spark, src, [(8, "alpha text")])
     _cycle(spark, src, store, out, ckpt)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == got2
+
+
+def test_watermark_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    from prajna_spark.streaming.dedup_stream import start_watermark_dedup
+
+    src = str(tmp_path / "wsrc")
+    store = str(tmp_path / "wstore")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(float(t), k) for t, k in rows], "t double, k string"
+        ).select(
+            F.timestamp_seconds("t").alias("ts"), "k"
+        ).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+        q = start_watermark_dedup(
+            stream, "ts", ["k"], store, str(tmp_path / ckpt),
+            watermark="1 hour",
+        )
+        q.awaitTermination()
+
+    # first file: a and b (with an in-file duplicate of a)
+    write([(100, "a"), (200, "b"), (300, "a")])
+    drain("ck1")
+    got = sorted(r.k for r in spark.read.parquet(store).collect())
+    assert got == ["a", "b"]
+
+    # second file: duplicate of b within the horizon + new key c
+    write([(400, "b"), (500, "c")])
+    drain("ck1")
+    got = sorted(r.k for r in spark.read.parquet(store).collect())
+    assert got == ["a", "b", "c"]
