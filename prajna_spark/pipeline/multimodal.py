@@ -561,3 +561,108 @@ def resize_bmp_half(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         resize, schema="doc_id long, media_type string, payload binary"
     )
+
+
+# --------------------------------------------------------------------------
+# Video tier: a deterministic multi-frame container of REAL BMP frames.
+# Layout: 22-byte ASCII header "FAKEVID|nnnn|ffffffff|" (frame count,
+# fixed per-frame byte size) followed by the frames back-to-back. All
+# frames of a doc share the image tier's (w, h), so frame offsets are
+# closed-form and the JVM can slice keyframes with pure substring
+# arithmetic — no Python touches the container until the per-frame
+# decode. Frame f's pixels are the image formula plus a ``f*17`` motion
+# term (the per-doc sparse perturbation stays frame-independent), so a
+# first-principles SQL replay can re-derive every sampled frame's dHash.
+# --------------------------------------------------------------------------
+
+#: frames per video: 4 + doc_id % VID_FRAME_MOD (4..8)
+VID_FRAME_MOD = 5
+VID_HEADER_LEN = 22
+
+
+def _vid_n_frames(doc_id: int) -> int:
+    return 4 + doc_id % VID_FRAME_MOD
+
+
+def _vid_pixels(doc_id: int, frame_no: int):
+    """Frame ``frame_no``'s gray plane: image formula + frame motion term."""
+    import numpy as np
+
+    _, w, h = _img_dims(doc_id)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    seed = doc_id % IMG_CLASSES
+    base = seed * 31 + x * 13 + y * 7 + frame_no * 17
+    pert = ((doc_id * 11 + x * 5 + y * 3) % 199 == 0).astype(np.int64) * 96
+    return ((base + pert) % 256).astype(np.uint8)
+
+
+def synthesize_video(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is the FAKEVID
+    container of real BMP frames — Arrow-batched construction."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = _vid_n_frames(d)
+                frames = [_bmp_encode(_vid_pixels(d, f)) for f in range(n)]
+                header = b"FAKEVID|%04d|%08d|" % (n, len(frames[0]))
+                assert len(header) == VID_HEADER_LEN
+                payloads.append(header + b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """(doc_id, frame_no, frame) for every ``stride``-th frame — pure JVM
+    container parsing: the ASCII header fields come off binary substrings,
+    offsets are closed-form, and the posexplode inherits the scan's
+    partitioning (no single-task fan-out). Python first touches bytes at
+    the per-frame decode AFTER sampling — at 100 TB the dropped frames
+    never cross into Arrow."""
+    n = F.substring("payload", 9, 4).cast("string").cast("int")
+    fsize = F.substring("payload", 14, 8).cast("string").cast("int")
+    nos = F.sequence(F.lit(0), n - 1, F.lit(int(stride)))
+    return (
+        media.select(
+            "doc_id",
+            "payload",
+            fsize.alias("__fs"),
+            F.posexplode(nos).alias("__i", "frame_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.substr(
+                F.col("payload"),
+                F.lit(VID_HEADER_LEN + 1) + F.col("frame_no") * F.col("__fs"),
+                F.col("__fs"),
+            ).alias("frame"),
+        )
+    )
+
+
+def video_frame_dhash(frames: DataFrame) -> DataFrame:
+    """(doc_id, frame_no, dhash): decode each sampled BMP frame for real
+    (magic check, header walk, padded bottom-up rows) and 56-bit dHash
+    the plane — numpy per Arrow batch, one narrow long per frame out."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [_dhash56(_bmp_decode(bytes(b))) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_no": pdf["frame_no"],
+                    "dhash": pd.array(vals, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        hashes, schema="doc_id long, frame_no long, dhash long"
+    )

@@ -440,3 +440,74 @@ def image_resize_half_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.synthesize_bmp(fan_out(docs))
     return multimodal.decode_bmp_meta(multimodal.resize_bmp_half(media))
+
+
+@query(
+    "video_keyframe_dhash",
+    oracle=f"""
+    -- video tier replay: every 2nd frame of each FAKEVID container
+    -- (n = 4 + doc_id % 5 real BMP frames), dHash per sampled frame from
+    -- the pixel formula + the f*17 motion term, and the scene-change
+    -- hamming distance to the previous keyframe. Equality proves the
+    -- whole chain: container build, JVM substring frame slicing, real
+    -- BMP decode, perceptual hash, temporal window.
+    WITH {_IMG_DIMS_SQL},
+    vf AS (
+      SELECT d.doc_id, d.seed, d.w, d.h, f.i AS frame_no
+      FROM dims d, range(0, 8) f(i)
+      WHERE f.i < 4 + d.doc_id % 5 AND f.i % 2 = 0
+    ),
+    g AS (
+      SELECT v.doc_id, v.frame_no, gy.i AS gy, gx.i AS gx,
+             (v.seed*31 + ((gx.i*v.w)//9)*13 + ((gy.i*v.h)//7)*7
+              + v.frame_no*17
+              + CASE WHEN (v.doc_id*11 + ((gx.i*v.w)//9)*5
+                           + ((gy.i*v.h)//7)*3) % 199 = 0
+                     THEN 96 ELSE 0 END) % 256 AS val
+      FROM vf v, range(0, 9) gx(i), range(0, 7) gy(i)
+    ),
+    hashes AS (
+      SELECT a.doc_id, CAST(a.frame_no AS BIGINT) AS frame_no,
+             CAST(sum(CASE WHEN n.val > a.val THEN 1::BIGINT ELSE 0::BIGINT
+                      END << (a.gy*8 + a.gx)) AS BIGINT) AS dhash
+      FROM g a
+      JOIN g n ON n.doc_id = a.doc_id AND n.frame_no = a.frame_no
+              AND n.gy = a.gy AND n.gx = a.gx + 1
+      WHERE a.gx < 8
+      GROUP BY a.doc_id, a.frame_no
+    )
+    SELECT doc_id, frame_no, dhash,
+           CAST(bit_count(xor(dhash,
+                lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_no)))
+             AS INT) AS hamming_prev
+    FROM hashes
+    """,
+    tags=("multimodal", "video", "frame-sample", "perceptual-hash",
+          "pandas-udf"),
+)
+def video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe analysis end-to-end: synthesize a real multi-frame
+    BMP container per doc (pipeline.multimodal.synthesize_video), slice
+    every 2nd frame with pure JVM substring arithmetic off the ASCII
+    header (dropped frames never reach Arrow — the property that matters
+    when frames are MBs), decode each sampled frame for real, 56-bit
+    dHash it, and attach the hamming distance to the previous keyframe —
+    the shot-boundary signal. One narrow long per sampled frame after
+    the decode pass; the temporal window keys on (doc_id), the same
+    partitioning the explode inherited."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_video(fan_out(docs))
+    frames = multimodal.sample_video_frames(media, stride=2)
+    hashes = multimodal.video_frame_dhash(frames)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    return hashes.select(
+        "doc_id",
+        "frame_no",
+        "dhash",
+        F.bit_count(
+            F.col("dhash").bitwiseXOR(F.lag("dhash").over(w))
+        ).cast("int").alias("hamming_prev"),
+    )

@@ -153,3 +153,34 @@ def test_resize_half_is_pixelwise_nearest_neighbor(spark):
         want = _img_pixels(int(r["doc_id"]))[::2, ::2]
         assert got.shape == want.shape
         assert np.array_equal(got, want), r["doc_id"]
+
+
+def test_video_container_slicing_and_decode(spark):
+    from prajna_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    media = mm.synthesize_video(docs)
+    # container structure: header + n equal frames
+    row = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for d, payload in row.items():
+        n = mm._vid_n_frames(d)
+        head = payload[: mm.VID_HEADER_LEN].decode()
+        assert head.startswith("FAKEVID|") and int(head[8:12]) == n
+        fsize = int(head[13:21])
+        assert len(payload) == mm.VID_HEADER_LEN + n * fsize
+
+    # JVM-sliced sampled frames decode to exactly the synth pixels
+    frames = mm.sample_video_frames(media, stride=2).collect()
+    import numpy as np
+
+    for r in frames:
+        gray = mm._bmp_decode(bytes(r["frame"]))
+        assert np.array_equal(gray, mm._vid_pixels(r["doc_id"], r["frame_no"]))
+    # stride semantics: frames 0, 2, ... < n per doc
+    got = sorted((r["doc_id"], r["frame_no"]) for r in frames)
+    want = sorted(
+        (d, f)
+        for d in row
+        for f in range(0, mm._vid_n_frames(d), 2)
+    )
+    assert got == want
