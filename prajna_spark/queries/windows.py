@@ -1604,3 +1604,107 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{base}/store")
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    -- batch twin of the watermarked stream-stream LEFT OUTER interval
+    -- join: every purchase row, null-padded when no view preceded it
+    -- within the hour
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT p.p_id, v.v_id
+    FROM p LEFT JOIN v
+      ON v.v_user = p.user_id
+     AND v.v_ts <= p.ts AND v.v_ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "watermark"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer variant's extra
+    semantics over the inner twin (stream_stream_purchase_views): matched
+    rows emit eagerly, but an UNMATCHED purchase emits its null-padded
+    row only once the view-side watermark proves no match can still
+    arrive, and a LEFT row arriving behind the watermark is dropped as
+    late entirely. Both contracts shape the drain: the data must land in
+    ONE micro-batch (watermark still at epoch 0 — nothing late), and two
+    staggered sentinel drains (max ts + 4h, + 8h, one checkpoint shared
+    across availableNow runs) then push the watermark past every
+    purchase's window and provide the batches in which eviction emits the
+    held state — watermarks take effect one batch AFTER they advance.
+    Sentinel rows filter out of the store. Production spells the same
+    flush as a heartbeat/punctuation event on both streams."""
+    import os
+    import tempfile
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="ss_louter_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    ev_batch = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev_batch.write.parquet(src)
+    mx = ev_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(src)
+        p = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        v = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("v_id"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        cond = (
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        q = (
+            p.join(v, cond, "left_outer")
+            .select("p_id", "v_id")
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # all data, one batch, watermark at epoch 0 -> nothing late
+    for i, hours in enumerate((4, 8)):
+        sentinel = spark.createDataFrame(
+            [(-1 - 2 * i, mx, -1, "purchase"), (-2 - 2 * i, mx, -1, "view")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        drain()
+    return spark.read.parquet(out).where(F.col("p_id") >= 0)
