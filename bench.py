@@ -178,6 +178,23 @@ EXTENDED = [
     "telemetry_locf_hours",
     "labelprop_part_communities",
     "cusum_stream_alarms",
+    # round-5 third wave: attribution, semantic dedup, forecasting,
+    # streamed sketches, native stateful dedup, outer stream joins, video
+    "attribution_last_touch",
+    "attribution_linear",
+    "semdedup_embeddings",
+    "autocorr_hourly_counts",
+    "seasonal_forecast_mae",
+    "benford_first_digit",
+    "quantile_bins_totalprice",
+    "heavy_hitters_stream",
+    "dedup_stream_watermark",
+    "stream_stream_left_outer",
+    "video_keyframe_dhash",
+    "target_encode_priority",
+    "twa_daily_value",
+    "tfidf_keywords_docs",
+    "ivf_pq_search_topk",
 ]
 
 
