@@ -977,3 +977,76 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_from_store(
         src, spark, f"{base}/store", "user_id", phi=7.5e-3
     )
+
+
+@query(
+    "chi2_type_by_weekday",
+    oracle="""
+    -- chi-square independence screen: is event-type mix stable across
+    -- ISO weekdays? Observed counts are exact BIGINTs; expected counts
+    -- and per-cell contributions assemble from those integers in one
+    -- fixed IEEE association, rounded only for display. Per-cell rows
+    -- avoid any cross-row fp sum — the analyst sums contrib for the
+    -- statistic (dof = (types-1)*(days-1)).
+    WITH c AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+       ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cc FROM c GROUP BY 1),
+       n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM c)
+    SELECT c.event_type, c.dow, c.o,
+           (floor((CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                   / CAST(n.nn AS DOUBLE)) * 1e6 + 5e-1) / 1e6) AS expected,
+           (floor((
+              (CAST(c.o AS DOUBLE)
+               - CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                 / CAST(n.nn AS DOUBLE))
+              * (CAST(c.o AS DOUBLE)
+                 - CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                   / CAST(n.nn AS DOUBLE))
+              / (CAST(rt.r AS DOUBLE) * CAST(ct.cc AS DOUBLE)
+                 / CAST(n.nn AS DOUBLE))
+            ) * 1e6 + 5e-1) / 1e6) AS contrib
+    FROM c JOIN rt USING (event_type) JOIN ct USING (dow), n
+    """,
+    tags=("stats", "chi-square", "events", "analytics"),
+)
+def chi2_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for event-type x ISO-weekday — the
+    independence screen behind "did our traffic mix change on
+    weekends?". The log collapses to a |types| x 7 table at the first
+    aggregate; row/column/grand totals ride broadcasts; expected counts
+    and (o-e)^2/e contributions are IEEE-exact from integer counts
+    (identical association on both engines). Per-cell rows dodge the
+    cross-row fp sum; dof = (types-1)*(days-1)."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type",
+        (F.weekday("ts").cast("long") + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").alias("cc"))
+    n = c.agg(F.sum("o").alias("nn"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("cc").cast("double")
+        / F.col("nn").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            pround(e, 6).alias("expected"),
+            pround(contrib, 6).alias("contrib"),
+        )
+    )
