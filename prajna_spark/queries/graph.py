@@ -410,3 +410,126 @@ def labelprop_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return label_propagation(edges, "u", "v", n_iter=4)
+
+
+@query(
+    "modularity_part_communities",
+    oracle=f"""
+    -- modularity audit of the 4-round label-propagation partition:
+    -- per-community Q contribution e_c/m - (d_c/2m)^2 from INTEGER
+    -- intra-edge counts and degree sums — the partition-quality number
+    -- that says whether the communities are better than chance. The
+    -- ladder below replays the exact LP schedule; the Q arithmetic is
+    -- one fixed IEEE association over exact integers.
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS nid, a AS lbl FROM sym
+    ),
+    {_lp_level("l0", "l1")},
+    {_lp_level("l1", "l2")},
+    {_lp_level("l2", "l3")},
+    {_lp_level("l3", "l4")},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM und),
+    deg AS (SELECT a AS nid, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+    dsum AS (
+      SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS ds,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM l4 l JOIN deg d USING (nid) GROUP BY 1
+    ),
+    intra AS (
+      SELECT la.lbl, CAST(count(*) AS BIGINT) AS ie
+      FROM und e
+      JOIN l4 la ON la.nid = e.a
+      JOIN l4 lb ON lb.nid = e.b AND lb.lbl = la.lbl
+      GROUP BY 1
+    )
+    SELECT s.lbl AS community, s.n_nodes,
+           CAST(coalesce(i.ie, 0) AS BIGINT) AS intra_edges,
+           s.ds AS degree_sum,
+           (floor((
+              CAST(coalesce(i.ie, 0) AS DOUBLE) / CAST(m.mm AS DOUBLE)
+              - (CAST(s.ds AS DOUBLE) / (2e0 * CAST(m.mm AS DOUBLE)))
+                * (CAST(s.ds AS DOUBLE) / (2e0 * CAST(m.mm AS DOUBLE)))
+            ) * 1e6 + 5e-1) / 1e6) AS q_contrib
+    FROM dsum s LEFT JOIN intra i USING (lbl), m
+    """,
+    tags=("graph", "community", "modularity", "eval", "composition"),
+)
+def modularity_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    partition-quality eval that closes the community ladder (CC finds
+    reachability, k-core density, LP structure, modularity says whether
+    the structure beats chance; sum q_contrib for the global Q). All
+    inputs to Q are exact integers (intra-community edge counts via one
+    edge⋈labels join keyed on node id, degree sums via the symmetric
+    edge list), the global m rides a one-row broadcast, and the per-
+    community contribution avoids any cross-row fp sum."""
+    tune(spark)
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.operators.labelprop import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    from prajna_spark.operators.lifecycle import persist_scope, scoped_persist
+
+    with persist_scope():
+        edges = scoped_persist(edges)
+        labels = scoped_persist(label_propagation(edges, "u", "v", n_iter=4))
+        m = edges.agg(F.count(F.lit(1)).alias("mm"))
+        sym = edges.select(F.col("u").alias("nid")).unionAll(
+            edges.select(F.col("v").alias("nid"))
+        )
+        deg = sym.groupBy("nid").agg(F.count(F.lit(1)).alias("d"))
+        dsum = (
+            labels.withColumnRenamed("node_id", "nid")
+            .join(deg, "nid")
+            .groupBy("community")
+            .agg(
+                F.sum("d").alias("ds"),
+                F.count(F.lit(1)).alias("n_nodes"),
+            )
+        )
+        la = labels.select(
+            F.col("node_id").alias("u"), F.col("community").alias("cu")
+        )
+        lb = labels.select(
+            F.col("node_id").alias("v"), F.col("community").alias("cv")
+        )
+        intra = (
+            edges.join(la, "u")
+            .join(lb, "v")
+            .where(F.col("cu") == F.col("cv"))
+            .groupBy(F.col("cu").alias("community"))
+            .agg(F.count(F.lit(1)).alias("ie"))
+        )
+        mm = F.col("mm").cast("double")
+        ds = F.col("ds").cast("double")
+        ie = F.coalesce(F.col("ie"), F.lit(0)).cast("double")
+        out = (
+            dsum.join(intra, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "community",
+                "n_nodes",
+                F.coalesce(F.col("ie"), F.lit(0)).cast("long").alias(
+                    "intra_edges"
+                ),
+                F.col("ds").alias("degree_sum"),
+                pround(
+                    ie / mm - (ds / (2.0 * mm)) * (ds / (2.0 * mm)), 6
+                ).alias("q_contrib"),
+            )
+        )
+        out = out.localCheckpoint()
+    return out
