@@ -326,3 +326,104 @@ def temperature_gate(
         .where(h <= _threshold_hex_col(F.col("rate")))
         .drop("rate")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: the distributed bootstrap. Classic resampling draws n
+# rows WITH replacement per replicate — impossible without a global index.
+# The Poisson approximation gives each row an INDEPENDENT Poisson(1)
+# multiplicity per replicate (multiplicities sum to ~n), which is a pure
+# per-row decision: one md5-uniform draw per (row, replicate), inverted
+# through the Poisson(1) CDF. Deterministic, shuffle-free until the
+# B-group aggregate, and exactly replayable in SQL.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+#: cumulative Poisson(1) CDF thresholds for k = 0..7; u >= the last entry
+#: (p ~ 1.1e-9) caps the multiplicity at 8. Python-evaluated literals are
+#: inlined into BOTH engines' expressions, so the comparison constants are
+#: bit-identical by construction.
+_POIS1_CDF = [
+    sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+    for k in range(8)
+]
+
+_U_DENOM = float(1 << 60)  # 15 hex digits of md5 -> uniform in [0, 1)
+
+
+def bootstrap_uniform(key: Column, rep: Column, seed: str = "boot") -> Column:
+    """Deterministic uniform in [0,1) per (key, replicate): first 15 hex
+    digits of md5('<seed>|<rep>|<key>') over 2^60."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}|"),
+                    rep.cast("string"),
+                    F.lit("|"),
+                    key.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h.cast("double") / F.lit(_U_DENOM)
+
+
+def poisson1_multiplicity(u: Column) -> Column:
+    """Invert the Poisson(1) CDF at ``u``: the bootstrap multiplicity."""
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_sql(key_sql: str, rep_sql: str, seed: str = "boot") -> str:
+    """DuckDB replay of bootstrap_uniform + poisson1_multiplicity."""
+    u = (
+        f"(CAST('0x' || substring(md5('{seed}|' || CAST({rep_sql} AS VARCHAR)"
+        f" || '|' || CAST({key_sql} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" / {_U_DENOM!r})"
+    )
+    expr = "8"
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = f"CASE WHEN {u} < {_POIS1_CDF[k]!r} THEN {k} ELSE {expr} END"
+    return f"CAST({expr} AS BIGINT)"
+
+
+def poisson_bootstrap_means(
+    df,
+    key_col: str,
+    value_col: str,
+    b: int = 32,
+    seed: str = "boot",
+    dec: int = 6,
+):
+    """Per-replicate bootstrap means: ``(rep, n_eff, mean)`` with the
+    mean portably rounded. One explode to B replicates per row (narrow:
+    rep, w, value), then a B-group aggregate — map-side partials collapse
+    each partition to B rows, so the shuffle is O(B x partitions)
+    regardless of input size. Confidence intervals are exact percentiles
+    over the B rounded means."""
+    from prajna_spark.functions.rounding import pround
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    rows = df.select(
+        F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+    ).select("__k", "__v", rep)
+    w = poisson1_multiplicity(bootstrap_uniform(F.col("__k"), F.col("rep"), seed))
+    return (
+        rows.withColumn("__w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            pround(
+                F.sum(F.col("__w") * F.col("__v")) / F.sum("__w").cast("double"),
+                dec,
+            ).alias("mean"),
+        )
+    )

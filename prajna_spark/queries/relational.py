@@ -2186,3 +2186,73 @@ def quantile_bins_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    -- RFM segmentation: per-customer recency/frequency/monetary rolled
+    -- up from orders, each scored into quintiles by SQL NTILE over a
+    -- unique composite order (metric, custkey). Monetary rounds to
+    -- cents BEFORE ranking so both engines order the same values.
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01', max(o_orderdate))
+               AS BIGINT) AS rec_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             (floor(sum(o_totalprice) * 1e2 + 5e-1) / 1e2) AS monetary
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT o_custkey, rec_day, freq, monetary,
+             CAST(ntile(5) OVER (ORDER BY rec_day, o_custkey) AS BIGINT)
+               AS r_tile,
+             CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT)
+               AS f_tile,
+             CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+               AS m_tile
+      FROM c
+    )
+    SELECT o_custkey, r_tile, f_tile, m_tile,
+           r_tile * 100 + f_tile * 10 + m_tile AS segment
+    FROM scored
+    """,
+    tags=("rfm", "segmentation", "ntile", "orders", "composition"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics staple: one
+    orders rollup to customer cardinality (recency = latest order day,
+    frequency = order count, monetary = cent-rounded spend), then each
+    metric quintiled with the DISTRIBUTED global NTILE
+    (operators.rank.global_ntile — SQL-exact tiling with no single-task
+    global window; ties broken by custkey so the total order is unique).
+    Higher tile = more recent / more frequent / higher spend; segment
+    packs the three digits. Monetary rounds before ranking so the
+    cross-engine order is identical."""
+    tune(spark)
+    from prajna_spark.operators.rank import global_ntile
+
+    orders = load_table(spark, "orders", sf_dir)
+    c = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("rec_day"),
+        F.count(F.lit(1)).alias("freq"),
+        pround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    out = c
+    for metric, tile in (
+        ("rec_day", "r_tile"),
+        ("freq", "f_tile"),
+        ("monetary", "m_tile"),
+    ):
+        out = global_ntile(out, [metric, "o_custkey"], 5, tile_col=tile)
+        out = out.withColumn(tile, F.col(tile).cast("long"))
+    return out.select(
+        "o_custkey",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        (
+            F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+        ).alias("segment"),
+    )

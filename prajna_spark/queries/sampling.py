@@ -356,3 +356,61 @@ def split_grouped_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@query(
+    "bootstrap_ci_total_price",
+    oracle=f"""
+    -- Poisson-bootstrap 95% CI for the mean order total: 32 replicates,
+    -- each row's multiplicity an independent Poisson(1) draw inverted
+    -- from a deterministic md5-uniform — the distributed bootstrap
+    -- (classic with-replacement resampling needs a global index; the
+    -- Poisson form is a pure per-row decision). Replicate means round
+    -- portably; the CI is an exact percentile over those 32 values.
+    WITH reps AS (
+      SELECT b.i AS rep,
+             {sampling.bootstrap_sql("o_orderkey", "b.i")} AS w,
+             o_totalprice AS v
+      FROM orders, range(0, 32) b(i)
+    ), m AS (
+      SELECT rep,
+             (floor((sum(w * v) / CAST(sum(w) AS DOUBLE)) * 1e6 + 5e-1)
+              / 1e6) AS mean
+      FROM reps GROUP BY rep
+    )
+    SELECT CAST(32 AS BIGINT) AS n_reps,
+           quantile_cont(mean, 0.025) AS ci_lo,
+           quantile_cont(mean, 0.975) AS ci_hi,
+           (SELECT (floor(avg(o_totalprice) * 1e6 + 5e-1) / 1e6)
+            FROM orders) AS point_est
+    FROM m
+    """,
+    tags=("bootstrap", "statistics", "sampling", "orders"),
+)
+def bootstrap_ci_total_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean(o_totalprice) via the
+    Poisson bootstrap (pipeline.sampling.poisson_bootstrap_means) — the
+    resampling scheme that actually distributes: each row draws an
+    independent Poisson(1) multiplicity per replicate from a
+    deterministic md5-uniform, so no global index and no shuffle until
+    the 32-group aggregate (map-side partials collapse every partition
+    to 32 rows). The CI is an exact percentile over the 32 portably-
+    rounded replicate means, so the whole pipeline hash-matches the SQL
+    replay."""
+    tune(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    from prajna_spark.functions.rounding import pround
+
+    m = sampling.poisson_bootstrap_means(
+        orders, "o_orderkey", "o_totalprice", b=32
+    )
+    point = orders.agg(pround(F.avg("o_totalprice"), 6).alias("point_est"))
+    return (
+        m.agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.percentile("mean", 0.025).alias("ci_lo"),
+            F.percentile("mean", 0.975).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("n_reps", "ci_lo", "ci_hi", "point_est")
+    )
