@@ -1050,3 +1050,192 @@ def chi2_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(contrib, 6).alias("contrib"),
         )
     )
+
+
+@query(
+    "survival_user_retention",
+    oracle="""
+    -- Kaplan-Meier retention: per-user observed lifetime in whole days
+    -- (first to last event); a user churns if silent for > 7 days
+    -- before corpus end, else is censored. All risk-set arithmetic is
+    -- integer; the survival product runs as exp(cumsum(ln(1 - d/n)))
+    -- over the ascending-day window — libm ln/exp are bit-identical and
+    -- the ordered running sum folds in the same sequence on both
+    -- engines (the catalog's running-window precedent).
+    WITH mx AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS m FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS l
+      FROM events GROUP BY 1
+    ), life AS (
+      SELECT user_id, (l - f) // 86400 AS t,
+             CASE WHEN (SELECT m FROM mx) - l > 604800 THEN 1 ELSE 0 END
+               AS churn
+      FROM u
+    ), d AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(churn) AS BIGINT) AS ch
+      FROM life GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM life),
+    r AS (
+      SELECT t, c, ch,
+             CAST(nn - (sum(c) OVER (ORDER BY t) - c) AS BIGINT)
+               AS at_risk
+      FROM d, n
+    )
+    SELECT t AS day, at_risk AS n_at_risk, ch AS churned,
+           (floor(exp(sum(ln(1e0 - CAST(ch AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE)))
+                      OVER (ORDER BY t)) * 1e6 + 5e-1) / 1e6) AS survival
+    FROM r
+    """,
+    tags=("survival", "kaplan-meier", "retention", "events", "analytics"),
+)
+def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user engagement — the censoring-
+    aware retention readout (cohort matrices over-count churn for users
+    we simply stopped observing): lifetime = days between a user's first
+    and last event, churn = silent > 7 days before corpus end, everyone
+    else censored at their lifetime. Risk sets are pure integer
+    arithmetic over a |days|-row frame (the log reduces at the per-user
+    aggregate); the KM product rides exp(cumsum(ln(1 - d/n))) on an
+    ascending-day window, bit-identical cross-engine via libm. Fully
+    saturated days (d == n) flow through as ln(0) -> -inf -> exp 0,
+    identically on both engines."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").cast("long").alias("f"),
+        F.max("ts").cast("long").alias("l"),
+    )
+    mx = ev.agg(F.max("ts").cast("long").alias("m"))
+    life = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(l - f) div 86400").alias("t"),
+        F.when(F.col("m") - F.col("l") > 604800, 1).otherwise(0).alias(
+            "churn"
+        ),
+    )
+    d = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("churn").alias("ch")
+    )
+    n = life.agg(F.count(F.lit(1)).alias("nn"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.crossJoin(F.broadcast(n)).withColumn(
+        "at_risk", F.col("nn") - (F.sum("c").over(w) - F.col("c"))
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - F.col("ch").cast("double") / F.col("at_risk").cast("double")
+            )
+        ).over(w)
+    )
+    return r.select(
+        F.col("t").alias("day"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("ch").alias("churned"),
+        pround(surv, 6).alias("survival"),
+    )
+
+
+@query(
+    "session_stats_gap30",
+    oracle="""
+    -- session-level product metrics from 30-minute-gap sessionization
+    -- (gaps-and-islands: session starts where the per-user gap exceeds
+    -- 30 min; (user_id, ts) is globally unique so the ordering is
+    -- deterministic). Everything is integer micros/counts until the
+    -- final display divisions.
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)
+                       > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t)
+               AS BIGINT) AS sid, t
+      FROM o
+    ), per AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             max(t) - min(t) AS dur_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           (floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6
+                  + 5e-1) / 1e6) AS bounce_rate,
+           (floor((CAST(sum(n_events) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6)
+             AS avg_events,
+           quantile_cont(CAST(dur_us AS DOUBLE), 0.5) / 1e6
+             AS p50_duration_sec
+    FROM per
+    """,
+    tags=("sessions", "islands", "events", "analytics"),
+)
+def session_stats_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level product metrics — bounce rate, events per session,
+    median duration — from 30-minute-gap sessionization spelled as
+    gaps-and-islands (lag + running sum over the user-keyed window; the
+    window twin of the native session_window / applyInPandasWithState
+    paths, and the spelling that works in plain batch SQL). All
+    arithmetic is integer micros and counts until the final divisions;
+    the median is an exact percentile over session-cardinality rows.
+    One user-keyed shuffle; the log never leaves its first window."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    o = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+                > 1800000000
+            )
+            | F.lag("ts").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = o.select(
+        "user_id", F.sum("new_s").over(ws).alias("sid"), "t"
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        pround(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        pround(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_events"),
+        (F.percentile(F.col("dur_us").cast("double"), 0.5) / F.lit(1e6)).alias(
+            "p50_duration_sec"
+        ),
+    )

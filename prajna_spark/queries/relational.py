@@ -2256,3 +2256,75 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
         ).alias("segment"),
     )
+
+
+@query(
+    "gini_customer_spend",
+    oracle="""
+    -- Gini coefficient of customer spend: G = sum((2i - n - 1) * x_i)
+    -- / (n * sum(x)) over cent-exact spends sorted ascending (i
+    -- 1-based, ties broken by custkey). The weighted sum uses BIGINT
+    -- cents * BIGINT ranks — fully integer until one final division.
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(floor(sum(o_totalprice) * 1e2 + 5e-1) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i
+      FROM c
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(sum((2 * i - (SELECT count(*) FROM r) - 1) * cents)
+               AS BIGINT) AS num
+      FROM r
+    )
+    SELECT n AS n_customers,
+           (floor((CAST(num AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))) * 1e6
+                  + 5e-1) / 1e6) AS gini
+    FROM s
+    """,
+    tags=("inequality", "gini", "orders", "analytics"),
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the concentration
+    number behind "do 20% of customers drive 80% of revenue?". Spend
+    becomes exact BIGINT cents, the ascending rank comes from the
+    DISTRIBUTED zip-with-index (operators.zipindex — no single-task
+    global window), and the numerator sum((2i-n-1)*x_i) stays integer
+    until ONE final IEEE division — so the statistic is bit-identical
+    cross-engine before display rounding."""
+    tune(spark)
+    from prajna_spark.operators.zipindex import zip_with_index
+
+    orders = load_table(spark, "orders", sf_dir)
+    c = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    r = zip_with_index(c, order_by=["cents", "o_custkey"], index_col="__i0")
+    r = r.withColumn("i", (F.col("__i0") + 1).cast("long"))
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        r.crossJoin(F.broadcast(n))
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("cents").alias("tot"),
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias(
+                "num"
+            ),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        pround(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("gini"),
+    )
