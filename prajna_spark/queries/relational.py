@@ -2328,3 +2328,75 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "ivm_agg_priority_revenue",
+    oracle="""
+    -- incremental view maintenance for ADDITIVE aggregates: the oracle
+    -- recomputes the view from the final logical state (base minus
+    -- deletions plus late inserts); the Spark side must reach the same
+    -- rows by merging signed partial aggregates — never rescanning base.
+    -- Revenue is exact BIGINT cents so partial merging is associative
+    -- with no fp policy at all.
+    WITH final AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 0)
+         OR o_orderkey % 10 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1
+    """,
+    tags=("ivm", "incremental", "aggregate", "cdc", "orders"),
+)
+def ivm_agg_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-aggregate incremental view maintenance — the groupBy twin
+    of the delta-JOIN view (streaming/join_view): the per-priority
+    revenue view is maintained from a change feed (orderkey%10==0 rows
+    arrive late as inserts, orderkey%17==0 base rows are deleted) by
+    merging SIGNED partial aggregates: delta_cnt = ±1, delta_cents = ±v,
+    union with the view's partials, one groups-cardinality re-aggregate,
+    drop groups whose count reaches zero. The base is scanned ONCE to
+    build the initial view; every maintenance step costs O(groups +
+    delta) — the property that makes continuous dashboards affordable.
+    Counts and cent sums are integers, so merge order is irrelevant and
+    the final rows hash-match a from-scratch recompute exactly."""
+    tune(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    view = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("revenue_cents"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority", F.lit(1).alias("sgn"), cents.alias("c")
+    )
+    deletes = orders.where(
+        (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select("o_orderpriority", F.lit(-1).alias("sgn"), cents.alias("c"))
+    # NOTE: `deletes` here re-derives the feed from the same table for a
+    # deterministic fixture; a real deployment receives these rows from
+    # snapshot_diff / CDC. The maintenance path below touches only the
+    # delta rows + the groups-cardinality view.
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sgn").alias("n_orders"),
+            F.sum(F.col("sgn") * F.col("c")).alias("revenue_cents"),
+        )
+    )
+    merged = (
+        view.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return merged
