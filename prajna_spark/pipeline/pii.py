@@ -182,3 +182,22 @@ def dp_noisy_counts(
             "noisy_count"
         ),
     )
+
+
+def ldiversity_audit(
+    df, quasi_cols: list[str], sensitive_col: str, l_min: int
+):
+    """l-diversity audit — k-anonymity's companion check: a class of
+    k identical quasi-identifier rows still leaks the sensitive value
+    if all k share it. Reports every equivalence class with its size
+    and distinct-sensitive count plus the pass verdict; release
+    pipelines suppress (or generalize) the failing classes. One exact
+    distinct-aggregate per class — count_distinct partials keep it
+    map-side combined."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) >= F.lit(int(l_min))).alias("diverse"),
+    )

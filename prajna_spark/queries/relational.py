@@ -2400,3 +2400,41 @@ def ivm_agg_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 0)
     )
     return merged
+
+
+@query(
+    "ldiversity_audit_customers",
+    oracle="""
+    -- l-diversity (l=3) audit: a 5-anonymous class still leaks if all
+    -- members share the sensitive value; every (nation, segment) class
+    -- reports its distinct sensitive-bucket count and verdict
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1e3) AS BIGINT))
+             AS BIGINT) AS n_sensitive,
+           count(DISTINCT CAST(floor(c_acctbal / 1e3) AS BIGINT)) >= 3
+             AS diverse
+    FROM customer GROUP BY 1, 2
+    """,
+    tags=("privacy", "l-diversity", "audit", "pipeline"),
+)
+def ldiversity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (pipeline.pii.ldiversity_audit) completing the
+    anonymization tier: k-anonymity (kanon_release_customers) bounds
+    re-identification, l-diversity bounds ATTRIBUTE disclosure — a
+    5-anonymous class whose members all share one sensitive value
+    reveals it anyway. Quasi-identifiers (nation, segment); sensitive
+    attribute = account-balance thousand-bucket; classes need >= 3
+    distinct buckets to pass. One exact distinct-aggregate per class,
+    map-side combined."""
+    from prajna_spark.pipeline.pii import ldiversity_audit
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    quasi = customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("sens"),
+    )
+    return ldiversity_audit(
+        quasi, ["c_nationkey", "c_mktsegment"], "sens", 3
+    ).withColumn("n_sensitive", F.col("n_sensitive").cast("long"))
