@@ -9,7 +9,7 @@ functions.rounding (pround / R) so value hashes match DuckDB exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
@@ -2438,3 +2438,70 @@ def ldiversity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldiversity_audit(
         quasi, ["c_nationkey", "c_mktsegment"], "sens", 3
     ).withColumn("n_sensitive", F.col("n_sensitive").cast("long"))
+
+
+@query(
+    "lorenz_spend_deciles",
+    oracle="""
+    -- Lorenz curve at decile resolution: customers sorted by spend,
+    -- cumulative share of revenue per spend decile — the "bottom 80%
+    -- hold X%" readout behind gini_customer_spend. Cent sums stay
+    -- BIGINT; the two shares are each ONE IEEE division.
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(floor(sum(o_totalprice) * 1e2 + 5e-1) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM c
+    ), d AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM r GROUP BY 1
+    ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM d)
+    SELECT decile, n_customers,
+           (floor((CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6
+                  + 5e-1) / 1e6) AS share,
+           (floor((CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE)
+                   / CAST(tot AS DOUBLE)) * 1e6 + 5e-1) / 1e6)
+             AS cum_share
+    FROM d, t
+    """,
+    tags=("inequality", "lorenz", "ntile", "orders", "analytics"),
+)
+def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution — the per-decile revenue
+    concentration table that makes gini_customer_spend's single number
+    explainable. Spend deciles come from the DISTRIBUTED global NTILE
+    (unique (cents, custkey) order, no single-task window); cent sums
+    stay BIGINT through the 10-row rollup, and each share is one IEEE
+    division, so only display rounding has any policy at all."""
+    tune(spark)
+    from prajna_spark.operators.rank import global_ntile
+
+    orders = load_table(spark, "orders", sf_dir)
+    c = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    r = global_ntile(c, ["cents", "o_custkey"], 10, tile_col="decile")
+    d = r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    t = d.agg(F.sum("cents").alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        pround(F.col("cents").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("share"),
+        pround(
+            F.sum("cents").over(w).cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
