@@ -1708,3 +1708,64 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel.coalesce(1).write.mode("append").parquet(src)
         drain()
     return spark.read.parquet(out).where(F.col("p_id") >= 0)
+
+
+@query(
+    "anomaly_stream_alerts",
+    oracle=f"""
+    -- batch twin of the streaming forecast-deviation alerts: every
+    -- event whose value misses its (type, hour-of-day) seasonal
+    -- forecast by more than 100; forecast rounded BEFORE scoring so
+    -- per-row deviations are exact
+    WITH tr AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             {R("avg(value)", 6)} AS fc
+      FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.value, tr.fc,
+           {R("e.value - tr.fc", 6)} AS deviation
+    FROM events e JOIN tr
+      ON tr.event_type = e.event_type AND tr.hod = CAST(hour(e.ts) AS BIGINT)
+    WHERE abs(e.value - tr.fc) > 1e2
+    """,
+    tags=("streaming", "anomaly", "forecast", "alerting", "composition"),
+)
+def anomaly_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous model-scoring alerts (streaming.anomaly_stream): the
+    seasonal hour-of-day forecast (the table behind
+    seasonal_forecast_mae) broadcasts into every micro-batch; events
+    deviating by more than 100 append to the alert store — the
+    reference's telemetry analytic loop (paper §5.2) upgraded to a
+    standing scoring stream. Stateless scoring makes the clean drain
+    equal the batch filter row-for-row, which is exactly what the
+    oracle checks; unseen (type, hour) keys pass silently by the
+    documented inner-join contract."""
+    import tempfile
+
+    from prajna_spark.streaming.anomaly_stream import start_forecast_alerts
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="anomaly_q_")
+    ev_batch = load_table(spark, "events", sf_dir)
+    split = F.lit("2024-01-22").cast("timestamp")
+    forecast = (
+        ev_batch.where(F.col("ts") < split)
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hod"))
+        .agg(pround(F.avg("value"), 6).alias("fc"))
+    )
+    stream = events_readstream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    q = start_forecast_alerts(
+        stream, forecast, ["event_type", "hod"], "value", "fc",
+        threshold=100.0, store_path=f"{base}/store",
+        checkpoint_path=f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/store").select(
+        "event_id", "event_type", "value", "fc", "deviation"
+    )
