@@ -409,12 +409,11 @@ def ndcg_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "copurchase_similar_parts",
-    oracle="""
-    -- "also bought": top-5 co-occurrence-cosine neighbors per part over
-    -- order baskets, baskets capped at their 16 lowest part ids
-    WITH d AS (
+# Shared by copurchase_similar_parts and recommend_parts_customers: the
+# basket-capped co-occurrence-cosine chain through per-item top-5
+# neighbors ("topn").
+_COPURCHASE_CTES = """
+    d AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), capped AS (
       SELECT l_orderkey, l_partkey FROM (
@@ -445,14 +444,26 @@ def ndcg_bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sym s
       JOIN freq fi ON fi.item = s.item
       JOIN freq fn ON fn.item = s.neighbor
+    ), topn AS (
+      SELECT item, neighbor, c_pair, c_item, c_neighbor, sim, rk
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+                                     ORDER BY sim DESC, neighbor) AS rk
+        FROM scored
+      ) WHERE rk <= 5
     )
+"""
+
+
+@query(
+    "copurchase_similar_parts",
+    oracle=f"""
+    -- "also bought": top-5 co-occurrence-cosine neighbors per part over
+    -- order baskets, baskets capped at their 16 lowest part ids
+    WITH {_COPURCHASE_CTES}
     SELECT item, neighbor, c_pair, c_item, c_neighbor, sim,
            CAST(rk AS BIGINT) AS rk
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY item
-                                   ORDER BY sim DESC, neighbor) AS rk
-      FROM scored
-    ) WHERE rk <= 5
+    FROM topn
     """,
     tags=("recommendation", "cooccurrence", "similarity", "lineitem"),
 )
@@ -512,3 +523,95 @@ def tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return tfidf_keywords(docs, k=5)
+
+
+@query(
+    "recommend_parts_customers",
+    oracle=f"""
+    -- item-based top-3 recommendations: a customer's owned parts pull
+    -- in their top-5 co-occurrence neighbors; owned parts are excluded;
+    -- candidate score = sum of (rounded) sims over the owned items that
+    -- endorse it, rounded before ranking, ties to the lower part id.
+    -- Only customers with at least one candidate appear.
+    WITH {_COPURCHASE_CTES},
+    owned AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), cand AS (
+      SELECT w.cust, t.neighbor AS part, t.sim
+      FROM owned w JOIN topn t ON t.item = w.item
+    ), fresh AS (
+      SELECT c.cust, c.part, c.sim FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM owned w WHERE w.cust = c.cust AND w.item = c.part
+      )
+    ), sc AS (
+      SELECT cust, part,
+             (floor(sum(sim) * 1e6 + 5e-1) / 1e6) AS score,
+             CAST(count(*) AS BIGINT) AS n_endorsers
+      FROM fresh GROUP BY 1, 2
+    )
+    SELECT cust AS o_custkey, part AS l_partkey, score, n_endorsers,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cust
+                                   ORDER BY score DESC, part) AS rk
+      FROM sc
+    ) WHERE rk <= 3
+    """,
+    tags=("recommendation", "cooccurrence", "serving", "composition"),
+)
+def recommend_parts_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative-filtering recommendations — the serving
+    query the co-occurrence model exists for: each customer's owned
+    parts pull in their top-5 neighbors (pipeline.cooccur), owned parts
+    anti-join out, candidates score by the sum of endorsing sims
+    (rounded before ranking, deterministic ties), top-3 per customer via
+    the WindowGroupLimit rewrite. Scale: the neighbor list is 5 rows per
+    item (item-cardinality — an equi-join, broadcast when it fits), the
+    candidate frame is bounded at |owned| x 5, and the final rank is
+    pre-shuffle-limited."""
+    from pyspark.sql import Window
+
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.pipeline.cooccur import item_similarity_topk
+
+    tune(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    sims = item_similarity_topk(
+        li, "l_orderkey", "l_partkey", cap=16, k=5, sim_decimals=6
+    ).select("item", "neighbor", "sim")
+    owned = (
+        orders.select(F.col("o_custkey").alias("cust"), "o_orderkey")
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("item")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("cust", "item")
+        .distinct()
+    )
+    cand = owned.join(sims, "item").select(
+        "cust", F.col("neighbor").alias("part"), "sim"
+    )
+    fresh = cand.join(
+        owned.select("cust", F.col("item").alias("part")),
+        ["cust", "part"],
+        "left_anti",
+    )
+    sc = fresh.groupBy("cust", "part").agg(
+        pround(F.sum("sim"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_endorsers"),
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("score").desc(), "part")
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("cust").alias("o_custkey"),
+            F.col("part").alias("l_partkey"),
+            "score",
+            "n_endorsers",
+            "rk",
+        )
+    )
