@@ -1239,3 +1239,199 @@ def session_stats_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_duration_sec"
         ),
     )
+
+
+_MARKOV_TRANS_SQL = """
+    seq AS (
+      SELECT user_id, ts,
+             CASE event_type WHEN 'purchase' THEN 'CONV'
+                             ELSE event_type END AS state,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS j
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ), steps AS (
+      SELECT user_id, j, ts, state,
+             coalesce(lag(state) OVER (PARTITION BY user_id, j
+                                       ORDER BY ts), 'START') AS prev,
+             row_number() OVER (PARTITION BY user_id, j
+                                ORDER BY ts DESC) AS rdesc
+      FROM seq
+    ), trans AS (
+      SELECT prev AS f, state AS t FROM steps
+      UNION ALL
+      SELECT state AS f, 'NULL' AS t FROM steps
+      WHERE rdesc = 1 AND state <> 'CONV'
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN f='START' AND t='click' THEN 1 ELSE 0 END) AS DOUBLE) AS sa,
+        CAST(sum(CASE WHEN f='START' AND t='view'  THEN 1 ELSE 0 END) AS DOUBLE) AS sb,
+        CAST(sum(CASE WHEN f='START' AND t='CONV'  THEN 1 ELSE 0 END) AS DOUBLE) AS sc_,
+        CAST(sum(CASE WHEN f='START'               THEN 1 ELSE 0 END) AS DOUBLE) AS sn,
+        CAST(sum(CASE WHEN f='click' AND t='click' THEN 1 ELSE 0 END) AS DOUBLE) AS aa,
+        CAST(sum(CASE WHEN f='click' AND t='view'  THEN 1 ELSE 0 END) AS DOUBLE) AS ab,
+        CAST(sum(CASE WHEN f='click' AND t='CONV'  THEN 1 ELSE 0 END) AS DOUBLE) AS ac,
+        CAST(sum(CASE WHEN f='click'               THEN 1 ELSE 0 END) AS DOUBLE) AS an,
+        CAST(sum(CASE WHEN f='view'  AND t='click' THEN 1 ELSE 0 END) AS DOUBLE) AS ba,
+        CAST(sum(CASE WHEN f='view'  AND t='view'  THEN 1 ELSE 0 END) AS DOUBLE) AS bb,
+        CAST(sum(CASE WHEN f='view'  AND t='CONV'  THEN 1 ELSE 0 END) AS DOUBLE) AS bc,
+        CAST(sum(CASE WHEN f='view'               THEN 1 ELSE 0 END) AS DOUBLE) AS bn
+      FROM trans
+    ), probs AS (
+      SELECT sa/sn AS tsa, sb/sn AS tsb, sc_/sn AS tsc,
+             aa/an AS taa, ab/an AS tab, ac/an AS tac,
+             ba/bn AS tba, bb/bn AS tbb, bc/bn AS tbc
+      FROM cells
+    ), solved AS (
+      SELECT *,
+             (1e0 - taa) * (1e0 - tbb) - tab * tba AS det,
+             (tac * (1e0 - tbb) + tab * tbc)
+               / ((1e0 - taa) * (1e0 - tbb) - tab * tba) AS pa,
+             (tbc * (1e0 - taa) + tba * tac)
+               / ((1e0 - taa) * (1e0 - tbb) - tab * tba) AS pb
+      FROM probs
+    ), base AS (
+      SELECT *, tsa * pa + tsb * pb + tsc AS ps FROM solved
+    ), removals AS (
+      SELECT 'click' AS channel,
+             1e0 - (tsb * (tbc / (1e0 - tbb)) + tsc) / ps AS re
+      FROM base
+      UNION ALL
+      SELECT 'view',
+             1e0 - (tsa * (tac / (1e0 - taa)) + tsc) / ps
+      FROM base
+    ), tot AS (SELECT sum(re) AS sre FROM removals)
+"""
+
+
+@query(
+    "attribution_markov_removal",
+    oracle=f"""
+    -- data-driven (Markov removal-effect) attribution: per-user
+    -- journeys (reset after each purchase) build a START/click/view ->
+    -- CONV/NULL transition matrix from INTEGER counts; with two
+    -- transient states the absorbing-chain conversion probability has
+    -- a closed form (Cramer), so the removal effect of each channel —
+    -- 1 - P(conv | channel's inbound edges diverted to NULL)/P(conv) —
+    -- is one fixed IEEE expression over integer ratios, exactly
+    -- replayable with no iteration anywhere.
+    WITH {_MARKOV_TRANS_SQL}
+    SELECT channel,
+           (floor(re * 1e6 + 5e-1) / 1e6) AS removal_effect,
+           (floor((re / sre) * 1e6 + 5e-1) / 1e6) AS share
+    FROM removals, tot
+    """,
+    tags=("attribution", "markov", "removal-effect", "events",
+          "composition"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven attribution completing the trio (last-touch gives the
+    final click everything, linear splits evenly, Markov removal asks
+    the COUNTERFACTUAL: how much conversion disappears if a channel
+    vanishes). Journeys segment per user at each purchase (a running
+    purchase count over the user window); transitions between
+    START/click/view and the absorbing CONV/NULL states reduce the log
+    to a 12-cell integer table in one aggregate; and because only two
+    transient states exist, the absorbing-chain solve is Cramer's rule
+    — a closed-form IEEE expression both engines evaluate identically,
+    no iteration. Removal diverts a channel's inbound edges to NULL
+    (the standard formulation); shares normalize the two removal
+    effects."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    touch = ev.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.col("event_type").alias("et"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = touch.withColumn(
+        "j",
+        F.coalesce(
+            F.sum(F.when(F.col("et") == "purchase", 1).otherwise(0)).over(wu),
+            F.lit(0),
+        ).cast("long"),
+    )
+    wj = Window.partitionBy("user_id", "j").orderBy("ts")
+    wjd = Window.partitionBy("user_id", "j").orderBy(F.col("ts").desc())
+    steps = seq.select(
+        "state",
+        F.coalesce(F.lag("state").over(wj), F.lit("START")).alias("prev"),
+        F.row_number().over(wjd).alias("rdesc"),
+    )
+    trans = steps.select(
+        F.col("prev").alias("f"), F.col("state").alias("t")
+    ).unionByName(
+        steps.where(
+            (F.col("rdesc") == 1) & (F.col("state") != "CONV")
+        ).select(F.col("state").alias("f"), F.lit("NULL").alias("t"))
+    )
+
+    def cell(f, t=None):
+        cond = F.col("f") == f if t is None else (
+            (F.col("f") == f) & (F.col("t") == t)
+        )
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+
+    cells = trans.agg(
+        cell("START", "click").alias("sa"),
+        cell("START", "view").alias("sb"),
+        cell("START", "CONV").alias("sc_"),
+        cell("START").alias("sn"),
+        cell("click", "click").alias("aa"),
+        cell("click", "view").alias("ab"),
+        cell("click", "CONV").alias("ac"),
+        cell("click").alias("an"),
+        cell("view", "click").alias("ba"),
+        cell("view", "view").alias("bb"),
+        cell("view", "CONV").alias("bc"),
+        cell("view").alias("bn"),
+    )
+    p = cells.select(
+        (F.col("sa") / F.col("sn")).alias("tsa"),
+        (F.col("sb") / F.col("sn")).alias("tsb"),
+        (F.col("sc_") / F.col("sn")).alias("tsc"),
+        (F.col("aa") / F.col("an")).alias("taa"),
+        (F.col("ab") / F.col("an")).alias("tab"),
+        (F.col("ac") / F.col("an")).alias("tac"),
+        (F.col("ba") / F.col("bn")).alias("tba"),
+        (F.col("bb") / F.col("bn")).alias("tbb"),
+        (F.col("bc") / F.col("bn")).alias("tbc"),
+    )
+    det = (1.0 - F.col("taa")) * (1.0 - F.col("tbb")) - F.col("tab") * F.col(
+        "tba"
+    )
+    pa = (F.col("tac") * (1.0 - F.col("tbb")) + F.col("tab") * F.col("tbc")) / det
+    pb = (F.col("tbc") * (1.0 - F.col("taa")) + F.col("tba") * F.col("tac")) / det
+    base = p.select(
+        "*", (F.col("tsa") * pa + F.col("tsb") * pb + F.col("tsc")).alias("ps")
+    )
+    re_click = 1.0 - (
+        F.col("tsb") * (F.col("tbc") / (1.0 - F.col("tbb"))) + F.col("tsc")
+    ) / F.col("ps")
+    re_view = 1.0 - (
+        F.col("tsa") * (F.col("tac") / (1.0 - F.col("taa"))) + F.col("tsc")
+    ) / F.col("ps")
+    removals = base.select(
+        F.lit("click").alias("channel"), re_click.alias("re")
+    ).unionByName(
+        base.select(F.lit("view").alias("channel"), re_view.alias("re"))
+    )
+    tot = removals.agg(F.sum("re").alias("sre"))
+    return removals.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        pround(F.col("re"), 6).alias("removal_effect"),
+        pround(F.col("re") / F.col("sre"), 6).alias("share"),
+    )
