@@ -615,3 +615,83 @@ def recommend_parts_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def _phrase_cte(name: str, phrase: list[str]) -> str:
+    """Positional-intersection CTE for one phrase over ``toks``."""
+    joins = " ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
+        f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{w}'"
+        for i, w in enumerate(phrase)
+        if i > 0
+    )
+    return f"""{name} AS (
+      SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks t0 {joins}
+      WHERE t0.term = '{phrase[0]}'
+      GROUP BY t0.doc_id
+    )"""
+
+
+@query(
+    "phrase_search_docs",
+    oracle=f"""
+    -- exact phrase search through a POSITIONAL index: (term, doc, pos)
+    -- rows self-join at pos+1, pos+2 — the adjacency intersection an
+    -- inverted index answers without rescanning text. Both engines run
+    -- the same positional algebra (unnest + generate_subscripts expand
+    -- in lockstep), so occurrence counts match exactly.
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    {_phrase_cte("p1", ["table", "part"])},
+    {_phrase_cte("p2", ["value", "table", "part"])}
+    SELECT 'table part' AS phrase, doc_id, n_occurrences FROM p1
+    UNION ALL
+    SELECT 'value table part', doc_id, n_occurrences FROM p2
+    """,
+    tags=("retrieval", "phrase-search", "positional-index", "documents"),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional index — the retrieval
+    capability BM25 bags-of-words cannot give: the corpus tokenizes ONCE
+    into (term, doc_id, pos) rows; a phrase of length n is an n-way
+    self-join at pos+1..pos+n-1, each leg pre-filtered to its term (the
+    posting list), so work scales with the RAREST term's postings, not
+    the corpus. Occurrence counts per doc come out of the same
+    intersection. At 100 TB the positional index is the persisted,
+    term-bucketed artifact (the bm25_persisted_search layout plus a pos
+    column); the query shape is unchanged."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+    def find(phrase: list[str]):
+        out = toks.where(F.col("term") == phrase[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(phrase[1:], start=1):
+            leg = toks.where(F.col("term") == w).select(
+                F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+            )
+            out = out.join(
+                leg,
+                (F.col(f"d{i}") == F.col("doc_id"))
+                & (F.col(f"p{i}") == F.col("p0") + i),
+            ).drop(f"d{i}", f"p{i}")
+        return out.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+
+    p1 = find(["table", "part"]).select(
+        F.lit("table part").alias("phrase"), "doc_id", "n_occurrences"
+    )
+    p2 = find(["value", "table", "part"]).select(
+        F.lit("value table part").alias("phrase"), "doc_id", "n_occurrences"
+    )
+    return p1.unionByName(p2)
