@@ -39,10 +39,17 @@ METRIC_KEYS = (
 
 
 def stage_totals(spark: SparkSession) -> dict[str, int]:
-    """Cumulative per-app totals of stage metrics (all stages seen so far,
-    any status — before/after deltas cancel everything but the measured
-    action's stages)."""
+    """Snapshot of stage metrics: cumulative totals over the RETAINED
+    stages plus ``max_stage_id``. The store evicts old stages past
+    ``spark.ui.retainedStages`` (default 1000), so aggregate
+    before-minus-after subtraction silently corrupts once an app has run
+    enough jobs (found live: the suite-long pytest session crossed the
+    limit and the dedup volume guards measured eviction noise) —
+    ``totals_delta`` therefore attributes by STAGE ID, summing only
+    stages newer than the before-snapshot's max."""
     totals = dict.fromkeys(METRIC_KEYS, 0)
+    per_stage: dict[int, dict[str, int]] = {}
+    max_id = -1
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
@@ -53,22 +60,53 @@ def stage_totals(spark: SparkSession) -> dict[str, int]:
         it = stages.iterator()
         while it.hasNext():
             s = it.next()
-            totals["shuffle_write_bytes"] += s.shuffleWriteBytes()
-            totals["shuffle_write_records"] += s.shuffleWriteRecords()
-            totals["shuffle_read_bytes"] += s.shuffleReadBytes()
-            totals["shuffle_read_records"] += s.shuffleReadRecords()
-            totals["input_bytes"] += s.inputBytes()
-            totals["input_records"] += s.inputRecords()
-            totals["output_bytes"] += s.outputBytes()
+            row = {
+                "shuffle_write_bytes": s.shuffleWriteBytes(),
+                "shuffle_write_records": s.shuffleWriteRecords(),
+                "shuffle_read_bytes": s.shuffleReadBytes(),
+                "shuffle_read_records": s.shuffleReadRecords(),
+                "input_bytes": s.inputBytes(),
+                "input_records": s.inputRecords(),
+                "output_bytes": s.outputBytes(),
+            }
+            sid = int(s.stageId())
+            prev = per_stage.get(sid)
+            if prev is None:
+                per_stage[sid] = row
+            else:  # retried attempt: keep the larger contribution
+                per_stage[sid] = {
+                    k: max(prev[k], row[k]) for k in METRIC_KEYS
+                }
+            max_id = max(max_id, sid)
+            for k in METRIC_KEYS:
+                totals[k] += row[k]
         totals["available"] = True
     except Exception:  # py4j surface drift — degrade, never break the caller
         totals["available"] = False
+    totals["max_stage_id"] = max_id
+    totals["stages"] = per_stage
     return totals
 
 
 def totals_delta(before: dict[str, int], after: dict[str, int]) -> dict[str, int]:
+    """Metrics attributable to the stages run BETWEEN the snapshots.
+
+    Primary path: sum the after-snapshot's stages with id greater than
+    the before-snapshot's ``max_stage_id`` — immune to the store evicting
+    old stages mid-measurement. Falls back to aggregate subtraction when
+    either snapshot lacks per-stage detail (older pickled snapshots)."""
+    avail = bool(before.get("available")) and bool(after.get("available"))
+    if avail and isinstance(after.get("stages"), dict) and "max_stage_id" in before:
+        cut = before["max_stage_id"]
+        delta = dict.fromkeys(METRIC_KEYS, 0)
+        for sid, row in after["stages"].items():
+            if sid > cut:
+                for k in METRIC_KEYS:
+                    delta[k] += row[k]
+        delta["available"] = True
+        return delta
     delta = {k: after.get(k, 0) - before.get(k, 0) for k in METRIC_KEYS}
-    delta["available"] = bool(before.get("available")) and bool(after.get("available"))
+    delta["available"] = avail
     return delta
 
 

@@ -148,6 +148,11 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         # the native Python UDTF exemplar: the CDC boundary scan is a
         # sequential per-document recurrence — imperative by design
         "cdc_chunk_documents",
+        # video tier: container build + per-keyframe BMP decode/dHash are
+        # Arrow-batched numpy by design; keyframe SLICING is JVM substring
+        # arithmetic and everything after the (doc, frame, hash) rows is
+        # JVM (window, hamming)
+        "video_keyframe_dhash",
     }
     for name, fn in queries().items():
         if name in allowed:
