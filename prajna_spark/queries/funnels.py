@@ -1435,3 +1435,123 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("re"), 6).alias("removal_effect"),
         pround(F.col("re") / F.col("sre"), 6).alias("share"),
     )
+
+
+@query(
+    "cuped_adjusted_value",
+    oracle=f"""
+    -- CUPED variance reduction: per-user post-period spend adjusted by
+    -- the pre-period covariate, theta = cov(X,Y)/var(X) from INTEGER
+    -- cent sufficient statistics (n*sxy - sx*sy over n*sxx - sx*sx —
+    -- one IEEE division), sticky md5 variant assignment. Per-variant
+    -- adjusted means and the pooled variance-reduction readout all
+    -- assemble in fixed associations from exact integers.
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                      THEN CAST(floor(value * 1e2 + 5e-1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                      THEN CAST(floor(value * 1e2 + 5e-1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT user_id, x, y,
+             CASE WHEN substring(md5('cuped1|' || CAST(user_id AS VARCHAR)), 1, 8) <= '7fffffff' THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM a
+    ), th AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(n * syy - sy * sy AS DOUBLE) AS t1,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS den
+      FROM g
+    ), v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+      FROM a GROUP BY 1
+    )
+    SELECT v.variant, v.n_users,
+           (floor((CAST(v.syv AS DOUBLE) / CAST(v.n_users AS DOUBLE))
+                  * 1e6 + 5e-1) / 1e6) AS raw_mean_cents,
+           (floor((CAST(v.syv AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+                   - th.theta * (CAST(v.sxv AS DOUBLE)
+                                 / CAST(v.n_users AS DOUBLE)
+                                 - CAST(th.sx AS DOUBLE)
+                                   / CAST(th.n AS DOUBLE)))
+                  * 1e6 + 5e-1) / 1e6) AS adj_mean_cents,
+           (floor(th.theta * 1e6 + 5e-1) / 1e6) AS theta,
+           (floor((1e0 - (th.t1 - 2e0 * th.theta * th.num
+                          + th.theta * th.theta * th.den) / th.t1)
+                  * 1e6 + 5e-1) / 1e6) AS var_reduction
+    FROM v, th
+    """,
+    tags=("experiments", "cuped", "variance-reduction", "events"),
+)
+def cuped_adjusted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) — the
+    variance-reduction step every mature experimentation platform runs
+    before the t-test: per-user post-period spend Y is adjusted by the
+    pre-period covariate X (theta = cov(X,Y)/var(X), pooled), shrinking
+    variance by corr^2 without biasing the treatment contrast. Cent
+    sums keep X and Y exact BIGINTs; theta and every mean assemble in
+    fixed IEEE associations, so both engines agree bit-for-bit before
+    display rounding. Assignment is the sticky md5 gate shared with
+    ab_test_purchase_conversion."""
+    from prajna_spark.functions.rounding import pround
+    from prajna_spark.pipeline.experiments import ab_assign
+
+    ev = _events(spark, sf_dir)
+    split = F.lit("2024-01-15").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
+    )
+    a = u.withColumn("variant", ab_assign(F.col("user_id"), seed="cuped1"))
+    g = a.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    t1 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    th = g.select(
+        "n", "sx", (num / den).alias("theta"),
+        t1.alias("t1"), num.alias("num"), den.alias("den"),
+    )
+    v = a.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    raw = F.col("syv").cast("double") / F.col("n_users").cast("double")
+    adj = raw - F.col("theta") * (
+        F.col("sxv").cast("double") / F.col("n_users").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    vr = 1.0 - (
+        F.col("t1")
+        - 2.0 * F.col("theta") * F.col("num")
+        + F.col("theta") * F.col("theta") * F.col("den")
+    ) / F.col("t1")
+    return v.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        pround(raw, 6).alias("raw_mean_cents"),
+        pround(adj, 6).alias("adj_mean_cents"),
+        pround(F.col("theta"), 6).alias("theta"),
+        pround(vr, 6).alias("var_reduction"),
+    )
