@@ -1779,3 +1779,79 @@ def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return chunk_content_defined(docs, "doc_id", "text")
+
+
+def _bpe_oracle(n: int = 8) -> str:
+    """Fixed-depth ladder replaying the deterministic BPE merge schedule
+    (pipeline.bpe): each level recounts weighted adjacent pairs over the
+    current segmentation, picks the (count desc, left, right) argmax,
+    and applies the greedy-left plain-substring merge — replace() scans
+    left-to-right non-overlapping identically on both engines."""
+    ctes = [
+        """wf AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1)""",
+        r"""c0 AS (
+      SELECT word, freq,
+             ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+      FROM wf)""",
+    ]
+    for k in range(1, n + 1):
+        ctes.append(f"""t{k} AS MATERIALIZED (
+      SELECT word, freq,
+             unnest(string_split(trim(s), ' ')) AS term,
+             generate_subscripts(string_split(trim(s), ' '), 1) AS pos
+      FROM c{k - 1})""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+      SELECT a.term AS la, b.term AS lb,
+             CAST(sum(a.freq) AS BIGINT) AS c
+      FROM t{k} a JOIN t{k} b
+        ON b.word = a.word AND b.pos = a.pos + 1
+      GROUP BY 1, 2 ORDER BY c DESC, la, lb LIMIT 1)""")
+        ctes.append(f"""c{k} AS (
+      SELECT word, freq,
+             replace(s, ' ' || m.la || ' ' || m.lb || ' ',
+                     ' ' || m.la || m.lb || ' ') AS s
+      FROM c{k - 1}, m{k} m)""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, la AS merge_left,"
+        f" lb AS merge_right, c AS pair_count FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\n    {finals}"
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(8),
+    tags=("bpe", "tokenizer", "iterative", "text", "pipeline"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training in-engine: the first 8 BPE merges learned from
+    the word-frequency table (pipeline.bpe.learn_bpe_merges) — the third
+    exactly-replayed iterative algorithm after k-means and PageRank. The
+    corpus reduces to |vocab| (word, freq) rows in ONE aggregate — the
+    100 TB shape — and each round counts freq-weighted adjacent symbol
+    pairs over that reduced table; greedy-left merges are plain
+    substring replaces with identical scan semantics on both engines, so
+    the 8-level DuckDB ladder reproduces the merge list value-for-value.
+    Driver state is the merge list itself (the model, like k-means
+    centroids)."""
+    tune(spark)
+    from prajna_spark.pipeline.bpe import learn_bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = learn_bpe_merges(wf, "word", "freq", n_merges=8)
+    return out.select(
+        "round",
+        F.col("left").alias("merge_left"),
+        F.col("right").alias("merge_right"),
+        "pair_count",
+    )
