@@ -88,3 +88,17 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "round long, left string, right string, pair_count long"
     )
+
+
+def apply_merges(words: DataFrame, word_col: str, merges: list) -> DataFrame:
+    """Segment each word with an ordered merge list [(left, right), ...]:
+    the same greedy-left replace chain the learner ran, applied as one
+    lazy column expression pipeline (no jobs). Adds ``bpe_tokens`` (the
+    symbol array) and ``n_tokens``."""
+    s = spaced_symbols(F.col(word_col))
+    for la, lb in merges:
+        s = F.replace(s, F.lit(f" {la} {lb} "), F.lit(f" {la}{lb} "))
+    toks = F.split(F.trim(s), " ")
+    return words.withColumn("bpe_tokens", toks).withColumn(
+        "n_tokens", F.size(toks).cast("long")
+    )

@@ -1855,3 +1855,83 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("merge_right"),
         "pair_count",
     )
+
+
+def _bpe_seg_oracle(n: int = 8) -> str:
+    """Ladder through c{n} (final segmentation), then per-document token
+    accounting: chars vs BPE symbols, compression ratio."""
+    base = _bpe_oracle(n)
+    with_part = base[: base.rindex("\n    SELECT CAST(1 AS BIGINT)")]
+    # _bpe_oracle ends with the UNION of merge rows; rebuild with the
+    # same CTE chain but a per-doc encoding projection instead.
+    ctes_end = with_part  # "WITH ...c{n} AS (...)"
+    return f"""{ctes_end},
+    seg AS (
+      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM c{n}
+    ), dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(seg.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(seg.n_tokens) AS BIGINT) AS n_tokens,
+           (floor((CAST(sum(seg.n_tokens) AS DOUBLE)
+                   / CAST(sum(seg.n_chars) AS DOUBLE)) * 1e6 + 5e-1)
+            / 1e6) AS tokens_per_char
+    FROM dw JOIN seg USING (word)
+    GROUP BY dw.doc_id
+    """
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=_bpe_seg_oracle(8),
+    tags=("bpe", "tokenizer", "encode", "text", "pipeline"),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus
+    (pipeline.bpe.apply_merges): the 8-merge segmentation table is
+    |vocab| rows, broadcast into a per-document token accounting —
+    words, chars, BPE symbols, tokens-per-char. The learn->encode pair
+    is the full tokenizer loop (and the compression readout is the
+    metric BPE training optimizes); encoding itself is a pure column
+    expression chain, zero extra jobs beyond the learner's rounds."""
+    tune(spark)
+    from prajna_spark.pipeline.bpe import apply_merges, learn_bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(wf, "word", "freq", n_merges=8)
+        .orderBy("round")
+        .collect()
+    ]
+    seg = apply_merges(wf.select("word"), "word", merges).select(
+        "word",
+        "n_tokens",
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    dw = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+            pround(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("tokens_per_char"),
+        )
+    )
