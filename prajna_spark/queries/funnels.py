@@ -1555,3 +1555,98 @@ def cuped_adjusted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("theta"), 6).alias("theta"),
         pround(vr, 6).alias("var_reduction"),
     )
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    -- time-decay attribution: in-window touches weight by
+    -- exp(-age/1800s), credit shares normalize per purchase; libm exp
+    -- is engine-identical and the final rounding absorbs sum-order fp
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS t_ts, event_type AS touch FROM events
+      WHERE event_type IN ('click', 'view')
+    ), c AS (
+      SELECT p.event_id, p.value, t.touch,
+             exp(-(CAST(epoch_us(p.ts) - epoch_us(t.t_ts) AS DOUBLE)
+                   / 1e6) / 1.8e3) AS w
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_ts <= p.ts AND t.t_ts >= p.ts - INTERVAL 1 HOUR
+    ), tot AS (
+      SELECT event_id, sum(w) AS wt FROM c GROUP BY 1
+    ), credits AS (
+      SELECT c.touch AS channel, c.w / tot.wt AS share,
+             c.value * (c.w / tot.wt) AS vshare
+      FROM c JOIN tot USING (event_id)
+      UNION ALL
+      SELECT 'direct', 1e0, value FROM p
+      WHERE event_id NOT IN (SELECT event_id FROM c)
+    )
+    SELECT channel,
+           (floor((sum(share)) * 1e6 + 5e-1) / 1e6) AS credited_conversions,
+           (floor((sum(vshare)) * 1e6 + 5e-1) / 1e6) AS credited_value
+    FROM credits GROUP BY 1
+    """,
+    tags=("attribution", "time-decay", "events", "composition"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution completing the family (last-touch, linear,
+    Markov removal, time-decay): each in-window touch weights by
+    exp(-age/30min), so a click two minutes before purchase out-credits
+    a view fifty minutes earlier — the recency prior between last-touch
+    (all) and linear (none). Same bucketed (user, hour) candidate
+    equi-join as the linear variant; weights use libm exp on exact
+    microsecond ages, shares normalize per purchase."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts").cast("long").alias("__t"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+        F.expr("CAST(ts AS LONG) div 3600").alias("__b"),
+    )
+    pb = p.withColumn(
+        "__b",
+        F.explode(
+            F.array(F.expr("__t div 3600 - 1"), F.expr("__t div 3600"))
+        ),
+    )
+    w = F.exp(
+        -(
+            (F.unix_micros("ts") - F.unix_micros("t_ts")).cast("double")
+            / F.lit(1e6)
+        )
+        / F.lit(1.8e3)
+    )
+    cand = (
+        pb.join(t, (pb["__b"] == t["__b"]) & (pb["user_id"] == t["t_user"]))
+        .where(
+            (F.col("t_ts") <= F.col("ts"))
+            & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("event_id", "value", "touch", w.alias("w"))
+    )
+    tot = cand.groupBy("event_id").agg(F.sum("w").alias("wt"))
+    credits = cand.join(tot, "event_id").select(
+        F.col("touch").alias("channel"),
+        (F.col("w") / F.col("wt")).alias("share"),
+        (F.col("value") * (F.col("w") / F.col("wt"))).alias("vshare"),
+    ).unionByName(
+        p.join(cand.select("event_id"), "event_id", "left_anti").select(
+            F.lit("direct").alias("channel"),
+            F.lit(1.0).alias("share"),
+            F.col("value").alias("vshare"),
+        )
+    )
+    return credits.groupBy("channel").agg(
+        pround(F.sum("share"), 6).alias("credited_conversions"),
+        pround(F.sum("vshare"), 6).alias("credited_value"),
+    )

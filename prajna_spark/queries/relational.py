@@ -2505,3 +2505,81 @@ def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+@query(
+    "ks_price_drift",
+    oracle="""
+    -- two-sample Kolmogorov-Smirnov: order totals of the first-half
+    -- date range vs the second half. Per distinct value the two ECDFs
+    -- are integer-count ratios; D = max |F1 - F2| over values — max of
+    -- IEEE-identical doubles, so no rounding is needed until display.
+    WITH b AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-04-01' THEN 1 ELSE 2 END
+               AS grp
+      FROM orders
+    ), g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM b GROUP BY v
+    ), t AS (
+      SELECT CAST(sum(n1) AS DOUBLE) AS t1, CAST(sum(n2) AS DOUBLE) AS t2
+      FROM g
+    ), e AS (
+      SELECT abs(CAST(sum(n1) OVER (ORDER BY v) AS DOUBLE) / t1
+                 - CAST(sum(n2) OVER (ORDER BY v) AS DOUBLE) / t2)
+               AS d
+      FROM g, t
+    )
+    SELECT (SELECT CAST(t1 AS BIGINT) FROM t) AS n_first,
+           (SELECT CAST(t2 AS BIGINT) FROM t) AS n_second,
+           (floor(max(d) * 1e6 + 5e-1) / 1e6) AS ks_stat
+    FROM e
+    """,
+    tags=("drift", "ks-test", "statistics", "orders"),
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on order totals (first
+    vs second half of the date range) — the distribution-level drift
+    check PSI's fixed bins can miss. The data reduces to one row per
+    DISTINCT value with both samples' counts (duplicate-safe: the ECDF
+    step lands after all ties); cumulative sums ride an ordered window
+    over that value-cardinality frame, both ECDFs are integer-count
+    ratios, and D is a max over IEEE-identical doubles — exact
+    cross-engine before display rounding."""
+    tune(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    b = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("grp"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    t = g.agg(
+        F.sum("n1").cast("double").alias("t1"),
+        F.sum("n2").cast("double").alias("t2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = g.crossJoin(F.broadcast(t)).select(
+        F.abs(
+            F.sum("n1").over(w).cast("double") / F.col("t1")
+            - F.sum("n2").over(w).cast("double") / F.col("t2")
+        ).alias("d"),
+        "t1",
+        "t2",
+    )
+    return e.agg(
+        F.first("t1").cast("long").alias("n_first"),
+        F.first("t2").cast("long").alias("n_second"),
+        pround(F.max("d"), 6).alias("ks_stat"),
+    )
