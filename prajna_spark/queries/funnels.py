@@ -1650,3 +1650,74 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum("share"), 6).alias("credited_conversions"),
         pround(F.sum("vshare"), 6).alias("credited_value"),
     )
+
+
+@query(
+    "sequence_pair_support",
+    oracle="""
+    -- ordered-pair sequence mining: support of "A then later B" = users
+    -- with some A event strictly before some B event, which reduces to
+    -- min_ts(A) < max_ts(B) per user — so the log collapses to 5 rows
+    -- per user (per-type min/max) and support counting is a narrow
+    -- per-user pair join. Pure integer/boolean arithmetic.
+    WITH s AS (
+      SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             a.user_id
+      FROM s a JOIN s b
+        ON b.user_id = a.user_id AND a.event_type <> b.event_type
+       AND a.mn < b.mx
+    ), n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu
+             FROM events)
+    SELECT first_type, then_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           (floor((CAST(count(*) AS DOUBLE) / nu) * 1e6 + 5e-1) / 1e6)
+             AS support
+    FROM pairs, n GROUP BY first_type, then_type, nu
+    """,
+    tags=("sequence-mining", "events", "analytics"),
+)
+def sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pair sequential pattern support — the first level of a
+    PrefixSpan-style miner and the statistic behind "do users who error
+    later purchase?": support(A then B) = fraction of users with an A
+    event strictly before some B event. The existential "some A before
+    some B" collapses to min_ts(A) < max_ts(B), so the event log reduces
+    to |users| x |types| min/max rows in one aggregate and the pair test
+    is a per-user self-join over 5 rows — no event-cardinality join
+    anywhere, the property that keeps sequence mining linear at 100 TB."""
+    from prajna_spark.functions.rounding import pround
+
+    ev = _events(spark, sf_dir)
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    b = s.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("then_type"),
+        F.col("mx").alias("mx2"),
+    )
+    pairs = s.join(
+        b,
+        (F.col("u2") == F.col("user_id"))
+        & (F.col("event_type") != F.col("then_type"))
+        & (F.col("mn") < F.col("mx2")),
+    )
+    n = ev.agg(F.countDistinct("user_id").cast("double").alias("nu"))
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("first_type"), "then_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "first_type",
+            "then_type",
+            "n_users",
+            pround(F.col("n_users").cast("double") / F.col("nu"), 6).alias(
+                "support"
+            ),
+        )
+    )
