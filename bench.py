@@ -195,6 +195,28 @@ EXTENDED = [
     "twa_daily_value",
     "tfidf_keywords_docs",
     "ivf_pq_search_topk",
+    # round-5 fourth wave: statistics, attribution family, tokenizer,
+    # serving, audits
+    "attribution_markov_removal",
+    "attribution_time_decay",
+    "cuped_adjusted_value",
+    "bootstrap_ci_total_price",
+    "gini_customer_spend",
+    "lorenz_spend_deciles",
+    "survival_user_retention",
+    "session_stats_gap30",
+    "chi2_type_by_weekday",
+    "ks_price_drift",
+    "sequence_pair_support",
+    "modularity_part_communities",
+    "ivm_agg_priority_revenue",
+    "ldiversity_audit_customers",
+    "rfm_customer_segments",
+    "recommend_parts_customers",
+    "phrase_search_docs",
+    "anomaly_stream_alerts",
+    "bpe_learn_merges",
+    "bpe_encode_docs",
 ]
 
 
