@@ -421,9 +421,13 @@ def poisson_bootstrap_means(
         .groupBy("rep")
         .agg(
             F.sum("__w").alias("n_eff"),
-            pround(
-                F.sum(F.col("__w") * F.col("__v")) / F.sum("__w").cast("double"),
-                dec,
+            F.when(
+                F.sum("__w") > 0,
+                pround(
+                    F.sum(F.col("__w") * F.col("__v"))
+                    / F.sum("__w").cast("double"),
+                    dec,
+                ),
             ).alias("mean"),
         )
     )

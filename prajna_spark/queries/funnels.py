@@ -1086,9 +1086,14 @@ def chi2_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, n
     )
     SELECT t AS day, at_risk AS n_at_risk, ch AS churned,
-           (floor(exp(sum(ln(1e0 - CAST(ch AS DOUBLE)
-                               / CAST(at_risk AS DOUBLE)))
-                      OVER (ORDER BY t)) * 1e6 + 5e-1) / 1e6) AS survival
+           (floor((CASE WHEN max(CASE WHEN ch = at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY t) = 1 THEN 0e0
+                   ELSE exp(sum(CASE WHEN ch < at_risk
+                                THEN ln(1e0 - CAST(ch AS DOUBLE)
+                                        / CAST(at_risk AS DOUBLE))
+                                ELSE 0e0 END)
+                            OVER (ORDER BY t)) END) * 1e6 + 5e-1) / 1e6)
+             AS survival
     FROM r
     """,
     tags=("survival", "kaplan-meier", "retention", "events", "analytics"),
@@ -1101,9 +1106,11 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     else censored at their lifetime. Risk sets are pure integer
     arithmetic over a |days|-row frame (the log reduces at the per-user
     aggregate); the KM product rides exp(cumsum(ln(1 - d/n))) on an
-    ascending-day window, bit-identical cross-engine via libm. Fully
-    saturated days (d == n) flow through as ln(0) -> -inf -> exp 0,
-    identically on both engines."""
+    ascending-day window, bit-identical cross-engine via libm; a fully
+    saturated day (d == n) zeroes survival via an explicit absorbing
+    flag (Spark's log(0) is NULL and windowed sums skip nulls — the
+    naive spelling silently overstates later values; caught by the
+    hypothesis differential)."""
     from prajna_spark.functions.rounding import pround
 
     ev = _events(spark, sf_dir)
@@ -1118,28 +1125,9 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churn"
         ),
     )
-    d = life.groupBy("t").agg(
-        F.count(F.lit(1)).alias("c"), F.sum("churn").alias("ch")
-    )
-    n = life.agg(F.count(F.lit(1)).alias("nn"))
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    r = d.crossJoin(F.broadcast(n)).withColumn(
-        "at_risk", F.col("nn") - (F.sum("c").over(w) - F.col("c"))
-    )
-    surv = F.exp(
-        F.sum(
-            F.log(
-                F.lit(1.0)
-                - F.col("ch").cast("double") / F.col("at_risk").cast("double")
-            )
-        ).over(w)
-    )
-    return r.select(
-        F.col("t").alias("day"),
-        F.col("at_risk").cast("long").alias("n_at_risk"),
-        F.col("ch").alias("churned"),
-        pround(surv, 6).alias("survival"),
-    )
+    from prajna_spark.operators.stats import km_curve
+
+    return km_curve(life, "t", "churn")
 
 
 @query(
@@ -1379,62 +1367,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("state").alias("f"), F.lit("NULL").alias("t"))
     )
 
-    def cell(f, t=None):
-        cond = F.col("f") == f if t is None else (
-            (F.col("f") == f) & (F.col("t") == t)
-        )
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+    from prajna_spark.operators.stats import markov_removal_effects
 
-    cells = trans.agg(
-        cell("START", "click").alias("sa"),
-        cell("START", "view").alias("sb"),
-        cell("START", "CONV").alias("sc_"),
-        cell("START").alias("sn"),
-        cell("click", "click").alias("aa"),
-        cell("click", "view").alias("ab"),
-        cell("click", "CONV").alias("ac"),
-        cell("click").alias("an"),
-        cell("view", "click").alias("ba"),
-        cell("view", "view").alias("bb"),
-        cell("view", "CONV").alias("bc"),
-        cell("view").alias("bn"),
-    )
-    p = cells.select(
-        (F.col("sa") / F.col("sn")).alias("tsa"),
-        (F.col("sb") / F.col("sn")).alias("tsb"),
-        (F.col("sc_") / F.col("sn")).alias("tsc"),
-        (F.col("aa") / F.col("an")).alias("taa"),
-        (F.col("ab") / F.col("an")).alias("tab"),
-        (F.col("ac") / F.col("an")).alias("tac"),
-        (F.col("ba") / F.col("bn")).alias("tba"),
-        (F.col("bb") / F.col("bn")).alias("tbb"),
-        (F.col("bc") / F.col("bn")).alias("tbc"),
-    )
-    det = (1.0 - F.col("taa")) * (1.0 - F.col("tbb")) - F.col("tab") * F.col(
-        "tba"
-    )
-    pa = (F.col("tac") * (1.0 - F.col("tbb")) + F.col("tab") * F.col("tbc")) / det
-    pb = (F.col("tbc") * (1.0 - F.col("taa")) + F.col("tba") * F.col("tac")) / det
-    base = p.select(
-        "*", (F.col("tsa") * pa + F.col("tsb") * pb + F.col("tsc")).alias("ps")
-    )
-    re_click = 1.0 - (
-        F.col("tsb") * (F.col("tbc") / (1.0 - F.col("tbb"))) + F.col("tsc")
-    ) / F.col("ps")
-    re_view = 1.0 - (
-        F.col("tsa") * (F.col("tac") / (1.0 - F.col("taa"))) + F.col("tsc")
-    ) / F.col("ps")
-    removals = base.select(
-        F.lit("click").alias("channel"), re_click.alias("re")
-    ).unionByName(
-        base.select(F.lit("view").alias("channel"), re_view.alias("re"))
-    )
-    tot = removals.agg(F.sum("re").alias("sre"))
-    return removals.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        pround(F.col("re"), 6).alias("removal_effect"),
-        pround(F.col("re") / F.col("sre"), 6).alias("share"),
-    )
+    return markov_removal_effects(trans, "click", "view")
 
 
 @query(

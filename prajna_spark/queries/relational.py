@@ -2299,7 +2299,7 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     until ONE final IEEE division — so the statistic is bit-identical
     cross-engine before display rounding."""
     tune(spark)
-    from prajna_spark.operators.zipindex import zip_with_index
+    from prajna_spark.operators.stats import gini_cents
 
     orders = load_table(spark, "orders", sf_dir)
     c = orders.groupBy("o_custkey").agg(
@@ -2307,26 +2307,8 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    r = zip_with_index(c, order_by=["cents", "o_custkey"], index_col="__i0")
-    r = r.withColumn("i", (F.col("__i0") + 1).cast("long"))
-    n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    s = (
-        r.crossJoin(F.broadcast(n))
-        .agg(
-            F.first("n").alias("n"),
-            F.sum("cents").alias("tot"),
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias(
-                "num"
-            ),
-        )
-    )
-    return s.select(
-        F.col("n").alias("n_customers"),
-        pround(
-            F.col("num").cast("double")
-            / (F.col("n").cast("double") * F.col("tot").cast("double")),
-            6,
-        ).alias("gini"),
+    return gini_cents(c, "cents", "o_custkey").select(
+        F.col("n_units").alias("n_customers"), "gini"
     )
 
 
@@ -2561,25 +2543,6 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("grp"),
     )
-    g = b.groupBy("v").agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
-    )
-    t = g.agg(
-        F.sum("n1").cast("double").alias("t1"),
-        F.sum("n2").cast("double").alias("t2"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    e = g.crossJoin(F.broadcast(t)).select(
-        F.abs(
-            F.sum("n1").over(w).cast("double") / F.col("t1")
-            - F.sum("n2").over(w).cast("double") / F.col("t2")
-        ).alias("d"),
-        "t1",
-        "t2",
-    )
-    return e.agg(
-        F.first("t1").cast("long").alias("n_first"),
-        F.first("t2").cast("long").alias("n_second"),
-        pround(F.max("d"), 6).alias("ks_stat"),
-    )
+    from prajna_spark.operators.stats import ks_2samp
+
+    return ks_2samp(b, "v", "grp")

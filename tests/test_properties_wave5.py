@@ -1,0 +1,329 @@
+"""Hypothesis differentials for the round-5 statistics/tokenizer tier
+(operators.stats, pipeline.bpe, pipeline.sampling bootstrap).
+
+These operators' DuckDB oracles replay the SAME algebra, so a shared
+misconception would pass the catalog gate; each test here compares the
+distributed result against an INDEPENDENT local model — a different
+method where possible (e.g. fixed-point iteration vs the closed-form
+Cramer solve for the absorbing chain)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+TOL = 1.1e-6  # pround(6) grid + fp association slack
+
+
+# ---------------------------------------------------------------- gini
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=2, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_gini_matches_local_formula(spark, cents):
+    from prajna_spark.operators.stats import gini_cents
+
+    if sum(cents) == 0:
+        return  # zero total -> undefined; catalog inputs are positive
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "k long, cents long"
+    )
+    got = gini_cents(df, "cents", "k").collect()[0]
+    xs = sorted(cents)
+    n = len(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    want = num / (n * sum(xs))
+    assert got["n_units"] == n
+    assert abs(got["gini"] - want) <= TOL
+
+
+# ------------------------------------------------------- kaplan-meier
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # observed time
+            st.integers(min_value=0, max_value=1),  # event flag
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_km_curve_matches_local_product(spark, rows):
+    from prajna_spark.operators.stats import km_curve
+
+    df = spark.createDataFrame(rows, "t long, ev long")
+    got = {r["day"]: r for r in km_curve(df, "t", "ev").collect()}
+
+    days = sorted({t for t, _ in rows})
+    s = 1.0
+    for day in days:
+        at_risk = sum(1 for t, _ in rows if t >= day)
+        d = sum(1 for t, e in rows if t == day and e == 1)
+        s *= 1.0 - d / at_risk
+        r = got[day]
+        assert r["n_at_risk"] == at_risk
+        assert r["churned"] == d
+        assert abs(r["survival"] - s) <= TOL
+
+
+# ------------------------------------------------------------- KS test
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+    b=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_ks_matches_local_ecdf_scan(spark, a, b):
+    from prajna_spark.operators.stats import ks_2samp
+
+    df = spark.createDataFrame(
+        [(float(v), 1) for v in a] + [(float(v), 2) for v in b],
+        "v double, grp int",
+    )
+    got = ks_2samp(df, "v", "grp").collect()[0]
+    pts = sorted(set(a) | set(b))
+    want = max(
+        abs(
+            sum(1 for x in a if x <= p) / len(a)
+            - sum(1 for x in b if x <= p) / len(b)
+        )
+        for p in pts
+    )
+    assert (got["n_first"], got["n_second"]) == (len(a), len(b))
+    assert abs(got["ks_stat"] - want) <= TOL
+
+
+# ------------------------------------- markov removal (iterative model)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from(["START", "A", "B"]),
+            st.sampled_from(["A", "B", "CONV", "NULL"]),
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_markov_removal_matches_fixed_point_iteration(spark, edges):
+    from prajna_spark.operators.stats import markov_removal_effects
+
+    # every transient state needs outgoing mass, and the chain must
+    # convert sometimes for removal effects to be defined
+    for state in ("START", "A", "B"):
+        if not any(f == state for f, _ in edges):
+            return
+    if not any(t == "CONV" for _, t in edges):
+        return
+
+    def probs(f):
+        rows = [t for ff, t in edges if ff == f]
+        n = len(rows)
+        return {t: rows.count(t) / n for t in ("A", "B", "CONV")}
+
+    tS, tA, tB = probs("START"), probs("A"), probs("B")
+
+    det = (1.0 - tA.get("A", 0)) * (1.0 - tB.get("B", 0)) - tA.get(
+        "B", 0
+    ) * tB.get("A", 0)
+    den_a = 1.0 - tA.get("A", 0)
+    den_b = 1.0 - tB.get("B", 0)
+    if abs(det) < 1e-9 or den_a < 1e-9 or den_b < 1e-9:
+        return  # chain cannot absorb / closed form undefined
+
+    def solve(removed=None):
+        pa = pb = 0.0
+        for _ in range(500):  # independent method: fixed-point iteration
+            pa = tA.get("A", 0) * pa + tA.get("B", 0) * pb + tA.get("CONV", 0)
+            if removed == "A":
+                pa = 0.0  # entering A converts nothing, zero BEFORE pb reads it
+            pb = tB.get("A", 0) * pa + tB.get("B", 0) * pb + tB.get("CONV", 0)
+            if removed == "B":
+                pb = 0.0
+        ps = tS.get("A", 0) * pa + tS.get("B", 0) * pb + tS.get("CONV", 0)
+        return ps
+
+    ps = solve()
+    if ps <= 1e-9:
+        return
+    want = {
+        "A": 1.0 - solve(removed="A") / ps,
+        "B": 1.0 - solve(removed="B") / ps,
+    }
+    df = spark.createDataFrame(edges, "f string, t string")
+    got = {
+        r["channel"]: r["removal_effect"]
+        for r in markov_removal_effects(df, "A", "B").collect()
+    }
+    for ch in ("A", "B"):
+        assert abs(got[ch] - want[ch]) <= 1e-5, (ch, got[ch], want[ch])
+
+
+# --------------------------------------------------- poisson bootstrap
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    b=st.sampled_from([1, 4]),
+)
+@settings(**SETTINGS)
+def test_poisson_bootstrap_matches_local_md5_replay(spark, vals, b):
+    from prajna_spark.pipeline.sampling import (
+        _POIS1_CDF,
+        _U_DENOM,
+        poisson_bootstrap_means,
+    )
+
+    df = spark.createDataFrame(vals, "k long, v double")
+    got = {
+        r["rep"]: r
+        for r in poisson_bootstrap_means(df, "k", "v", b=b).collect()
+    }
+
+    def mult(key, rep):
+        h = hashlib.md5(f"boot|{rep}|{key}".encode()).hexdigest()
+        u = int(h[:15], 16) / _U_DENOM
+        for k, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return k
+        return 8
+
+    for rep in range(b):
+        ws = [(mult(k, rep), v) for k, v in vals]
+        n_eff = sum(w for w, _ in ws)
+        if n_eff == 0:
+            assert got[rep]["mean"] is None or math.isnan(got[rep]["mean"])
+            continue
+        want = sum(w * v for w, v in ws) / n_eff
+        assert got[rep]["n_eff"] == n_eff
+        assert abs(got[rep]["mean"] - want) <= TOL
+
+
+# -------------------------------------------------- sequence support
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.integers(min_value=0, max_value=30),  # ts
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_sequence_pair_support_matches_brute_force(spark, events):
+    df = spark.createDataFrame(events, "u long, t long, et string")
+    s = df.groupBy("u", "et").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    b2 = s.select(
+        F.col("u").alias("u2"), F.col("et").alias("et2"), F.col("mx").alias("mx2")
+    )
+    got = {
+        (r["et"], r["et2"]): r["n"]
+        for r in s.join(
+            b2,
+            (F.col("u2") == F.col("u"))
+            & (F.col("et") != F.col("et2"))
+            & (F.col("mn") < F.col("mx2")),
+        )
+        .groupBy("et", "et2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # brute force: exists (a, b) with a.ts < b.ts
+    want: dict = {}
+    users = {u for u, _, _ in events}
+    for ua in ("x", "y", "z"):
+        for ub in ("x", "y", "z"):
+            if ua == ub:
+                continue
+            n = sum(
+                1
+                for u in users
+                if any(
+                    t1 < t2
+                    for uu, t1, e1 in events
+                    if uu == u and e1 == ua
+                    for uv, t2, e2 in events
+                    if uv == u and e2 == ub
+                )
+            )
+            if n:
+                want[(ua, ub)] = n
+    assert got == want
+
+
+# ------------------------------------------------------------- BPE
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.sampled_from([1, 3]),
+)
+@settings(**SETTINGS)
+def test_bpe_matches_local_greedy_learner(spark, words, n_merges):
+    from prajna_spark.pipeline.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(words, "word string, freq long")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, "word", "freq", n_merges=n_merges)
+        .orderBy("round")
+        .collect()
+    ]
+
+    segs = {w: list(w) for w, _ in words}
+    freqs = dict(words)
+    want = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freqs[w]
+        if not counts:
+            break
+        (la, lb), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, la, lb, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == la
+                    and syms[i + 1] == lb
+                ):
+                    out.append(la + lb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert got == want
