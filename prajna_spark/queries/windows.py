@@ -1769,3 +1769,92 @@ def anomaly_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/store").select(
         "event_id", "event_type", "value", "fc", "deviation"
     )
+
+
+@query(
+    "forecast_conformal_coverage",
+    oracle=f"""
+    -- split-conformal interval for the seasonal forecast: the band is
+    -- the exact q95 of TRAIN absolute residuals per type (forecast
+    -- rounded before residuals, quantile_cont == percentile
+    -- bit-identical), and test coverage counts hits inside
+    -- forecast ± band — the finite-sample ~95% guarantee that needs no
+    -- distributional assumption.
+    WITH tr AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             {R("avg(value)", 6)} AS fc
+      FROM events WHERE ts < TIMESTAMP '2024-01-22' GROUP BY 1, 2
+    ), resid AS (
+      SELECT e.event_type, abs(e.value - tr.fc) AS r
+      FROM events e JOIN tr
+        ON tr.event_type = e.event_type
+       AND tr.hod = CAST(hour(e.ts) AS BIGINT)
+      WHERE e.ts < TIMESTAMP '2024-01-22'
+    ), band AS (
+      SELECT event_type, quantile_cont(r, 0.95) AS q FROM resid GROUP BY 1
+    ), te AS (
+      SELECT e.event_type, e.value, tr.fc, band.q
+      FROM events e
+      JOIN tr ON tr.event_type = e.event_type
+             AND tr.hod = CAST(hour(e.ts) AS BIGINT)
+      JOIN band ON band.event_type = e.event_type
+      WHERE e.ts >= TIMESTAMP '2024-01-22'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           {R("max(q)", 6)} AS band_width,
+           (floor((CAST(sum(CASE WHEN abs(value - fc) <= q THEN 1 ELSE 0
+                             END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  * 1e6 + 5e-1) / 1e6) AS coverage
+    FROM te GROUP BY event_type
+    """,
+    tags=("forecast", "conformal", "uncertainty", "events", "eval"),
+)
+def forecast_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal forecast —
+    the distribution-free uncertainty layer (band = exact q95 of train
+    absolute residuals per type) with its empirical test coverage, the
+    number that validates the ~95% finite-sample guarantee. Composes
+    the forecast table (broadcast), one exact percentile over train
+    residuals, and a counting pass over test; the hit test
+    |value - fc| <= q compares IEEE-identical doubles, so coverage is
+    exact cross-engine. At scale everything rides the same broadcast
+    pattern as the forecast itself."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    split = F.lit("2024-01-22").cast("timestamp")
+    tr = (
+        ev.where(F.col("ts") < split)
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hod"))
+        .agg(pround(F.avg("value"), 6).alias("fc"))
+    )
+    train_resid = (
+        ev.where(F.col("ts") < split)
+        .select("event_type", F.hour("ts").cast("long").alias("hod"), "value")
+        .join(F.broadcast(tr), ["event_type", "hod"])
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("fc")).alias("r")
+        )
+    )
+    band = train_resid.groupBy("event_type").agg(
+        F.percentile("r", 0.95).alias("q")
+    )
+    te = (
+        ev.where(F.col("ts") >= split)
+        .select("event_type", F.hour("ts").cast("long").alias("hod"), "value")
+        .join(F.broadcast(tr), ["event_type", "hod"])
+        .join(F.broadcast(band), "event_type")
+    )
+    return te.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        pround(F.max("q"), 6).alias("band_width"),
+        pround(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("fc")) <= F.col("q"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+    )
