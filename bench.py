@@ -217,6 +217,7 @@ EXTENDED = [
     "anomaly_stream_alerts",
     "bpe_learn_merges",
     "bpe_encode_docs",
+    "forecast_conformal_coverage",
 ]
 
 
