@@ -1858,3 +1858,129 @@ def forecast_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    -- Mann-Kendall monotonic-trend test per event type over the hourly
+    -- count series: S = sum over hour pairs of sign(x_j - x_i), its
+    -- tie-corrected variance, and the continuity-corrected z — all
+    -- INTEGER sufficient statistics until the final sqrt/division, so
+    -- bit-identical cross-engine before display rounding.
+    WITH hc AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS mk_s
+      FROM hc a JOIN hc b
+        ON b.event_type = a.event_type AND b.h > a.h
+      GROUP BY 1
+    ), n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM hc GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        FROM hc GROUP BY 1, 2
+      ) WHERE t > 1 GROUP BY 1
+    ), v AS (
+      SELECT n.event_type, s.mk_s, n.n,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                  - coalesce(t.tie_term, 0) AS DOUBLE) / 1.8e1 AS var_s
+      FROM n JOIN s USING (event_type)
+      LEFT JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type, mk_s, n AS n_hours,
+           (floor((CASE WHEN mk_s > 0
+                        THEN CAST(mk_s - 1 AS DOUBLE) / sqrt(var_s)
+                        WHEN mk_s < 0
+                        THEN CAST(mk_s + 1 AS DOUBLE) / sqrt(var_s)
+                        ELSE 0e0 END) * 1e6 + 5e-1) / 1e6) AS z
+    FROM v
+    """,
+    tags=("timeseries", "trend", "mann-kendall", "statistics", "events"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type — the
+    nonparametric companion to trend_hourly_events' OLS slope (no
+    normality assumption, robust to outliers): S counts concordant
+    minus discordant hour pairs, variance gets the standard tie
+    correction, z applies the continuity correction. The log reduces to
+    the |types| x |hours| series first; the pair join is bounded by
+    series length squared PER TYPE (series-cardinality, never corpus).
+    All sufficient statistics are exact BIGINTs; only the final
+    sqrt/division is IEEE, identically associated on both engines."""
+    tune(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hc = ev.groupBy(
+        "event_type",
+        F.expr("CAST(date_trunc('HOUR', ts) AS LONG)").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    b = hc.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("x").alias("x2"),
+    )
+    s = (
+        hc.join(
+            b,
+            (F.col("et2") == F.col("event_type")) & (F.col("h2") > F.col("h")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("x2") > F.col("x"), 1)
+                .when(F.col("x2") < F.col("x"), -1)
+                .otherwise(0)
+            ).alias("mk_s")
+        )
+    )
+    n = hc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        hc.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn(
+            "var_s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).cast("double")
+            / F.lit(18.0),
+        )
+    )
+    z = (
+        F.when(
+            F.col("mk_s") > 0,
+            (F.col("mk_s") - 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("mk_s") < 0,
+            (F.col("mk_s") + 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        "mk_s",
+        F.col("n").alias("n_hours"),
+        pround(z, 6).alias("z"),
+    )
