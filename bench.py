@@ -218,6 +218,7 @@ EXTENDED = [
     "bpe_learn_merges",
     "bpe_encode_docs",
     "forecast_conformal_coverage",
+    "mann_kendall_trend",
 ]
 
 
