@@ -344,9 +344,10 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "histogram_quantile_sketch",
-    oracle="""
+# Shared by histogram_quantile_sketch (one-shot batch) and
+# hist_stream_quantiles (the streamed delta store): same parameters, one
+# oracle — equality proves live == batch at any clean drain point.
+_HIST_SKETCH_ORACLE = """
     -- quantile ESTIMATES from a mergeable fixed-bound equi-width
     -- histogram (100 bins over [0, 1000]): deterministic binning +
     -- in-bin linear interpolation, replayed exactly
@@ -372,7 +373,12 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c CROSS JOIN (SELECT unnest([5e-1, 9.5e-1, 9.9e-1]) AS q) qs
       WHERE CAST(cum AS DOUBLE) >= CAST(total AS DOUBLE) * q
     ) WHERE rn = 1
-    """,
+    """
+
+
+@query(
+    "histogram_quantile_sketch",
+    oracle=_HIST_SKETCH_ORACLE,
     tags=("sketch", "quantiles", "histogram", "mergeable", "events"),
 )
 def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,4 +1661,42 @@ def sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "support"
             ),
         )
+    )
+
+
+@query(
+    "hist_stream_quantiles",
+    oracle=_HIST_SKETCH_ORACLE,
+    tags=("sketch", "quantiles", "histogram", "streaming",
+          "continuous-aggregate"),
+)
+def hist_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 estimates through the STREAMED histogram store
+    (streaming.hist_stream) — the third streamed sketch, completing the
+    family (KMV distincts, MG heavy keys, histogram distributions):
+    per-micro-batch bin partials land under their own ingest_batch
+    partition (dynamic partition overwrite makes replays rewrite, not
+    double-count — addition is not idempotent, unlike the KMV merge),
+    and the read side sums bins and interpolates. Shares the batch
+    twin's oracle VERBATIM, so live == one-shot batch at any clean
+    drain point, hash-for-hash."""
+    import tempfile
+
+    from prajna_spark.streaming.hist_stream import (
+        quantiles_from_store,
+        start_incremental_histogram,
+    )
+    from prajna_spark.streaming.telemetry import events_readstream
+
+    tune(spark)
+    base = tempfile.mkdtemp(prefix="hist_stream_q_")
+    ev = events_readstream(spark, sf_dir).select("event_type", "value")
+    q = start_incremental_histogram(
+        ev, ["event_type"], "value", 0.0, 1000.0, 100,
+        f"{base}/store", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return quantiles_from_store(
+        spark, f"{base}/store", ["event_type"], [0.5, 0.95, 0.99],
+        0.0, 1000.0, 100,
     )

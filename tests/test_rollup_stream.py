@@ -127,3 +127,47 @@ def test_arbitrarily_late_event_folds_exactly(spark, tmp_path):
     assert got[(3600, 0)] == (2, 41.0)          # folded, exact
     assert got[(86400, 0)] == (2, 41.0)         # cascades fold it too
     assert got[(3600, 7 * 86400)] == (1, 2.0)
+
+
+
+def test_streamed_histogram_matches_batch_and_survives_replay(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prajna_spark.operators.sketch_rollup import fixed_histogram
+    from prajna_spark.sources import load_table
+    from prajna_spark.streaming.hist_stream import (
+        compact_histogram_store,
+        merged_histogram,
+        start_incremental_histogram,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    src = str(tmp_path / "src")
+    ev.where(F.col("value") < 50).write.parquet(src, mode="overwrite")
+    ev.where(F.col("value") >= 50).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("event_type string, value double").parquet(src)
+        q = start_incremental_histogram(
+            stream, ["event_type"], "value", 0.0, 1000.0, 100,
+            str(tmp_path / "store"), str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    def rows(df):
+        return sorted(map(tuple, df.select("event_type", "bin", "cnt").collect()))
+
+    drain("ck1")
+    batch = rows(fixed_histogram(ev, ["event_type"], "value", 0.0, 1000.0, 100))
+    store = str(tmp_path / "store")
+    assert rows(merged_histogram(spark, store, ["event_type"])) == batch
+
+    # replay: a fresh-checkpoint second drain rewrites each batch's own
+    # ingest_batch partition (same ids), so the additive store does NOT
+    # double-count
+    drain("ck2")
+    assert rows(merged_histogram(spark, store, ["event_type"])) == batch
+
+    n = compact_histogram_store(spark, store, ["event_type"])
+    assert n == len(batch)
+    assert rows(merged_histogram(spark, store, ["event_type"])) == batch
