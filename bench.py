@@ -219,6 +219,7 @@ EXTENDED = [
     "bpe_encode_docs",
     "forecast_conformal_coverage",
     "mann_kendall_trend",
+    "hist_stream_quantiles",
 ]
 
 
