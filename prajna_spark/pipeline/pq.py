@@ -61,16 +61,27 @@ def pq_codebook(
     ]
 
 
-def _sq_dist(sub: Column, entry: list[float]) -> Column:
-    """Left-associated squared-L2 between a sub-vector column and a
-    literal codebook entry."""
-    expr: Column | None = None
-    for i, c in enumerate(entry):
-        d = sub[i] - F.lit(float(c))
-        t = d * d
-        expr = t if expr is None else expr + t
-    assert expr is not None
-    return expr
+def _lit_vecs(entries: list[list[float]]) -> Column:
+    """Literal array-of-arrays column for a small codebook/centroid set."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in e]) for e in entries]
+    )
+
+
+def _sqdist_fold(a: Column, b: Column) -> Column:
+    """Left-folded squared-L2 between two array<double> columns — the
+    same sequential association as an unrolled (a0-b0)^2 + ... chain,
+    so results are bit-identical to the oracle's explicit term sums.
+    Expressed as zip_with+aggregate instead of unrolled terms: the
+    unrolled spelling at m*k codebook fan-out built expression trees
+    past janino's 64KB method limit, knocking the WHOLE stage out of
+    codegen into interpreted eval and costing ~30s of driver-side plan
+    construction besides (measured; data-size independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_encode(
@@ -89,7 +100,9 @@ def pq_encode(
     codes, err = [], None
     for s in range(m):
         sub = F.slice(v, s * sub_dim + 1, sub_dim)
-        dists = F.array(*[_sq_dist(sub, e) for e in codebook[s]])
+        dists = F.transform(
+            _lit_vecs(codebook[s]), lambda e: _sqdist_fold(sub, e)
+        )
         best = F.array_min(dists)
         # first index of the min == lowest-code tie-break
         codes.append((F.array_position(dists, best) - 1).cast("long"))
@@ -113,12 +126,11 @@ def adc_distance(
     adc: Column | None = None
     for s in range(m):
         qsub = F.slice(q_vec, s * sub_dim + 1, sub_dim)
-        code = codes[s]
-        sel = None
-        for c, entry in enumerate(codebook[s]):
-            d = _sq_dist(qsub, entry)
-            sel = F.when(code == c, d) if sel is None else sel.when(code == c, d)
-        adc = sel if adc is None else adc + sel
+        entry = F.element_at(
+            _lit_vecs(codebook[s]), codes[s].cast("int") + 1
+        )
+        d = _sqdist_fold(qsub, entry)
+        adc = d if adc is None else adc + d
     assert adc is not None
     return adc
 
@@ -160,11 +172,7 @@ def pq_adc_recall(
         F.col("cand_id") != F.col("query_id")
     )
 
-    exact: Column | None = None
-    for i in range(m * sub_dim):
-        d = F.col("q_vec")[i] - F.col("c_vec")[i]
-        t = d * d
-        exact = t if exact is None else exact + t
+    exact = _sqdist_fold(F.col("q_vec"), F.col("c_vec"))
 
     adc = adc_distance(codebook, F.col("q_vec"), F.col("codes"))
 
@@ -230,7 +238,10 @@ def ivf_pq_search(
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
-    cell_dists = F.array(*[_sq_dist(v, ce) for _, ce in centroids])
+    cell_dists = F.transform(
+        _lit_vecs([ce for _, ce in centroids]),
+        lambda ce: _sqdist_fold(v, ce),
+    )
     cell_ids = [cid for cid, _ in centroids]
     cell = F.element_at(
         F.array(*[F.lit(c) for c in cell_ids]),
@@ -244,11 +255,13 @@ def ivf_pq_search(
     )
 
     # per-query probe list: nprobe nearest cells by the same coarse metric
-    probe_structs = F.array(
-        *[
-            F.struct(_sq_dist(v, ce).alias("d"), F.lit(cid).cast("long").alias("cid"))
-            for cid, ce in centroids
-        ]
+    cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in centroids])
+    probe_structs = F.transform(
+        _lit_vecs([ce for _, ce in centroids]),
+        lambda ce, i: F.struct(
+            _sqdist_fold(v, ce).alias("d"),
+            F.element_at(cid_arr, i + 1).alias("cid"),
+        ),
     )
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
