@@ -1654,10 +1654,13 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_batch.write.parquet(src)
     mx = ev_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
 
-    def drain() -> None:
-        stream = spark.readStream.schema(
+    def drain(max_files: int | None = None) -> None:
+        reader = spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string"
-        ).parquet(src)
+        )
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(src)
         p = (
             stream.where(F.col("event_type") == "purchase")
             .select(
@@ -1695,6 +1698,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     drain()  # all data, one batch, watermark at epoch 0 -> nothing late
+    # both sentinel files land before ONE second drain that processes
+    # them as separate micro-batches (maxFilesPerTrigger=1): the first
+    # advances the watermark past every window, the second is the batch
+    # in which that watermark evicts + emits — one streaming startup
+    # instead of two.
     for i, hours in enumerate((4, 8)):
         sentinel = spark.createDataFrame(
             [(-1 - 2 * i, mx, -1, "purchase"), (-2 - 2 * i, mx, -1, "view")],
@@ -1706,7 +1714,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         sentinel.coalesce(1).write.mode("append").parquet(src)
-        drain()
+    drain(max_files=1)
     return spark.read.parquet(out).where(F.col("p_id") >= 0)
 
 
