@@ -6,13 +6,18 @@ aggregate, and every merge round then counts adjacent symbol pairs over
 that reduced table weighted by freq — the shape that makes tokenizer
 training a Spark job instead of a single-machine pass.
 
-Representation: each word is a spaced symbol string with sentinel
-padding (`` t a b l e ``); a merge of pair (a, b) is a plain substring
-``replace(' a b ', ' ab ')``. Plain replace scans left-to-right
-non-overlapping on BOTH engines (probed: ``' a a a '`` -> ``' aa a '``),
-which is exactly BPE's greedy-left merge order — so the whole learned
-merge sequence is deterministic and replayable in SQL as a fixed-depth
-ladder. Argmax ties break on (count desc, left, right).
+Merging uses classic BPE greedy-left non-overlapping semantics, spelled
+POSITIONALLY so it is a pure window/array computation identical on both
+engines: a position is a candidate iff (tok, next) == (la, lb); when
+la != lb candidates can never be adjacent, so every candidate merges;
+when la == lb candidates form runs inside maximal equal-token islands
+and greedy takes every OTHER one from the island start (even relative
+parity). A token is dropped iff its predecessor merged. (A first cut
+spelled the merge as a substring replace over spaced symbols; the
+hypothesis differential against a local greedy learner caught that
+replace consumes the shared boundary — ``a a a a`` became ``[aa, a, a]``
+instead of BPE's ``[aa, aa]`` — and the DuckDB oracle shared the
+blindspot. The positional spelling is exact.)
 
 Driver state is the merge list itself (n_merges rows — the MODEL, same
 adjudication as k-means centroids); pair counting stays distributed.
@@ -23,13 +28,85 @@ this is north-star LLM-pipeline surface alongside pipeline.vocab.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def spaced_symbols(word):
-    """`` t a b l e `` — symbols spaced, sentinel spaces both ends."""
-    return F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+def char_tokens(word) -> F.Column:
+    """array<string> of the word's characters."""
+    return F.split(
+        F.trim(F.regexp_replace(word, "(.)", "$1 ")), " "
+    )
+
+
+def merge_pair(corpus: DataFrame, la: str, lb: str) -> DataFrame:
+    """Apply ONE greedy-left merge of (la, lb) to a (word, freq, toks)
+    frame — the positional spelling (see module docstring)."""
+    t = corpus.select(
+        "word",
+        "freq",
+        F.posexplode("toks").alias("pos0", "t"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    w_ord = Window.partitionBy("word").orderBy("pos")
+    t = t.withColumn("nxt", F.lead("t").over(w_ord)).withColumn(
+        "__isl",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("word", "t").orderBy("pos")
+        ),
+    )
+    t = t.withColumn(
+        "__istart",
+        F.min("pos").over(Window.partitionBy("word", "t", "__isl")),
+    )
+    cand = (F.col("t") == la) & (F.col("nxt") == lb)
+    if la == lb:
+        taken = cand & ((F.col("pos") - F.col("__istart")) % 2 == 0)
+    else:
+        taken = cand
+    t = t.withColumn("__taken", taken).withColumn(
+        "__prev_taken",
+        F.coalesce(F.lag("__taken").over(w_ord), F.lit(False)),
+    )
+    out = t.select(
+        "word",
+        "freq",
+        "pos",
+        F.when(F.col("__taken"), F.lit(la + lb))
+        .when(F.col("__prev_taken"), F.lit(None))
+        .otherwise(F.col("t"))
+        .alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    return out.groupBy("word", "freq").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks")
+    )
+
+
+def _top_pair(corpus: DataFrame):
+    """Most frequent adjacent pair (freq-weighted), ties to smallest
+    (left, right). Returns a one-row list or []."""
+    t = corpus.select(
+        "word", "freq", F.posexplode("toks").alias("pos", "t")
+    )
+    nxt = t.select(
+        F.col("word").alias("w2"),
+        (F.col("pos") - 1).alias("p2"),
+        F.col("t").alias("t2"),
+    )
+    return (
+        t.join(
+            nxt,
+            (F.col("w2") == F.col("word")) & (F.col("p2") == F.col("pos")),
+        )
+        .groupBy(F.col("t").alias("left"), F.col("t2").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+        .limit(1)
+        .collect()
+    )
 
 
 def learn_bpe_merges(
@@ -43,46 +120,18 @@ def learn_bpe_merges(
     list that defines the tokenizer."""
     spark = words.sparkSession
     corpus = words.select(
-        F.col(word_col).alias("__w"),
-        F.col(freq_col).cast("long").alias("__f"),
-        spaced_symbols(F.col(word_col)).alias("__s"),
+        F.col(word_col).alias("word"),
+        F.col(freq_col).cast("long").alias("freq"),
+        char_tokens(F.col(word_col)).alias("toks"),
     ).localCheckpoint()
     merges = []
     for rnd in range(1, n_merges + 1):
-        toks = corpus.select(
-            "__w",
-            "__f",
-            F.posexplode(F.split(F.trim("__s"), " ")).alias("__p", "__t"),
-        )
-        right = toks.select(
-            F.col("__w").alias("__w2"),
-            F.col("__p").alias("__p2"),
-            F.col("__t").alias("__t2"),
-        )
-        top = (
-            toks.join(
-                right,
-                (F.col("__w2") == F.col("__w"))
-                & (F.col("__p2") == F.col("__p") + 1),
-            )
-            .groupBy(
-                F.col("__t").alias("left"), F.col("__t2").alias("right")
-            )
-            .agg(F.sum("__f").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "left", "right")
-            .limit(1)
-            .collect()
-        )
+        top = _top_pair(corpus)
         if not top:
             break
         la, lb, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rnd, la, lb, int(c)))
-        nxt = corpus.withColumn(
-            "__s",
-            F.replace(
-                "__s", F.lit(f" {la} {lb} "), F.lit(f" {la}{lb} ")
-            ),
-        ).localCheckpoint()
+        nxt = merge_pair(corpus, la, lb).localCheckpoint()
         corpus.unpersist()
         corpus = nxt
     return spark.createDataFrame(
@@ -91,14 +140,20 @@ def learn_bpe_merges(
 
 
 def apply_merges(words: DataFrame, word_col: str, merges: list) -> DataFrame:
-    """Segment each word with an ordered merge list [(left, right), ...]:
-    the same greedy-left replace chain the learner ran, applied as one
-    lazy column expression pipeline (no jobs). Adds ``bpe_tokens`` (the
-    symbol array) and ``n_tokens``."""
-    s = spaced_symbols(F.col(word_col))
+    """Segment each word with an ordered merge list [(left, right), ...]
+    — the same positional greedy merge the learner ran, applied round by
+    round. Adds ``bpe_tokens`` and ``n_tokens``."""
+    corpus = words.select(
+        F.col(word_col).alias("word"),
+        F.lit(1).cast("long").alias("freq"),
+        char_tokens(F.col(word_col)).alias("toks"),
+    )
     for la, lb in merges:
-        s = F.replace(s, F.lit(f" {la} {lb} "), F.lit(f" {la}{lb} "))
-    toks = F.split(F.trim(s), " ")
-    return words.withColumn("bpe_tokens", toks).withColumn(
-        "n_tokens", F.size(toks).cast("long")
+        corpus = merge_pair(corpus, la, lb)
+    return (
+        corpus.select(
+            F.col("word").alias(word_col),
+            F.col("toks").alias("bpe_tokens"),
+            F.size("toks").cast("long").alias("n_tokens"),
+        )
     )

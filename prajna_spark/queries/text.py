@@ -1781,12 +1781,54 @@ def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_content_defined(docs, "doc_id", "text")
 
 
-def _bpe_oracle(n: int = 8) -> str:
-    """Fixed-depth ladder replaying the deterministic BPE merge schedule
-    (pipeline.bpe): each level recounts weighted adjacent pairs over the
-    current segmentation, picks the (count desc, left, right) argmax,
-    and applies the greedy-left plain-substring merge — replace() scans
-    left-to-right non-overlapping identically on both engines."""
+def _bpe_round_ctes(k: int) -> list[str]:
+    """One BPE round: tokens with positions, the argmax pair, the
+    POSITIONAL greedy merge (candidates = (tok, next) == pair; when
+    left == right only even-parity candidates within an equal-token
+    island merge; a token drops iff its predecessor merged), and the
+    rebuilt token lists."""
+    return [
+        f"""t{k} AS MATERIALIZED (
+      SELECT word, freq, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM c{k - 1})""",
+        f"""m{k} AS MATERIALIZED (
+      SELECT a.tok AS la, b.tok AS lb,
+             CAST(sum(a.freq) AS BIGINT) AS c
+      FROM t{k} a JOIN t{k} b
+        ON b.word = a.word AND b.pos = a.pos + 1
+      GROUP BY 1, 2 ORDER BY c DESC, la, lb LIMIT 1)""",
+        f"""x{k} AS (
+      SELECT word, freq, pos, tok,
+             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             pos - row_number() OVER (PARTITION BY word, tok
+                                      ORDER BY pos) AS isl
+      FROM t{k})""",
+        f"""y{k} AS (
+      SELECT *, min(pos) OVER (PARTITION BY word, tok, isl) AS istart
+      FROM x{k})""",
+        f"""z{k} AS (
+      SELECT word, freq, pos,
+             CASE WHEN taken THEN la || lb
+                  WHEN coalesce(lag(taken) OVER (PARTITION BY word
+                                                 ORDER BY pos), FALSE)
+                    THEN NULL
+                  ELSE tok END AS tok_out
+      FROM (
+        SELECT y.*, m.la, m.lb,
+               (y.tok = m.la AND y.nxt = m.lb
+                AND (m.la <> m.lb OR (y.pos - y.istart) % 2 = 0))
+                 AS taken
+        FROM y{k} y, m{k} m
+      ))""",
+        f"""c{k} AS MATERIALIZED (
+      SELECT word, freq, list(tok_out ORDER BY pos) AS toks
+      FROM z{k} WHERE tok_out IS NOT NULL
+      GROUP BY word, freq)""",
+    ]
+
+
+def _bpe_ctes(n: int = 8) -> list[str]:
     ctes = [
         """wf AS MATERIALIZED (
       SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
@@ -1794,32 +1836,28 @@ def _bpe_oracle(n: int = 8) -> str:
       GROUP BY 1)""",
         r"""c0 AS (
       SELECT word, freq,
-             ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+             string_split(trim(regexp_replace(word, '(.)', '\1 ', 'g')),
+                          ' ') AS toks
       FROM wf)""",
     ]
     for k in range(1, n + 1):
-        ctes.append(f"""t{k} AS MATERIALIZED (
-      SELECT word, freq,
-             unnest(string_split(trim(s), ' ')) AS term,
-             generate_subscripts(string_split(trim(s), ' '), 1) AS pos
-      FROM c{k - 1})""")
-        ctes.append(f"""m{k} AS MATERIALIZED (
-      SELECT a.term AS la, b.term AS lb,
-             CAST(sum(a.freq) AS BIGINT) AS c
-      FROM t{k} a JOIN t{k} b
-        ON b.word = a.word AND b.pos = a.pos + 1
-      GROUP BY 1, 2 ORDER BY c DESC, la, lb LIMIT 1)""")
-        ctes.append(f"""c{k} AS (
-      SELECT word, freq,
-             replace(s, ' ' || m.la || ' ' || m.lb || ' ',
-                     ' ' || m.la || m.lb || ' ') AS s
-      FROM c{k - 1}, m{k} m)""")
+        ctes.extend(_bpe_round_ctes(k))
+    return ctes
+
+
+def _bpe_oracle(n: int = 8) -> str:
+    """Fixed-depth ladder replaying the deterministic BPE merge schedule
+    (pipeline.bpe): each level recounts weighted adjacent pairs over the
+    current segmentation, picks the (count desc, left, right) argmax,
+    and applies the classic greedy-left merge via the positional
+    island-parity spelling — identical window/array algebra on both
+    engines."""
     finals = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS round, la AS merge_left,"
         f" lb AS merge_right, c AS pair_count FROM m{k}"
         for k in range(1, n + 1)
     )
-    joined = ",\n    ".join(ctes)
+    joined = ",\n    ".join(_bpe_ctes(n))
     return f"WITH {joined}\n    {finals}"
 
 
@@ -1860,15 +1898,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_seg_oracle(n: int = 8) -> str:
     """Ladder through c{n} (final segmentation), then per-document token
     accounting: chars vs BPE symbols, compression ratio."""
-    base = _bpe_oracle(n)
-    with_part = base[: base.rindex("\n    SELECT CAST(1 AS BIGINT)")]
-    # _bpe_oracle ends with the UNION of merge rows; rebuild with the
-    # same CTE chain but a per-doc encoding projection instead.
-    ctes_end = with_part  # "WITH ...c{n} AS (...)"
-    return f"""{ctes_end},
+    joined = ",\n    ".join(_bpe_ctes(n))
+    return f"""WITH {joined},
     seg AS (
-      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
-               AS n_tokens,
+      SELECT word, CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(length(word) AS BIGINT) AS n_chars
       FROM c{n}
     ), dw AS (
