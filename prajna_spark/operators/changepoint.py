@@ -17,9 +17,11 @@ only shuffle is the window's partition-by-key exchange, and each series
 evaluates independently inside its partition. No applyInPandas, no
 driver loop.
 
-Exactness contract (oracle hash-compare): for integer-count series with
-rational slack/threshold (k = S/(4C), h = S/C with S,C the series'
-integer sum/length) the whole chart is computed SCALED BY 4C in BIGINT —
+Exactness contract (oracle hash-compare): the chart runs on MEAN-CENTERED
+values with slack a quarter of the mean — y_t = (x_t - mu) - mu/4 with
+mu = S/C (so the per-step deduction off the raw series is 5S/(4C)), and
+alarm threshold h = mu. With S,C the series' integer sum/length these
+are rationals, so the whole chart is computed SCALED BY 4C in BIGINT —
 sums, prefix minima, and the alarm comparison are exact integer
 arithmetic on both engines, so there is no float anywhere and no
 rounding policy to align.

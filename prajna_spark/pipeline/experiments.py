@@ -84,10 +84,15 @@ def two_proportion_ztest(
     se = F.sqrt(
         pool * (F.lit(1.0) - pool) * (ratio(F.lit(1.0), n_a) + ratio(F.lit(1.0), n_b))
     )
-    # Degenerate experiments (0% or 100% pooled conversion, or an empty
-    # side) have se = 0 or NaN: report z = 0 rather than erroring — the
-    # caller reads significance off a well-posed test only.
-    z = F.when(se > F.lit(0.0), (p_a - p_b) / se).otherwise(F.lit(0.0))
+    # Degenerate experiments report z = 0 rather than erroring — the
+    # caller reads significance off a well-posed test only. An empty side
+    # needs its OWN guard: ratio() maps 1/n to 0 when n = 0, so with
+    # n_a = 0 and 0 < pooled rate < 1 the se is still positive and
+    # (0 - p_b)/se would be a spurious, possibly large z.
+    z = F.when(
+        (n_a == F.lit(0.0)) | (n_b == F.lit(0.0)) | ~(se > F.lit(0.0)),
+        F.lit(0.0),
+    ).otherwise((p_a - p_b) / se)
     return agg.select(
         "n_a",
         "c_a",
@@ -123,7 +128,11 @@ def two_proportion_ztest_sql(
         f"sqrt({pool} * (1e0 - {pool})"
         f" * ({ratio('1e0', n_a)} + {ratio('1e0', n_b)}))"
     )
-    z = f"(CASE WHEN ({se}) > 0e0 THEN (({p_a}) - ({p_b})) / ({se}) ELSE 0e0 END)"
+    z = (
+        f"(CASE WHEN ({n_a}) = 0e0 OR ({n_b}) = 0e0 THEN 0e0"
+        f" WHEN ({se}) > 0e0 THEN (({p_a}) - ({p_b})) / ({se})"
+        f" ELSE 0e0 END)"
+    )
     return f"""
     SELECT CAST({n_a} AS BIGINT) AS n_a, CAST({c_a} AS BIGINT) AS c_a,
            CAST({n_b} AS BIGINT) AS n_b, CAST({c_b} AS BIGINT) AS c_b,

@@ -61,6 +61,99 @@ def pq_codebook(
     ]
 
 
+def pq_codebook_trained(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    n_iter: int = 3,
+    round_decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd-TRAINED codebooks (standard PQ — Jegou et al.
+    §III.A trains k-means per subspace) seeded from the deterministic
+    :func:`pq_codebook` init, so the whole run replays exactly on
+    another engine (the same contract as similarity.kmeans_centroids):
+    identical init, left-associated squared-L2, argmin ties to the
+    lowest code id, per-iteration means rounded portably, empty codes
+    keep their previous entry.
+
+    All ``m`` subspaces train JOINTLY — one pass per iteration over the
+    exploded (vec, subspace, sub-vector) frame instead of m separate
+    k-means runs: assignment is a broadcast join on the subspace id +
+    a min_by hash aggregate (map-side partials, no sort), and the only
+    shuffle carries m*k*sub_dim mean cells. Driver state is the
+    m*k*sub_dim codebook floats — at 100 TB the corpus never leaves the
+    executors and per-iteration cost is one scan + one narrow shuffle.
+    """
+    sub = dim // m
+    seed = pq_codebook(emb, id_col, vec_col, dim, m, k)
+    spark = emb.sparkSession
+
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    sv = v.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("e", s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("__id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    from prajna_spark.operators.lifecycle import scoped_persist
+
+    sv = scoped_persist(sv)  # n_iter scans of the exploded frame
+
+    flat = [(s, c, list(seed[s][c])) for s in range(m) for c in range(k)]
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iter):
+        cb_df = spark.createDataFrame(flat, "s int, cid int, c array<double>")
+        assigned = (
+            sv.join(F.broadcast(cb_df), "s")
+            .withColumn("__d2", d2)
+            .groupBy("__id", "s")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "sv"),
+                    F.struct(F.col("__d2"), F.col("cid")),
+                ).alias("__a")
+            )
+            .select("s", F.col("__a.cid").alias("cid"), F.col("__a.sv").alias("sv"))
+        )
+        means = (
+            assigned.select("s", "cid", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("s", "cid", "dim")
+            .agg(pround(F.avg("x"), round_decimals).alias("mval"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                    lambda st: st["mval"],
+                ).alias("c")
+            )
+        )
+        new = {(r.s, r.cid): list(r.c) for r in means.collect()}
+        flat = [(s, c, new.get((s, c), prev)) for s, c, prev in flat]
+
+    book: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for s, c, entry in flat:
+        book[s][c] = entry
+    return book
+
+
 def _lit_vecs(entries: list[list[float]]) -> Column:
     """Literal array-of-arrays column for a small codebook/centroid set."""
     return F.array(

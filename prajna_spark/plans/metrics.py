@@ -78,6 +78,11 @@ def stage_totals(spark: SparkSession) -> dict[str, int]:
                     k: max(prev[k], row[k]) for k in METRIC_KEYS
                 }
             max_id = max(max_id, sid)
+        # Aggregate totals from the DEDUPLICATED per-stage rows so the
+        # stage-id delta path and the aggregate-subtraction fallback agree
+        # on windows containing a retried stage (a raw per-attempt sum
+        # double-counts the retried attempt; max-per-stage does not).
+        for row in per_stage.values():
             for k in METRIC_KEYS:
                 totals[k] += row[k]
         totals["available"] = True

@@ -836,58 +836,98 @@ def standardize_embeddings_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, DIM // 8
 
 
-def _pq_sq(a: str, b: str, s_expr: str, sub: int = _PQ_SUB) -> str:
-    """Left-associated squared-L2 over subspace ``s_expr``'s positions
-    (s*sub + 1 .. s*sub + sub) of two DOUBLE[] columns."""
-    terms = []
-    for i in range(1, sub + 1):
-        p = f"CAST(({s_expr}) * {sub} + {i} AS INT)"
-        terms.append(f"({a}[{p}] - {b}[{p}]) * ({a}[{p}] - {b}[{p}])")
-    return "(" + " + ".join(terms) + ")"
+def _pq_sq8(a: str, b: str, sub: int = _PQ_SUB) -> str:
+    """Left-associated squared-L2 between two ``sub``-dim DOUBLE[]."""
+    return "(" + " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, sub + 1)
+    ) + ")"
 
 
-def _pq_common_ctes() -> str:
-    """Shared oracle CTEs: cast view, deterministic codebook (the 16
-    lowest-id vectors — the ivf_kmeans seeding rule), per-(vec, subspace)
-    argmin codes, and the pivoted (codes array, recon_err) encoding."""
+_PQ_ITER = 3  # Lloyd iterations per subspace (matches ivf_kmeans' n_iter)
+
+
+def _pq_common_ctes(n_iter: int = _PQ_ITER, dec: int = 6) -> str:
+    """Shared oracle CTEs replaying the per-subspace Lloyd TRAINING
+    (pipeline.pq.pq_codebook_trained) plus the encode:
+
+    - ``sv``: the exploded (vec_id, subspace, 8-dim sub-vector) frame;
+    - ``cb0``: deterministic seed — the 16 lowest-id vectors'
+      sub-vectors per subspace (the ivf_kmeans seeding rule);
+    - ``cb{{n}}``: n_iter rounds of assign (argmin, ties to lowest cid)
+      -> portably-rounded per-dim means -> empty codes keep their
+      previous entry — the identical exactness contract as
+      _kmeans_ctes, applied per (subspace, code);
+    - ``cbf``: the trained codebook (s, cid, 8-dim entry);
+    - ``enc``: per-(vec, subspace) argmin codes against cbf, pivoted to
+      (codes array, rounded recon_err)."""
     code_list = ", ".join(
         f"MAX(CASE WHEN s = {s} THEN code END)" for s in range(_PQ_M)
     )
     err_chain = " + ".join(
         f"MAX(CASE WHEN s = {s} THEN d END)" for s in range(_PQ_M)
     )
-    return f"""
-    v AS MATERIALIZED (
+    mean_list = "[" + ", ".join(
+        R(f"avg(sv[{i}])", dec) for i in range(1, _PQ_SUB + 1)
+    ) + "]"
+    ctes = [
+        """v AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), cb AS MATERIALIZED (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
-      FROM v ORDER BY vec_id LIMIT {_PQ_K}
-    ), dists AS (
-      SELECT v.vec_id, s.s, cb.cid,
-             {_pq_sq("v.e", "cb.e", "s.s")} AS d
-      FROM v
-      CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
-      CROSS JOIN cb
-    ), code1 AS (
+    )""",
+        f"""sv AS MATERIALIZED (
+      SELECT v.vec_id, s.s,
+             list_slice(v.e, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+    )""",
+        f"""cb0 AS MATERIALIZED (
+      SELECT s,
+             CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                  AS BIGINT) AS cid,
+             sv AS c
+      FROM sv
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    )""",
+    ]
+    for n in range(1, n_iter + 1):
+        ctes.append(f"""a{n} AS MATERIALIZED (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT t.vec_id, t.s, t.sv, p.cid,
+               row_number() OVER (PARTITION BY t.vec_id, t.s
+                 ORDER BY {_pq_sq8("t.sv", "p.c")}, p.cid) AS rk
+        FROM sv t JOIN cb{n - 1} p ON p.s = t.s
+      ) WHERE rk = 1)""")
+        ctes.append(f"""m{n} AS MATERIALIZED (
+      SELECT s, cid, {mean_list} AS c FROM a{n} GROUP BY s, cid)""")
+        ctes.append(f"""cb{n} AS MATERIALIZED (
+      SELECT p.s, p.cid, coalesce(m.c, p.c) AS c
+      FROM cb{n - 1} p LEFT JOIN m{n} m ON m.s = p.s AND m.cid = p.cid)""")
+    ctes.append(f"cbf AS MATERIALIZED (SELECT s, cid, c FROM cb{n_iter})")
+    ctes.append(f"""dists AS (
+      SELECT t.vec_id, t.s, cb.cid, {_pq_sq8("t.sv", "cb.c")} AS d
+      FROM sv t JOIN cbf cb ON cb.s = t.s
+    )""")
+    ctes.append("""code1 AS (
       SELECT vec_id, s, cid AS code, d FROM (
         SELECT vec_id, s, cid, d,
                row_number() OVER (PARTITION BY vec_id, s
                                   ORDER BY d, cid) AS rk
         FROM dists
       ) WHERE rk = 1
-    ), enc AS MATERIALIZED (
+    )""")
+    ctes.append(f"""enc AS MATERIALIZED (
       SELECT vec_id,
              [{code_list}] AS codes,
              {R(err_chain, 6)} AS recon_err
       FROM code1 GROUP BY vec_id
-    )"""
+    )""")
+    return ",\n    ".join(ctes)
 
 
 @query(
     "pq_encode_embeddings",
     oracle=f"""
-    -- PQ encode replay: per-subspace argmin against the deterministic
-    -- 16-entry codebooks; recon_err summed in the same left-assoc order
+    -- PQ encode replay: per-subspace Lloyd-TRAINED codebooks (replayed
+    -- with the kmeans exactness contract), then per-(vec, subspace)
+    -- argmin codes; recon_err summed in the same left-assoc order
     WITH {_pq_common_ctes()}
     SELECT vec_id, codes, recon_err FROM enc
     """,
@@ -896,30 +936,44 @@ def _pq_common_ctes() -> str:
 def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (pipeline.pq): 64-dim embeddings ->
     8 sub-vector codes against 16-entry per-subspace codebooks (32x
-    compression). The codebook (deterministic: the 16 lowest-id
-    vectors' sub-vectors, the same seeding rule the oracle-checked
-    ivf_kmeans uses) folds into literal expressions, so the encode is
-    MAP-ONLY — one projection, zero shuffles, zero joins, at any corpus
-    scale. Distances are left-associated squared-L2 chains (IEEE-exact),
-    so codes AND the rounded reconstruction error hash-match DuckDB's
-    replay exactly."""
+    compression). Codebooks are per-subspace Lloyd-TRAINED (standard
+    PQ — Jegou et al. §III.A; round 6 upgrade from first-k seeding)
+    from the deterministic lowest-id seed, with the same portable
+    per-iteration rounding as ivf_kmeans so DuckDB replays the training
+    run value-for-value. The trained book folds into literal
+    expressions, so the encode itself stays MAP-ONLY — one projection,
+    zero shuffles, zero joins, at any corpus scale; training cost is
+    n_iter narrow shuffles of m*k*8 mean cells."""
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
-    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    cb = pq.pq_codebook_trained(
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+    )
     return pq.pq_encode(emb, cb)
+
+
+def _pq_adc_sq(a_full: str, s: int, b_sub: str, sub: int = _PQ_SUB) -> str:
+    """Left-associated squared-L2 between subspace ``s`` of a full-dim
+    DOUBLE[] and an 8-dim trained codebook entry."""
+    return "(" + " + ".join(
+        f"({a_full}[{s * sub + i}] - {b_sub}[{i}])"
+        f" * ({a_full}[{s * sub + i}] - {b_sub}[{i}])"
+        for i in range(1, sub + 1)
+    ) + ")"
 
 
 def _pq_recall_oracle() -> str:
     adc_terms = " + ".join(
-        _pq_sq("p.qe", f"cb{s}.e", str(s)) for s in range(_PQ_M)
+        _pq_adc_sq("p.qe", s, f"cb{s}.c") for s in range(_PQ_M)
     )
     exact_terms = " + ".join(
         f"(p.qe[{i}] - p.ce[{i}]) * (p.qe[{i}] - p.ce[{i}])"
         for i in range(1, DIM + 1)
     )
     joins = "\n      ".join(
-        f"JOIN cb cb{s} ON cb{s}.cid = p.codes[{s + 1}]" for s in range(_PQ_M)
+        f"JOIN cbf cb{s} ON cb{s}.s = {s} AND cb{s}.cid = p.codes[{s + 1}]"
+        for s in range(_PQ_M)
     )
     return f"""
     -- ADC recall@10 replay: exact vs asymmetric-distance rankings from
@@ -968,11 +1022,16 @@ def pq_adc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE over the candidate's code per subspace — the lookup-table walk,
     with the query sub-vector exact); two windows rank; candidates never
     shuffle. Completes the quantization ladder: int8 (4x, oracle-exact)
-    -> PQ (32x, recall-evaluated)."""
+    -> PQ (32x, recall-evaluated). Round 6: codebooks are per-subspace
+    Lloyd-trained (was first-k seeded) — measured at sf0.01, mean
+    recall@10 0.245 -> 0.325 and mean recon_err 0.758 -> 0.561
+    (BASELINE.md appendix)."""
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
-    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    cb = pq.pq_codebook_trained(
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+    )
     return pq.pq_adc_recall(emb, cb, n_queries=20, k=10)
 
 
@@ -985,21 +1044,25 @@ def _pq_fullsq(a: str, b: str) -> str:
 
 def _ivf_pq_oracle() -> str:
     adc_terms = " + ".join(
-        _pq_sq("p.qe", f"cb{s}.e", str(s)) for s in range(_PQ_M)
+        _pq_adc_sq("p.qe", s, f"cb{s}.c") for s in range(_PQ_M)
     )
     joins = "\n      ".join(
-        f"JOIN cb cb{s} ON cb{s}.cid = p.codes[{s + 1}]" for s in range(_PQ_M)
+        f"JOIN cbf cb{s} ON cb{s}.s = {s} AND cb{s}.cid = p.codes[{s + 1}]"
+        for s in range(_PQ_M)
     )
     return f"""
-    -- IVF-PQ replay: coarse L2 cells (the 16 codebook seed vectors double
-    -- as coarse centroids), nprobe=4, ADC ranking from the same codes
+    -- IVF-PQ replay: coarse L2 cells (the 16 lowest-id seed vectors as
+    -- coarse centroids), nprobe=4, ADC ranking from the TRAINED codes
     WITH {_pq_common_ctes()}
-    , asg AS (
+    , seeds AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
+      FROM v ORDER BY vec_id LIMIT {_PQ_K}
+    ), asg AS (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, cb.cid AS cell,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY {_pq_fullsq("v.e", "cb.e")}, cb.cid) AS rn
-        FROM v CROSS JOIN cb
+        FROM v CROSS JOIN seeds cb
       ) WHERE rn = 1
     ), qs AS (
       SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
@@ -1008,7 +1071,7 @@ def _ivf_pq_oracle() -> str:
         SELECT q.query_id, cb.cid AS cell,
                row_number() OVER (PARTITION BY q.query_id
                  ORDER BY {_pq_fullsq("q.qe", "cb.e")}, cb.cid) AS rn
-        FROM qs q CROSS JOIN cb
+        FROM qs q CROSS JOIN seeds cb
       ) WHERE rn <= 4
     ), cand AS (
       SELECT pr.query_id, a.vec_id AS cand_id, q.qe, enc.codes
@@ -1046,13 +1109,19 @@ def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast probe list — at scale the index stores m
     bytes per vector partitioned by cell, and full vectors are touched
     only on the query side. Caps the ANN ladder: brute force -> SRP-LSH
-    -> IVF -> int8 -> PQ -> IVF-PQ."""
+    -> IVF -> int8 -> PQ -> IVF-PQ. Round 6: ADC runs on Lloyd-trained
+    per-subspace codebooks; the coarse quantizer keeps the 16 lowest-id
+    seed vectors as cells (unchanged — cell geometry is independent of
+    code training)."""
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
-    cb = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)
+    cb = pq.pq_codebook_trained(
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+    )
+    seeds = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)  # lowest-id vectors
     centroids = [
-        (c, [x for s in range(_PQ_M) for x in cb[s][c]]) for c in range(_PQ_K)
+        (c, [x for s in range(_PQ_M) for x in seeds[s][c]]) for c in range(_PQ_K)
     ]
     return pq.ivf_pq_search(emb, cb, centroids, n_queries=5, nprobe=4, k=10)
 

@@ -68,9 +68,18 @@ def start_incremental_mg(
 
 def candidates_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Global candidate bounds from the delta store: ``(key, lower,
-    upper)`` with lower <= true streamed count <= upper. Identical
-    reasoning to pipeline.heavyhitters.candidate_keys, with the slice id
-    being (batch_id, part_id) instead of part_id."""
+    upper)``. Identical reasoning to pipeline.heavyhitters.candidate_keys,
+    with the slice id being (batch_id, part_id) instead of part_id.
+
+    Bound validity: ``upper`` is a true upper bound even under this
+    module's at-least-once replay model — a retried micro-batch that
+    double-appends its summaries inflates sum(est) AND total_eps
+    together, and est <= true-count-within-slice keeps every appended
+    copy conservative upward. ``lower`` is a valid lower bound ONLY
+    under exactly-once appends: a double-appended summary inflates
+    sum(est) above the true streamed count. The heavy-hitter gate
+    consumes only ``upper``; callers needing a replay-safe lower bound
+    must dedup the store on (batch_id, part_id) first."""
     store = spark.read.parquet(store_path)
     per_slice_eps = store.groupBy("batch_id", "part_id").agg(
         F.first("eps").alias("eps")

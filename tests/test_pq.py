@@ -57,6 +57,52 @@ def test_adc_recall_bounds_and_self_consistency(spark):
         assert abs(r.recall - r.n_overlap / 5) < 1e-9
 
 
+def test_trained_codebook_matches_numpy_lloyd(spark):
+    """pq_codebook_trained == a local per-subspace Lloyd replay with the
+    same deterministic init, argmin tie-break (lowest code id), portable
+    per-iteration mean rounding, and empty-code carry-over."""
+    from prajna_spark.pipeline.pq import pq_codebook_trained
+
+    df, vecs = _emb_df(spark, n=60, dim=16, seed=7)
+    m, k, sub, n_iter, dec = 4, 8, 4, 3, 6
+    got = pq_codebook_trained(df, dim=16, m=m, k=k, n_iter=n_iter, round_decimals=dec)
+
+    def pround_np(x):
+        return np.floor(x * 10**dec + 0.5) / 10**dec
+
+    book = np.array(
+        [[vecs[c, s * sub : (s + 1) * sub] for c in range(k)] for s in range(m)]
+    )
+    for _ in range(n_iter):
+        new = book.copy()
+        for s in range(m):
+            x = vecs[:, s * sub : (s + 1) * sub]
+            d = ((x[:, None, :] - book[s][None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # np.argmin ties -> first == lowest cid
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    new[s][c] = pround_np(members.mean(axis=0))
+        book = new
+    for s in range(m):
+        for c in range(k):
+            assert np.allclose(got[s][c], book[s][c], atol=1e-12), (s, c)
+
+
+def test_trained_codebook_lowers_reconstruction_error(spark):
+    from prajna_spark.pipeline.pq import pq_codebook_trained
+    from pyspark.sql import functions as F
+
+    df, _ = _emb_df(spark, n=80, dim=16, seed=3)
+    seeded = pq_codebook(df, dim=16, m=4, k=8)
+    trained = pq_codebook_trained(df, dim=16, m=4, k=8, n_iter=3)
+    err = {
+        name: pq_encode(df, cb).agg(F.sum("recon_err")).collect()[0][0]
+        for name, cb in (("seeded", seeded), ("trained", trained))
+    }
+    assert err["trained"] < err["seeded"], err
+
+
 def test_encode_plan_is_map_only(spark):
     df, _ = _emb_df(spark, n=30, dim=16)
     cb = pq_codebook(df, dim=16, m=4, k=8)

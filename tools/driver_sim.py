@@ -16,6 +16,12 @@ starts, so scenarios cannot share a process):
                     third historical ts physical type after
                     TIMESTAMP(NANOS)→bigint and plain TIMESTAMP→NTZ);
                     the scan boundary must normalize all three.
+- ``bench_tail``    artifact-legibility guard (round-5 regression: the
+                    shuffle map pushed the timing JSON out of the
+                    driver's ~2 KB stdout tail). Runs bench.py in smoke
+                    mode and asserts the LAST stdout line parses as the
+                    timing JSON; also statically asserts the
+                    full-catalog compact line stays under the tail cap.
 
 Checks per scenario: entry(spark) runs with a stable schema; a TZ/nanos-
 sensitive sample of queries() is hash-compared vs DuckDB at sf0.01 with
@@ -73,7 +79,61 @@ SCENARIOS = {
                  "PYTHONIOENCODING": "ascii:replace"},
     "tz_conf": {"TZ": "America/New_York"},
     "int96": {"TZ": "America/New_York"},
+    "bench_tail": {},
 }
+
+# The real driver keeps roughly this much stdout; the timing JSON must fit.
+DRIVER_TAIL_BYTES = 2000
+
+
+def run_bench_tail() -> None:
+    """Assert bench.py's output contract: (a) the full-catalog compact
+    timing line fits the driver's stdout tail (static — no Spark), and
+    (b) an end-to-end smoke run's LAST stdout line parses as the timing
+    JSON with the contract keys."""
+    import json
+
+    import bench
+
+    worst = json.dumps(
+        {
+            "metric": "headline_suite_total_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in bench.HEADLINE},
+            "extended_total_sec": 99999.999,
+            "sf": 0.1,
+        }
+    )
+    assert len(worst) + 1 <= DRIVER_TAIL_BYTES, (
+        f"compact timing line {len(worst)}B would overflow the driver's "
+        f"{DRIVER_TAIL_BYTES}B stdout tail — trim HEADLINE or move keys "
+        "to the sidecar lines"
+    )
+    print(f"[bench_tail] static: compact line {len(worst)}B <= {DRIVER_TAIL_BYTES}B")
+
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_SMOKE="3",
+        SPARK_GRAFT_BENCH_REPS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    tail = out.stdout[-DRIVER_TAIL_BYTES:]
+    last = [ln for ln in tail.splitlines() if ln.strip()][-1]
+    parsed = json.loads(last)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, f"timing JSON missing {key!r}: {last[:200]}"
+    assert parsed["metric"] == "headline_suite_total_sec"
+    assert all(v > 0 for v in parsed["queries"].values()), parsed["queries"]
+    print(f"[bench_tail] smoke: last line parses, value={parsed['value']}s")
+    print("driver-sim[bench_tail]: all green")
 
 FLOAT_DECIMALS = 6
 
@@ -170,6 +230,9 @@ def run_scenario(name: str) -> None:
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--run":
+        if args[1] == "bench_tail":
+            run_bench_tail()
+            return
         os.environ["TZ"] = os.environ.get("TZ", "America/New_York")
         run_scenario(args[1])
         return
