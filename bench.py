@@ -220,6 +220,8 @@ EXTENDED = [
     "forecast_conformal_coverage",
     "mann_kendall_trend",
     "hist_stream_quantiles",
+    # round-6: stdlib PNG codec tier
+    "image_png_roundtrip_meta",
 ]
 
 

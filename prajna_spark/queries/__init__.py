@@ -105,6 +105,13 @@ def _recorded_rounds() -> dict[str, list[int]]:
 # the round-4 ADVICE on gate transparency).
 _OLDEST_UNRECORDED = frozenset({"sample_topk_per_lang"})
 
+# Round-6 additions sort AFTER the round-5 never-recorded backlog:
+# VERDICT r5 asked that the backlog (82 queries) drain through the
+# driver's 50-row window in r6+r7, so anything NEW this round must not
+# displace a backlog query from the r6 window. Explicit (not
+# registration-order) for the same auditability reason as above.
+_NEWEST_UNRECORDED = frozenset({"image_png_roundtrip_meta"})
+
 
 def _staleness_order(names: list[str]) -> list[str]:
     """Order queries never-driver-recorded first (oldest catalog entries
@@ -119,7 +126,13 @@ def _staleness_order(names: list[str]) -> list[str]:
     def sort_key(name: str):
         rounds = seen.get(name)
         if not rounds:
-            return (0, 0 if name in _OLDEST_UNRECORDED else 1, name)
+            if name in _OLDEST_UNRECORDED:
+                tier = 0
+            elif name in _NEWEST_UNRECORDED:
+                tier = 2
+            else:
+                tier = 1
+            return (0, tier, name)
         return (1, max(rounds), name)
 
     return sorted(names, key=sort_key)

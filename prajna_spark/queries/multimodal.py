@@ -167,6 +167,53 @@ def image_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_png_roundtrip_meta",
+    oracle=f"""
+    -- first-principles replay of the PNG tier: the Spark side deflates a
+    -- REAL grayscale PNG per doc (row filters cycling through all five
+    -- PNG filter types), walks the chunks back (CRC-verified), inflates,
+    -- reconstructs every scanline, and checksums the decoded plane; the
+    -- oracle recomputes dimensions + gray_sum from the synth formula —
+    -- equality proves the zlib+filter roundtrip, not just arithmetic
+    WITH {_IMG_DIMS_SQL},
+    px AS (
+      SELECT d.doc_id,
+             (d.seed*31 + x.i*13 + y.i*7
+              + CASE WHEN (d.doc_id*11 + x.i*5 + y.i*3) % 199 = 0
+                     THEN 96 ELSE 0 END) % 256 AS v
+      FROM dims d
+      JOIN range(0, 33) x(i) ON x.i < d.w
+      JOIN range(0, 23) y(i) ON y.i < d.h
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           s.gray_sum
+    FROM dims d
+    JOIN (SELECT doc_id, CAST(sum(v) AS BIGINT) AS gray_sum
+          FROM px GROUP BY doc_id) s USING (doc_id)
+    """,
+    tags=("multimodal", "image", "png", "decode", "pandas-udf"),
+)
+def image_png_roundtrip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG plumbing end-to-end with NO codec library: synthesize
+    grayscale PNGs (stdlib zlib deflate; the scanline filter cycles
+    through all five PNG filter types keyed by (doc_id + row) % 5), then
+    decode them back — CRC-checked chunk walk, inflate, full five-filter
+    reconstruction (pipeline.multimodal._png_decode). ``gray_sum`` is an
+    exact integer checksum of the decoded plane, so any filter-math,
+    inflate, or row-order bug hash-fails against the oracle's
+    closed-form pixel replay. Same Arrow-batched mapInPandas shape as
+    the BMP tier: payloads never shuffle, one Python dispatch per batch."""
+    tune(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.synthesize_png(fan_out(docs))
+    return multimodal.decode_png_meta(media)
+
+
+@query(
     "image_dhash_dedup",
     oracle=f"""
     -- perceptual-hash dup groups: same-seed docs are near-identical
