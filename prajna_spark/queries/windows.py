@@ -1633,13 +1633,22 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     row only once the view-side watermark proves no match can still
     arrive, and a LEFT row arriving behind the watermark is dropped as
     late entirely. Both contracts shape the drain: the data must land in
-    ONE micro-batch (watermark still at epoch 0 — nothing late), and two
-    staggered sentinel drains (max ts + 4h, + 8h, one checkpoint shared
-    across availableNow runs) then push the watermark past every
-    purchase's window and provide the batches in which eviction emits the
-    held state — watermarks take effect one batch AFTER they advance.
+    ONE micro-batch (watermark still at epoch 0 — nothing late), then a
+    sentinel batch (max ts + 4h) pushes the watermark past every
+    purchase's window, and a second sentinel batch (+ 8h) is where that
+    watermark evicts + emits the held state — watermarks take effect one
+    batch AFTER they advance. Round 6 (68 s in r5's review -> ~15 s):
+    all three batches run inside ONE streaming query (one startup, was
+    2 drains/3 in r4) — data and sentinel files are staged up front
+    with explicitly ordered mtimes and maxFilesPerTrigger = #data-files
+    slices the availableNow drain into exactly the ordered micro-batches
+    the protocol needs; sentinels are built driver-side with pyarrow
+    (a 2-row Spark write job costs ~5 s of scheduling); and the drain
+    runs on 8 state partitions (the sentinel/final batches are pure
+    state-store fixed cost, which scales with the partition count).
     Sentinel rows filter out of the store. Production spells the same
     flush as a heartbeat/punctuation event on both streams."""
+    import glob
     import os
     import tempfile
 
@@ -1648,8 +1657,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    ev_batch = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type"
+    # only the two joined event types enter the stream: the in-stream
+    # filters would drop the rest anyway, so filtering at the staging
+    # write shrinks the state-store and scan work identically on both
+    # engines (the oracle filters the same way)
+    ev_batch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
     )
     ev_batch.write.parquet(src)
     mx = ev_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
@@ -1697,24 +1712,64 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    drain()  # all data, one batch, watermark at epoch 0 -> nothing late
-    # both sentinel files land before ONE second drain that processes
-    # them as separate micro-batches (maxFilesPerTrigger=1): the first
-    # advances the watermark past every window, the second is the batch
-    # in which that watermark evicts + emits — one streaming startup
-    # instead of two.
+    # Stage both sentinels INTO src before the (single) drain — built
+    # driver-side with pyarrow (2 rows each; a Spark job per sentinel
+    # write measured ~5 s of pure scheduling overhead). The drain runs
+    # with maxFilesPerTrigger = #data-files, so micro-batch #1 is ALL
+    # the data (its files carry the oldest mtimes); each sentinel is
+    # duplicated into a same-mtime group of the SAME size, so the
+    # trigger boundary can't merge the +4h group with the +8h group —
+    # batches come out [data], [sentinel+4h], [sentinel+8h] exactly
+    # (FileStreamSource takes oldest-mtime-first, up to the cap).
+    # Duplicate sentinel ROWS are harmless: they only join each other
+    # (user_id -1) and filter out of the result.
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    data_files = glob.glob(os.path.join(src, "*.parquet"))
+    n_data = len(data_files)
+    t0 = max(os.path.getmtime(f) for f in data_files)
+    pa_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
     for i, hours in enumerate((4, 8)):
-        sentinel = spark.createDataFrame(
-            [(-1 - 2 * i, mx, -1, "purchase"), (-2 - 2 * i, mx, -1, "view")],
-            "event_id long, ts timestamp, user_id long, event_type string",
-        ).select(
-            "event_id",
-            (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
-            "user_id",
-            "event_type",
+        s_ts = mx + datetime.timedelta(hours=hours)
+        table = pa.Table.from_pydict(
+            {
+                "event_id": [-1 - 2 * i, -2 - 2 * i],
+                "ts": [s_ts, s_ts],
+                "user_id": [-1, -1],
+                "event_type": ["purchase", "view"],
+            },
+            schema=pa_schema,
         )
-        sentinel.coalesce(1).write.mode("append").parquet(src)
-    drain(max_files=1)
+        first = os.path.join(src, f"zz_sentinel_{i}_0.parquet")
+        pq_.write_table(table, first)
+        mtime = t0 + 100 * (i + 1)
+        for j in range(n_data):
+            dest = os.path.join(src, f"zz_sentinel_{i}_{j}.parquet")
+            if j > 0:
+                shutil.copyfile(first, dest)
+            os.utime(dest, (mtime, mtime))
+    # the drain's only heavy rows are batch #1; the small sentinel and
+    # final batches are pure state-store load/commit overhead, which
+    # scales with the shuffle-partition count — 8 state partitions keep
+    # ~40k state rows comfortably parallel while quartering that fixed
+    # cost (state partitioning binds to this checkpoint only)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        drain(max_files=n_data)  # ONE streaming startup, 3 ordered batches
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out).where(F.col("p_id") >= 0)
 
 
