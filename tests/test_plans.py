@@ -140,6 +140,9 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         "image_bmp_meta",
         "image_dhash_dedup",
         "image_dhash_hamming_pairs",
+        # stdlib PNG codec (zlib + filter reconstruction) is Arrow-batched
+        # Python by design, like the BMP twin above
+        "image_png_roundtrip_meta",
         # decode -> numpy resize -> re-encode is Arrow-batched by design
         "image_resize_half_meta",
         # PCA's single corpus pass is numpy matmul per Arrow batch by
