@@ -92,6 +92,17 @@ def main() -> int:
     fails = [n for n, r in rows.items() if r["last_verdict"] == "FAIL"]
     print(f"catalog: {len(rows)} queries; latest driver round: r{ledger['latest_round']}")
     print(f"never driver-recorded: {len(never)}" + (f" -> {never}" if never else ""))
+    from prajna_spark.queries import _NEWEST_UNRECORDED, _OLDEST_UNRECORDED
+
+    pinned_first = sorted(n for n in never if n in _OLDEST_UNRECORDED)
+    pinned_last = sorted(n for n in never if n in _NEWEST_UNRECORDED)
+    if pinned_first:
+        print(f"  pinned FIRST in rotation (oldest catalog entries): {pinned_first}")
+    if pinned_last:
+        print(
+            "  pinned LAST in rotation (new this round; must not displace"
+            f" the backlog): {pinned_last}"
+        )
     print(f"driver FAIL at last record: {len(fails)}" + (f" -> {fails}" if fails else ""))
     by_staleness: dict[int, list[str]] = {}
     for n, r in rows.items():
