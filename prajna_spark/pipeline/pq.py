@@ -89,6 +89,9 @@ def pq_codebook_trained(
     """
     sub = dim // m
     seed = pq_codebook(emb, id_col, vec_col, dim, m, k)
+    # tiny corpora (< k vectors) seed fewer entries; train what exists —
+    # the same graceful degradation as kmeans_centroids
+    k = min(k, len(seed[0]))
     spark = emb.sparkSession
 
     v = emb.select(

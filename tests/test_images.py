@@ -77,6 +77,25 @@ def test_png_roundtrip_each_filter(ft):
         assert np.array_equal(gray, px)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=18),
+)
+def test_png_roundtrip_property(w, h, seed, filters):
+    """Hypothesis roundtrip: decode(encode(x)) == x on arbitrary planes
+    (including 1-pixel-wide/tall edges, where the Sub/Average/Paeth left
+    and up terms vanish) under arbitrary per-row filter schedules."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    payload = mm._png_encode(px, row_filter=lambda y: filters[y % len(filters)])
+    gray, (depth, ctype) = mm._png_decode(payload)
+    assert (depth, ctype) == (8, 0)
+    assert np.array_equal(gray, px)
+
+
 def test_png_roundtrip_mixed_filters_matches_formula():
     for doc_id in (0, 1, 88, 89, 197, 4999):
         px = mm._img_pixels(doc_id)
