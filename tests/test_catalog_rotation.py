@@ -38,6 +38,26 @@ def test_ordering_is_deterministic_and_complete():
     assert _staleness_order(a) == a
 
 
+def test_pinned_groups_bracket_the_never_recorded_block():
+    """Within the never-recorded block, _OLDEST_UNRECORDED entries sort
+    first and _NEWEST_UNRECORDED entries sort LAST — new-this-round
+    queries must not displace the round-5 backlog from the driver's
+    bounded recording window (VERDICT r5 ask #1)."""
+    from prajna_spark.queries import _NEWEST_UNRECORDED, _OLDEST_UNRECORDED
+
+    seen = _recorded_rounds()
+    names = list(registry().keys())
+    never = [n for n in names if not seen.get(n)]
+    for pinned in _OLDEST_UNRECORDED & set(never):
+        others = [n for n in never if n not in _OLDEST_UNRECORDED]
+        if others:
+            assert never.index(pinned) < min(never.index(n) for n in others)
+    for pinned in _NEWEST_UNRECORDED & set(never):
+        others = [n for n in never if n not in _NEWEST_UNRECORDED]
+        if others:
+            assert never.index(pinned) > max(never.index(n) for n in others)
+
+
 def test_ledgers_exist_here():
     # In this repo the driver ledgers are present; the ordering must be
     # reading them (if this fails, _recorded_rounds' root path is wrong).
