@@ -16,6 +16,42 @@ def _empty_docs(spark):
     return spark.createDataFrame([], "doc_id long, text string")
 
 
+def test_pq_trained_on_empty_and_tiny_corpus(spark):
+    """pq_codebook_trained degrades like kmeans: fewer-than-k vectors
+    train fewer entries; an EMPTY corpus yields an empty codebook and
+    pq_encode raises cleanly rather than emitting garbage codes."""
+    import pytest
+
+    from prajna_spark.pipeline.pq import pq_codebook_trained, pq_encode
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cb = pq_codebook_trained(empty, dim=16, m=4, k=8, n_iter=1)
+    assert [len(s) for s in cb] == [0, 0, 0, 0]
+    with pytest.raises(Exception):  # no codebook entries to encode against
+        pq_encode(empty, cb).collect()
+
+    tiny = spark.createDataFrame(
+        [(0, [float(i) for i in range(16)]), (1, [float(i + 1) for i in range(16)])],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook_trained(tiny, dim=16, m=4, k=8, n_iter=2)
+    assert [len(s) for s in cb] == [2, 2, 2, 2]
+    enc = pq_encode(tiny, cb).collect()
+    assert sorted(r.vec_id for r in enc) == [0, 1]
+    assert all(r.recon_err == 0.0 for r in enc)  # 2 vectors self-code
+
+
+def test_png_meta_on_empty_docs(spark):
+    from prajna_spark.pipeline.multimodal import decode_png_meta, synthesize_png
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = decode_png_meta(synthesize_png(empty))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "width", "height", "bit_depth", "color_type", "gray_sum",
+    }
+
+
 def test_bm25_on_empty_corpus(spark):
     qt = spark.createDataFrame([("q", "apple")], "query_id string, term string")
     out = retrieval.bm25_topk(_empty_docs(spark), qt, k=5)
