@@ -123,3 +123,75 @@ def measure_action(
     before = stage_totals(spark)
     action()
     return totals_delta(before, stage_totals(spark))
+
+
+def stage_task_skew(
+    spark: SparkSession,
+    quantiles: tuple[float, ...] = (0.0, 0.5, 1.0),
+    min_tasks: int = 4,
+    min_stage_id: int = -1,
+) -> dict[int, dict[str, list[float]]]:
+    """Per-stage TASK-level quantiles — the skew diagnostic the
+    stage-total metrics above can't see: stage totals are identical for
+    a balanced stage and one where a single hot task did all the work,
+    but the task-quantile spread (max/median run time or shuffle-read
+    bytes) exposes it. Reads ``AppStatusStore.taskSummary`` (the data
+    behind the UI's task-summary table), keyed by stage id; stages with
+    fewer than ``min_tasks`` completed tasks are skipped (a 1-task stage
+    has no distribution). ``min_stage_id`` restricts to stages newer
+    than a prior snapshot's ``max_stage_id`` — the same attribution
+    pattern as :func:`totals_delta`. Degrades to ``{}`` on py4j surface
+    drift, like everything else in this module."""
+    out: dict[int, dict[str, list[float]]] = {}
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = spark._jvm
+        empty = jvm.java.util.ArrayList()
+        q0 = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, q0, empty)
+        q = sc._gateway.new_array(jvm.double, len(quantiles))
+        for i, v in enumerate(quantiles):
+            q[i] = float(v)
+
+        def seq(s) -> list[float]:
+            return [float(s.apply(i)) for i in range(s.length())]
+
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            sid = int(s.stageId())
+            if sid <= min_stage_id or int(s.numCompleteTasks()) < min_tasks:
+                continue
+            opt = store.taskSummary(sid, int(s.attemptId()), q)
+            if not opt.isDefined():
+                continue
+            d = opt.get()
+            out[sid] = {
+                "quantiles": [float(x) for x in quantiles],
+                "run_ms": seq(d.executorRunTime()),
+                "shuffle_read_bytes": seq(d.shuffleReadMetrics().readBytes()),
+                "input_bytes": seq(d.inputMetrics().bytesRead()),
+                "n_tasks": [float(s.numCompleteTasks())],
+            }
+    except Exception:  # py4j surface drift — degrade, never break the caller
+        return {}
+    return out
+
+
+def max_skew_ratio(
+    skew: dict[int, dict[str, list[float]]], metric: str = "shuffle_read_bytes"
+) -> float:
+    """Worst max/median ratio of ``metric`` across the summarized stages
+    (quantiles must include 0.5 and 1.0 — the stage_task_skew default).
+    Returns 0.0 when nothing qualifies."""
+    worst = 0.0
+    for row in skew.values():
+        qs = row["quantiles"]
+        if 0.5 not in qs or 1.0 not in qs:
+            continue
+        med = row[metric][qs.index(0.5)]
+        mx = row[metric][qs.index(1.0)]
+        if med > 0:
+            worst = max(worst, mx / med)
+    return worst
