@@ -33,10 +33,19 @@ def gini_cents(
         index_col="__i0",
     ).withColumn("i", (F.col("__i0") + 1).cast("long"))
     n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the rank-weighted moment is summed in DECIMAL(38,0): the per-row
+    # product is ~2*n*cents (int64-safe), but its SUM reaches ~n^2*mean
+    # — past int64 around 1e8 cent-valued rows, i.e. exactly the 100 TB
+    # shape (ANSI mode would fail the job; non-ANSI would wrap silently).
+    # DuckDB's BIGINT sum widens to HUGEINT on its own; both engines then
+    # convert the same exact integer to double once, identically.
+    term = ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
     s = r.crossJoin(F.broadcast(n)).agg(
         F.first("n").alias("n"),
         F.sum("cents").alias("tot"),
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("num"),
+        F.sum(term).alias("num"),
     )
     return s.select(
         F.col("n").alias("n_units"),
@@ -60,7 +69,12 @@ def km_curve(
     flag — Spark's ``log(0)`` is NULL (not -inf) and windowed sums SKIP
     nulls, so the naive ln-sum would silently drop the term and
     overstate every later value (caught by the hypothesis differential,
-    tests/test_properties_wave5.py)."""
+    tests/test_properties_wave5.py).
+
+    Scale contract: the survival product is an ordered window over the
+    per-DAY frame — bounded by the observation horizon (thousands of
+    rows at any corpus size), never by the subject count, which the
+    groupBy collapses first."""
     d = life.groupBy(F.col(t_col).alias("t")).agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.col(event_col)).alias("ch"),
@@ -97,7 +111,14 @@ def ks_2samp(
     """Two-sample Kolmogorov-Smirnov statistic; ``grp_col`` must be 1 or
     2. Duplicate-safe: one row per distinct value carries both samples'
     counts, so each ECDF step lands after all ties. Returns (n_first,
-    n_second, ks_stat)."""
+    n_second, ks_stat).
+
+    Scale contract: the ECDF pass is a single ordered window over the
+    DISTINCT-VALUE frame, so the value domain must be bounded (prices in
+    cents, quantized scores) — KS over a continuous raw column should be
+    quantized first, or the "aggregate-sized" frame IS the data and the
+    ordered pass becomes a single-task funnel. The catalog query
+    (ks_price_drift) feeds cent-valued prices."""
     g = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(F.when(F.col(grp_col) == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col(grp_col) == 2, 1).otherwise(0)).alias("n2"),
