@@ -1489,17 +1489,23 @@ def autocorr_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y_type") == F.col("event_type"))
         & (F.col("y_h") + F.col("lag_hours") * 3600 == F.col("h")),
     )
+    # co-moments in DECIMAL(38,0): hourly counts at extreme ingest rates
+    # (1e9/hour) put xv*yv and the np*sxy products past int64 (the gini
+    # lesson, operators/stats.py); DuckDB widens BIGINT to HUGEINT on
+    # its own, so decimal keeps the engines on the same exact integers.
+    dec = "decimal(38,0)"
     s = pairs.groupBy("event_type", "lag_hours").agg(
         F.count(F.lit(1)).alias("np"),
         F.sum("xv").alias("sx"),
         F.sum("yv").alias("sy"),
-        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
-        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
-        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum((F.col("xv") * F.col("yv")).cast(dec)).alias("sxy"),
+        F.sum((F.col("xv") * F.col("xv")).cast(dec)).alias("sxx"),
+        F.sum((F.col("yv") * F.col("yv")).cast(dec)).alias("syy"),
     )
-    dxx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dyy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    sx_d, sy_d = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    dxx = F.col("np") * F.col("sxx") - sx_d * sx_d
+    dyy = F.col("np") * F.col("syy") - sy_d * sy_d
+    num = (F.col("np") * F.col("sxy") - sx_d * sy_d).cast("double")
     r = num / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")))
     return s.select(
         "event_type",
