@@ -49,6 +49,33 @@ def test_gini_matches_local_formula(spark, cents):
     assert abs(got["gini"] - want) <= TOL
 
 
+def test_gini_moment_survives_int64_overflow_magnitudes(spark):
+    """The rank-weighted moment sum((2i-n-1)*x) passes int64 when
+    n * max-rank * magnitude does — 200 rows at 9e14 cents here, the
+    shape a 100 TB corpus hits with ~1e8 rows at cent magnitudes. The
+    DECIMAL(38,0) spelling must agree with exact Python ints (a long
+    sum would error under ANSI or silently wrap without it)."""
+    from prajna_spark.operators.stats import gini_cents
+
+    n, hi = 200, 9 * 10**14
+    cents = [hi - i * 10**9 for i in range(n)]
+    # local exact check that the fixture actually exceeds int64
+    xs = sorted(cents)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    partial_peak = sum(
+        abs((2 * (i + 1) - n - 1) * x) for i, x in enumerate(xs)
+    )
+    assert partial_peak > 2**63, "fixture no longer exercises overflow"
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "k long, cents long"
+    )
+    got = gini_cents(df, "cents", "k").collect()[0]
+    want = num / (n * sum(xs))
+    assert got["n_units"] == n
+    assert abs(got["gini"] - want) <= TOL
+
+
 # ------------------------------------------------------- kaplan-meier
 @given(
     rows=st.lists(
