@@ -33,18 +33,23 @@ def gini_cents(
         index_col="__i0",
     ).withColumn("i", (F.col("__i0") + 1).cast("long"))
     n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # the rank-weighted moment is summed in DECIMAL(38,0): the per-row
-    # product is ~2*n*cents (int64-safe), but its SUM reaches ~n^2*mean
-    # — past int64 around 1e8 cent-valued rows, i.e. exactly the 100 TB
-    # shape (ANSI mode would fail the job; non-ANSI would wrap silently).
-    # DuckDB's BIGINT sum widens to HUGEINT on its own; both engines then
-    # convert the same exact integer to double once, identically.
-    term = ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
-        "decimal(38,0)"
+    # the rank-weighted moment runs ENTIRELY in DECIMAL(38,0) — the rank
+    # weight is cast before the multiply, so even the per-row product
+    # (~2*n*cents, past int64 once n*mean_cents exceeds ~4.6e18) cannot
+    # wrap before widening, and the SUM (~n^2*mean — past int64 around
+    # 1e8 cent-valued rows, exactly the 100 TB shape) accumulates in
+    # decimal (ANSI mode would fail the job; non-ANSI would wrap
+    # silently). DuckDB's BIGINT arithmetic widens to HUGEINT on its
+    # own; both engines then convert the same exact integer to double
+    # once, identically.
+    term = (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)") * F.col(
+        "cents"
     )
     s = r.crossJoin(F.broadcast(n)).agg(
         F.first("n").alias("n"),
-        F.sum("cents").alias("tot"),
+        # the plain total wraps too once n * mean_cents passes ~9.2e18
+        # (1e12 rows at 1e7 cents) — same decimal widening as the moment
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
         F.sum(term).alias("num"),
     )
     return s.select(

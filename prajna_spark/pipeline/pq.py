@@ -112,9 +112,7 @@ def pq_codebook_trained(
             )
         ).alias("x"),
     ).select("__id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
-    from prajna_spark.operators.lifecycle import scoped_persist
-
-    sv = scoped_persist(sv)  # n_iter scans of the exploded frame
+    from prajna_spark.operators.lifecycle import persist_scope, scoped_persist
 
     flat = [(s, c, list(seed[s][c])) for s in range(m) for c in range(k)]
     d2 = F.aggregate(
@@ -122,34 +120,41 @@ def pq_codebook_trained(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    for _ in range(n_iter):
-        cb_df = spark.createDataFrame(flat, "s int, cid int, c array<double>")
-        assigned = (
-            sv.join(F.broadcast(cb_df), "s")
-            .withColumn("__d2", d2)
-            .groupBy("__id", "s")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "sv"),
-                    F.struct(F.col("__d2"), F.col("cid")),
-                ).alias("__a")
+    # the function owns the exploded frame's cache lifetime: every
+    # consumer (the n_iter training scans) finishes before return and the
+    # result is driver-side floats, so relying on the CALLER's
+    # persist_scope would leak an n*m-row cache for the session when no
+    # scope is active (round-6 ADVICE)
+    with persist_scope():
+        sv = scoped_persist(sv)  # n_iter scans of the exploded frame
+        for _ in range(n_iter):
+            cb_df = spark.createDataFrame(flat, "s int, cid int, c array<double>")
+            assigned = (
+                sv.join(F.broadcast(cb_df), "s")
+                .withColumn("__d2", d2)
+                .groupBy("__id", "s")
+                .agg(
+                    F.min_by(
+                        F.struct("cid", "sv"),
+                        F.struct(F.col("__d2"), F.col("cid")),
+                    ).alias("__a")
+                )
+                .select("s", F.col("__a.cid").alias("cid"), F.col("__a.sv").alias("sv"))
             )
-            .select("s", F.col("__a.cid").alias("cid"), F.col("__a.sv").alias("sv"))
-        )
-        means = (
-            assigned.select("s", "cid", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("s", "cid", "dim")
-            .agg(pround(F.avg("x"), round_decimals).alias("mval"))
-            .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mval"))),
-                    lambda st: st["mval"],
-                ).alias("c")
+            means = (
+                assigned.select("s", "cid", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("s", "cid", "dim")
+                .agg(pround(F.avg("x"), round_decimals).alias("mval"))
+                .groupBy("s", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                        lambda st: st["mval"],
+                    ).alias("c")
+                )
             )
-        )
-        new = {(r.s, r.cid): list(r.c) for r in means.collect()}
-        flat = [(s, c, new.get((s, c), prev)) for s, c, prev in flat]
+            new = {(r.s, r.cid): list(r.c) for r in means.collect()}
+            flat = [(s, c, new.get((s, c), prev)) for s, c, prev in flat]
 
     book: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
     for s, c, entry in flat:

@@ -110,7 +110,28 @@ _OLDEST_UNRECORDED = frozenset({"sample_topk_per_lang"})
 # driver's 50-row window in r6+r7, so anything NEW this round must not
 # displace a backlog query from the r6 window. Explicit (not
 # registration-order) for the same auditability reason as above.
-_NEWEST_UNRECORDED = frozenset({"image_png_roundtrip_meta"})
+_NEWEST_UNRECORDED = frozenset(
+    {
+        "image_png_roundtrip_meta",
+        # round-7 additions (§2 pytest-only tier -> oracle rows, VERDICT
+        # r6 item 3); pinned behind the 33-query backlog so the r7
+        # window still drains it completely.
+        "map_by_collection_stats",
+        "filter_map_by_key_orders",
+        "repartition_unique_key_isolation",
+        "rows_reorg_partition_profile",
+        "try_find_first_match",
+    }
+)
+
+# Queries whose LAST driver record is red/weak for a reason fixed this
+# round get forced back into the next window even though they are not
+# the stalest rows: r6's one red row (pq_encode_embeddings, array cells
+# crashed the driver canonicalizer) and the query with the same output
+# shape that would red-row whenever re-recorded (ivf_kmeans_centroids).
+# Both now emit scalar-only schemas; this tier re-records them in r7 so
+# the fix lands in the durable ledger (VERDICT r6 item 1 "Done =" bar).
+_FORCE_RERECORD = frozenset({"pq_encode_embeddings", "ivf_kmeans_centroids"})
 
 
 def _staleness_order(names: list[str]) -> list[str]:
@@ -133,6 +154,10 @@ def _staleness_order(names: list[str]) -> list[str]:
             else:
                 tier = 1
             return (0, tier, name)
+        if name in _FORCE_RERECORD:
+            # sorts with the never-recorded block (after it), ahead of
+            # every already-recorded row
+            return (0, 3, name)
         return (1, max(rounds), name)
 
     return sorted(names, key=sort_key)

@@ -1458,20 +1458,21 @@ def cuped_adjusted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
     )
     a = u.withColumn("variant", ab_assign(F.col("user_id"), seed="cuped1"))
-    # second moments sum in DECIMAL(38,0): per-user x*y is int64-safe,
-    # but the corpus-level sums (and the n*sxy / sx*sy co-moment
-    # products below) grow ~n * mean^2 — past int64 around 1e8 users at
-    # cent magnitudes (the gini lesson, operators/stats.py). DuckDB's
-    # BIGINT arithmetic widens to HUGEINT on its own; both engines
-    # convert the same exact integers to double once, identically.
+    # second moments in DECIMAL(38,0), with ONE OPERAND cast BEFORE the
+    # multiply so the product itself runs in decimal: per-user cent sums
+    # reach ~3e9 and x*y in int64 would wrap SILENTLY before a cast of
+    # the product could widen it (r6 ADVICE; any int64*int64 fits
+    # decimal(38,0) exactly — max ~8.5e37). DuckDB's BIGINT arithmetic
+    # widens to HUGEINT on its own; both engines convert the same exact
+    # integers to double once, identically.
     dec = "decimal(38,0)"
     g = a.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     sx_d, sy_d = F.col("sx").cast(dec), F.col("sy").cast(dec)
     num = (F.col("n") * F.col("sxy") - sx_d * sy_d).cast("double")

@@ -2546,3 +2546,221 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.operators.stats import ks_2samp
 
     return ks_2samp(b, "v", "grp")
+
+
+# --------------------------------------------------------------------------
+# §2 pytest-only tier -> driver-certified rows (round 7, VERDICT r6 item 3):
+# thin catalog queries routed THROUGH the DSet operator surface so the
+# driver's oracle gate — not just pytest — certifies map_by_collection,
+# filter_by_key/map_by_value, repartition_by_unique_key, rows_reorg and
+# try_find.
+# --------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT)"
+
+
+@query(
+    "map_by_collection_stats",
+    oracle=f"""
+    -- batch-transform replay: the Arrow-batch cents conversion is
+    -- row-local IEEE floor(x*100+0.5), identical in numpy and SQL
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("mapByCollection", "mapInPandas", "dset"),
+)
+def map_by_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prajna ``mapByCollection f`` 'U[]->'U1[] (DSetGenerics.fs:1127-1138)
+    through the DSet surface: the reference transforms a whole in-memory
+    collection at once; our collection is the Arrow record batch, so the
+    operator IS ``mapInPandas`` (dset.py map_by_collection). The batch fn
+    does the row-local cents conversion in numpy (floor(x*100+0.5) —
+    IEEE-identical to the SQL spelling); the aggregation stays JVM-side
+    after the batch transform. Deliberately the documented slow path —
+    the JVM twin is mapreduce_priority_histogram."""
+    import numpy as np
+
+    from prajna_spark.dset import DSet
+
+    (od,) = _t(spark, sf_dir, "orders")
+
+    def to_cents(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                cents=np.floor(pdf["o_totalprice"] * 100.0 + 0.5).astype(
+                    "int64"
+                )
+            )[["o_orderpriority", "cents"]]
+
+    ds = DSet(od.select("o_orderpriority", "o_totalprice")).map_by_collection(
+        to_cents, "o_orderpriority string, cents long"
+    )
+    return ds.df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "filter_map_by_key_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_CENTS} AS value_cents
+    FROM orders WHERE o_custkey % 10 = 3
+    """,
+    tags=("filterByKey", "mapByValue", "DKV", "dset"),
+)
+def filter_map_by_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prajna DKV ``filterByKey f`` (DKV.fs:172-177) then ``mapByValue f``
+    (DKV.fs:179-203) through the DSet key view (by_key): the key
+    predicate is a column expression so it pushes into the parquet scan
+    (the reference evaluates the closure per record); the value
+    transform keeps the key untouched. Zero shuffles — both operators
+    are narrow."""
+    from prajna_spark.dset import DSet
+
+    (od,) = _t(spark, sf_dir, "orders")
+    ds = (
+        DSet(od.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .by_key("o_custkey")
+        .filter_by_key(lambda ks: ks[0] % 10 == F.lit(3))
+        .map_by_value(
+            "value_cents",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        )
+    )
+    return ds.df.select("o_orderkey", "o_custkey", "o_orderstatus", "value_cents")
+
+
+@query(
+    "repartition_unique_key_isolation",
+    oracle=f"""
+    -- the key-isolation invariant, checkable in SQL: after
+    -- repartitionByUniqueKey every key owns EXACTLY ONE partition, and
+    -- the partition index equals the key's rank in the sorted distinct
+    -- key list (the operator builds exactly that map)
+    WITH g AS (
+      SELECT o_orderpriority, count(*) AS n_rows,
+             CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(1 AS BIGINT) AS n_partitions,
+           CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
+             AS part_id,
+           n_rows, total_cents
+    FROM g
+    """,
+    tags=("repartitionByUniqueKey", "partitioning", "DKV", "dset"),
+)
+def repartition_unique_key_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prajna ``repartitionByUniqueKey`` (DKV.fs:66-96) through the DSet
+    surface: 5 distinct order priorities -> 5 partitions, each owning
+    exactly one key. The result PROVES the isolation invariant the
+    pytest tier asserted (n_partitions per key == 1, partition id == the
+    key's sorted rank) plus data preservation (count + cents sum match
+    the plain groupBy). Scale contract as documented on the operator:
+    #partitions == #distinct keys, for moderate key cardinality only —
+    the faithful RDD partitionBy escape hatch, not the production
+    repartition_by_key path."""
+    from prajna_spark.dset import DSet
+
+    (od,) = _t(spark, sf_dir, "orders")
+    ds = (
+        DSet(od.select("o_orderpriority", "o_totalprice"))
+        .by_key("o_orderpriority")
+        .repartition_by_unique_key()
+    )
+    return (
+        ds.df.withColumn("pid", F.spark_partition_id())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("pid").cast("long").alias("n_partitions"),
+            F.min("pid").cast("long").alias("part_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "rows_reorg_partition_profile",
+    oracle="""
+    -- rowsReorg is pure layout: the profile proves the partition bound
+    -- AND that no row was lost/duplicated by the coalesce
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+             AS total_qty_cents,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+    tags=("rowsReorg", "coalesce", "dset"),
+)
+def rows_reorg_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prajna ``rowsReorg``/``reorgWDegree`` (DSetGenerics.fs:1139-1184)
+    through the DSet surface: collection rebatching is a no-op on Spark
+    (Tungsten batches internally), partition-granularity reorg =
+    coalesce(4) — NO shuffle (coalesce narrows). The query certifies the
+    two things that can go wrong: the partition count bound (<= 4; an
+    sf0.001 single-file scan may produce fewer) and exact data
+    preservation through the reorg."""
+    from prajna_spark.dset import DSet
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ds = DSet(li.select("l_quantity")).rows_reorg(4)
+    return (
+        ds.df.withColumn("pid", F.spark_partition_id())
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_qty_cents"),
+            (F.countDistinct("pid") <= F.lit(4)).alias("within_bound"),
+        )
+    )
+
+
+@query(
+    "try_find_first_match",
+    oracle=f"""
+    -- tryFind with a UNIQUE-match predicate (o_orderkey is unique), so
+    -- 'first match' is deterministic on both engines; the target key is
+    -- itself a deterministic aggregate
+    SELECT o_orderkey, o_custkey, o_orderstatus, {_CENTS} AS cents
+    FROM orders
+    WHERE o_orderkey = (
+      SELECT min(o_orderkey) FROM orders WHERE o_totalprice > 4e5
+    )
+    """,
+    tags=("tryFind", "take", "dset"),
+)
+def try_find_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prajna ``tryFind`` (tests/CoreLib/DSet.fs test list) through the
+    DSet surface: filter + take(1) — the equality predicate pushes to
+    the parquet scan and Spark stops at the first non-empty partition
+    batch. The probe key (min orderkey above a price threshold) is
+    computed first so the predicate matches exactly one row — 'first'
+    is then engine-independent. Returns the found row as a 1-row frame
+    (or 0 rows if absent, matching the oracle's empty result)."""
+    from prajna_spark.dset import DSet
+
+    (od,) = _t(spark, sf_dir, "orders")
+    target = (
+        od.where(F.col("o_totalprice") > 4e5)
+        .agg(F.min("o_orderkey").alias("k"))
+        .collect()[0]["k"]
+    )
+    ds = DSet(od.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    row = ds.try_find(F.col("o_orderkey") == F.lit(target))
+    found = [row] if row is not None else []
+    out = spark.createDataFrame(found, ds.df.schema)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )

@@ -499,11 +499,16 @@ def _kmeans_ctes(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> li
 
 def _kmeans_oracle(k: int = 16, n_iter: int = 3, d: int = DIM, dec: int = 6) -> str:
     """Final-centroid + assignment-count projection of the Lloyd replay
-    (see _kmeans_ctes for the exactness contract)."""
+    (see _kmeans_ctes for the exactness contract). Centroid arrays are
+    emitted in (dim_idx, dim_value) LONG FORM — the driver's
+    canonicalizer cannot hash array-typed cells (VERDICT r6 item 1), so
+    both engines unnest the k x d matrix to scalar rows."""
     joined = ",\n    ".join(_kmeans_ctes(k, n_iter, d, dec))
     return f"""
     WITH {joined}
-    SELECT p.centroid_id, p.c AS centroid,
+    SELECT p.centroid_id,
+           CAST(generate_subscripts(p.c, 1) AS BIGINT) - 1 AS dim_idx,
+           unnest(p.c) AS dim_value,
            CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_assigned
     FROM c{n_iter} p
     LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY centroid_id) cnt
@@ -549,14 +554,25 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations refining 16 seed centroids
     (pipeline.similarity.kmeans_centroids). Driver holds only the k x dim
     centroid state between iterations; per-iteration shuffle carries
-    k*dim aggregate rows. Output: (centroid_id, centroid, n_assigned) —
-    hash-checked value-for-value against a DuckDB replay of the same
-    deterministic Lloyd run: per-iteration portable rounding
-    (round_decimals=6) absorbs fp aggregation-order noise, so even the
-    centroid ARRAYS match exactly (previously a rows-only entry)."""
+    k*dim aggregate rows. Output: (centroid_id, dim_idx, dim_value,
+    n_assigned) — the centroid array posexploded to long form because the
+    driver's canonicalizer cannot hash array cells (r6's one red row was
+    exactly this failure class); values are hash-checked against a DuckDB
+    replay of the same deterministic Lloyd run with per-iteration
+    portable rounding (round_decimals=6) absorbing fp aggregation-order
+    noise."""
     emb = _emb(spark, sf_dir)
     out = similarity.kmeans_centroids(emb, k=16, n_iter=3, round_decimals=6)
-    return out.select("centroid_id", "centroid", "n_assigned")
+    return out.select(
+        "centroid_id",
+        F.posexplode("centroid").alias("p", "dim_value"),
+        "n_assigned",
+    ).select(
+        "centroid_id",
+        F.col("p").cast("long").alias("dim_idx"),
+        "dim_value",
+        "n_assigned",
+    )
 
 
 @query(
@@ -929,7 +945,8 @@ def _pq_common_ctes(n_iter: int = _PQ_ITER, dec: int = 6) -> str:
     -- with the kmeans exactness contract), then per-(vec, subspace)
     -- argmin codes; recon_err summed in the same left-assoc order
     WITH {_pq_common_ctes()}
-    SELECT vec_id, codes, recon_err FROM enc
+    SELECT vec_id, array_to_string(codes, '_') AS codes_str, recon_err
+    FROM enc
     """,
     tags=("pq", "quantization", "vectors", "compression"),
 )
@@ -943,14 +960,22 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     run value-for-value. The trained book folds into literal
     expressions, so the encode itself stays MAP-ONLY — one projection,
     zero shuffles, zero joins, at any corpus scale; training cost is
-    n_iter narrow shuffles of m*k*8 mean cells."""
+    n_iter narrow shuffles of m*k*8 mean cells. The codes array is
+    serialized to a '_'-joined string (quantize_embeddings_int8's
+    convention) because the driver's canonicalizer cannot hash array
+    cells — this was r6's only red CORRECTNESS row."""
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
     cb = pq.pq_codebook_trained(
         emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
     )
-    return pq.pq_encode(emb, cb)
+    enc = pq.pq_encode(emb, cb)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("_", F.col("codes").cast("array<string>")).alias("codes_str"),
+        "recon_err",
+    )
 
 
 def _pq_adc_sq(a_full: str, s: int, b_sub: str, sub: int = _PQ_SUB) -> str:

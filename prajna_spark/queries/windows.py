@@ -1489,18 +1489,21 @@ def autocorr_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y_type") == F.col("event_type"))
         & (F.col("y_h") + F.col("lag_hours") * 3600 == F.col("h")),
     )
-    # co-moments in DECIMAL(38,0): hourly counts at extreme ingest rates
-    # (1e9/hour) put xv*yv and the np*sxy products past int64 (the gini
-    # lesson, operators/stats.py); DuckDB widens BIGINT to HUGEINT on
-    # its own, so decimal keeps the engines on the same exact integers.
+    # co-moments in DECIMAL(38,0), one operand cast BEFORE the multiply
+    # so the product runs in decimal: hourly counts at extreme ingest
+    # rates (1e9/hour) put xv*yv itself past int64 — casting the
+    # already-wrapped product would keep the garbage (r6 ADVICE; any
+    # int64*int64 fits decimal(38,0) exactly). DuckDB widens BIGINT to
+    # HUGEINT on its own, so decimal keeps the engines on the same
+    # exact integers.
     dec = "decimal(38,0)"
     s = pairs.groupBy("event_type", "lag_hours").agg(
         F.count(F.lit(1)).alias("np"),
         F.sum("xv").alias("sx"),
         F.sum("yv").alias("sy"),
-        F.sum((F.col("xv") * F.col("yv")).cast(dec)).alias("sxy"),
-        F.sum((F.col("xv") * F.col("xv")).cast(dec)).alias("sxx"),
-        F.sum((F.col("yv") * F.col("yv")).cast(dec)).alias("syy"),
+        F.sum(F.col("xv").cast(dec) * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv").cast(dec) * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv").cast(dec) * F.col("yv")).alias("syy"),
     )
     sx_d, sy_d = F.col("sx").cast(dec), F.col("sy").cast(dec)
     dxx = F.col("np") * F.col("sxx") - sx_d * sx_d
@@ -1590,10 +1593,23 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_stream_firstseen). A horizon wider than the fixture's span
     makes the drain equal batch DISTINCT exactly; production picks the
     horizon as a retention policy and accepts re-emission past it (the
-    documented eviction contract, tested in test_dedup_stream)."""
+    documented eviction contract, tested in test_dedup_stream).
+
+    This operator's state is KEY-UNIVERSE-sized (one row per distinct
+    key until the horizon passes) — the one streaming shape whose state
+    legitimately outgrows executor heap at 100 TB — so the drain runs
+    under the auto-selected state-store provider: RocksDB (off-heap,
+    changelog-checkpointed) above the row threshold, the default heap
+    provider for tiny fixtures. Provider equivalence + engagement are
+    asserted in tests/test_statestore.py."""
+    import os
     import tempfile
 
     from prajna_spark.streaming.dedup_stream import start_watermark_dedup
+    from prajna_spark.streaming.statestore import (
+        auto_state_provider,
+        parquet_row_estimate,
+    )
     from prajna_spark.streaming.telemetry import events_readstream
 
     tune(spark)
@@ -1604,11 +1620,13 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.expr("CAST(ts AS LONG) div 3600") * 3600).alias("epoch_hour"),
     )
-    q = start_watermark_dedup(
-        ev, "ts", ["user_id", "event_type", "epoch_hour"],
-        f"{base}/store", f"{base}/ckpt",
-    )
-    q.awaitTermination()
+    est = parquet_row_estimate(os.path.join(sf_dir, "events.parquet"))
+    with auto_state_provider(spark, est):
+        q = start_watermark_dedup(
+            ev, "ts", ["user_id", "event_type", "epoch_hour"],
+            f"{base}/store", f"{base}/ckpt",
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/store")
 
 
@@ -1673,7 +1691,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type")
     )
     ev_batch.write.parquet(src)
-    mx = ev_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # collect the max ts as an EPOCH, not a datetime: collect() returns a
+    # naive datetime in the driver's LOCAL tz, and handing naive values
+    # to pyarrow's tz='UTC' schema reinterprets them as UTC wall time —
+    # on a non-UTC driver host the sentinels would land hours early and
+    # the held left-outer rows would silently never flush (r6 ADVICE,
+    # high). An epoch is tz-exact on every host.
+    mx_epoch = ev_batch.agg(
+        F.max(F.unix_timestamp("ts")).alias("m")
+    ).collect()[0]["m"]
 
     def drain(max_files: int | None = None) -> None:
         reader = spark.readStream.schema(
@@ -1747,7 +1773,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     for i, hours in enumerate((4, 8)):
-        s_ts = mx + datetime.timedelta(hours=hours)
+        s_ts = datetime.datetime.fromtimestamp(
+            mx_epoch + hours * 3600, tz=datetime.timezone.utc
+        )
         table = pa.Table.from_pydict(
             {
                 "event_id": [-1 - 2 * i, -2 - 2 * i],

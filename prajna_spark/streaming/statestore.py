@@ -23,6 +23,8 @@ both providers and asserts byte-identical results.
 
 from __future__ import annotations
 
+import glob
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -31,6 +33,51 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+# Auto-selection threshold (estimated state rows). Below it the default
+# heap provider wins — RocksDB pays a per-partition instance open/commit
+# cost that dominates small drains (the same fixed-cost lever as the r6
+# state-partition tuning); above it, off-heap state is the only posture
+# that survives key-universe growth. 10k keeps the sf0.001 pytest tier on
+# the cheap provider while every driver-gate scale (sf0.01+) exercises
+# RocksDB for the key-universe-sized operators.
+AUTO_ROWS_THRESHOLD = 10_000
+
+
+def parquet_row_estimate(path: str) -> int:
+    """Upper-bound state-row estimate from parquet FOOTERS only (no scan,
+    no job): total row count of a file or a directory of part files.
+    For dedup the state is one row per distinct key <= input rows; for
+    sessionization one row per active key <= input rows — a cheap,
+    always-available over-estimate, which is the safe direction (engaging
+    RocksDB early costs fixed overhead; engaging it late costs the heap)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+@contextmanager
+def auto_state_provider(
+    spark: SparkSession,
+    est_state_rows: int,
+    threshold: int = AUTO_ROWS_THRESHOLD,
+    changelog: bool = True,
+):
+    """Pick the state-store provider by estimated state size: yields
+    ``"rocksdb"`` (scoped via :func:`rocksdb_state`) when
+    ``est_state_rows >= threshold``, else ``"hdfs"`` with the session
+    default untouched. Start the streaming query INSIDE the scope — the
+    provider binds at checkpoint creation."""
+    if est_state_rows >= threshold:
+        with rocksdb_state(spark, changelog=changelog):
+            yield "rocksdb"
+    else:
+        yield "hdfs"
 
 
 @contextmanager

@@ -156,6 +156,10 @@ def test_no_python_eval_anywhere_in_catalog(spark, sf_dir):
         # arithmetic and everything after the (doc, frame, hash) rows is
         # JVM (window, hamming)
         "video_keyframe_dhash",
+        # §2 mapByCollection through the DSet surface IS mapInPandas by
+        # definition (the reference's collection == our Arrow batch);
+        # the JVM twin is mapreduce_priority_histogram
+        "map_by_collection_stats",
     }
     for name, fn in queries().items():
         if name in allowed:

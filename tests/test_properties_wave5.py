@@ -76,6 +76,34 @@ def test_gini_moment_survives_int64_overflow_magnitudes(spark):
     assert abs(got["gini"] - want) <= TOL
 
 
+def test_gini_per_row_product_survives_int64_overflow():
+    """Harder than the sum-overflow fixture above: here the PER-ROW
+    product (2i-n-1)*cents itself exceeds int64, so a spelling that
+    multiplies in int64 and casts the product to decimal afterwards
+    would widen already-wrapped garbage (r6 ADVICE). The operator must
+    cast an operand BEFORE the multiply."""
+    import pytest
+
+    from prajna_spark.operators.stats import gini_cents
+    from prajna_spark.session import get_spark
+
+    spark = get_spark("test-gini-rowprod")
+    n, hi = 200, 9 * 10**16
+    cents = [hi - i * 10**11 for i in range(n)]
+    xs = sorted(cents)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    row_peak = max(abs((2 * (i + 1) - n - 1) * x) for i, x in enumerate(xs))
+    assert row_peak > 2**63, "fixture no longer exercises per-row overflow"
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "k long, cents long"
+    )
+    got = gini_cents(df, "cents", "k").collect()[0]
+    want = num / (n * sum(xs))
+    assert got["n_units"] == n
+    assert got["gini"] == pytest.approx(want, abs=TOL)
+
+
 # ------------------------------------------------------- kaplan-meier
 @given(
     rows=st.lists(

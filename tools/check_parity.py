@@ -27,6 +27,26 @@ from prajna_spark.sources.catalog import TABLES  # noqa: E402
 FLOAT_DECIMALS = 6
 
 
+def reject_complex_cells(df: pd.DataFrame, side: str) -> list[str]:
+    """The driver's canonicalizer CRASHES on list/array/dict-valued cells
+    (pandas sort of unhashable cells — r6's one red row,
+    pq_encode_embeddings). Stringifying here would mask exactly that
+    contract violation, so fail loudly instead: queries must serialize
+    complex outputs (concat_ws digest or posexplode long form) per the
+    catalog convention header."""
+    problems = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna().head(20)
+            if any(isinstance(v, (list, tuple, dict, np.ndarray)) for v in sample):
+                problems.append(
+                    f"col {c} ({side}): complex-typed cells — the driver "
+                    "canonicalizer cannot hash these; serialize to scalar "
+                    "(concat_ws/md5) or posexplode to long form"
+                )
+    return problems
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -40,7 +60,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
-    problems = []
+    problems = reject_complex_cells(spark_pdf, "spark") + reject_complex_cells(
+        oracle_pdf, "oracle"
+    )
+    if problems:
+        return problems
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
