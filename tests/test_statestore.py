@@ -14,6 +14,8 @@ from prajna_spark.streaming.dedup_stream import start_watermark_dedup
 from prajna_spark.streaming.statestore import (
     _PROVIDER_CONF,
     ROCKSDB_PROVIDER,
+    auto_state_provider,
+    parquet_row_estimate,
     rocksdb_state,
 )
 
@@ -35,27 +37,61 @@ def _drain_dedup(spark, sf_dir, base):
         f"{base}/ckpt",
     )
     q.awaitTermination()
+    # engagement evidence: RocksDB publishes provider-specific custom
+    # metrics on every state operator's progress (heap provider: none)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    custom_keys: set[str] = set()
+    for p in progress:
+        for op in p["stateOperators"]:
+            custom_keys |= set(op.get("customMetrics") or {})
     rows = (
         spark.read.parquet(f"{base}/store")
         .select("user_id", "event_type", "epoch_hour")
         .collect()
     )
-    return sorted(tuple(r) for r in rows)
+    return sorted(tuple(r) for r in rows), custom_keys
 
 
-def test_rocksdb_provider_matches_default(spark, sf_dir):
+def test_rocksdb_provider_matches_default_and_engages(spark, sf_dir):
     base_default = tempfile.mkdtemp(prefix="ss_default_")
     base_rocks = tempfile.mkdtemp(prefix="ss_rocks_")
 
-    got_default = _drain_dedup(spark, sf_dir, base_default)
+    got_default, keys_default = _drain_dedup(spark, sf_dir, base_default)
     with rocksdb_state(spark):
         assert spark.conf.get(_PROVIDER_CONF) == ROCKSDB_PROVIDER
-        got_rocks = _drain_dedup(spark, sf_dir, base_rocks)
+        got_rocks, keys_rocks = _drain_dedup(spark, sf_dir, base_rocks)
     # provider restored after the scope
     assert spark.conf.get(_PROVIDER_CONF, None) != ROCKSDB_PROVIDER
 
     assert len(got_default) > 0
     assert got_default == got_rocks
+    # not just equivalence: the drain must PROVE which provider ran it
+    # (r6 VERDICT item 5) — RocksDB emits rocksdb* custom state metrics,
+    # the heap provider emits none of them
+    assert any(k.startswith("rocksdb") for k in keys_rocks), keys_rocks
+    assert not any(k.startswith("rocksdb") for k in keys_default), keys_default
+
+
+def test_auto_provider_selects_by_estimated_rows(spark):
+    with auto_state_provider(spark, est_state_rows=10, threshold=100) as p:
+        assert p == "hdfs"
+        assert spark.conf.get(_PROVIDER_CONF, None) != ROCKSDB_PROVIDER
+    with auto_state_provider(spark, est_state_rows=100, threshold=100) as p:
+        assert p == "rocksdb"
+        assert spark.conf.get(_PROVIDER_CONF) == ROCKSDB_PROVIDER
+    assert spark.conf.get(_PROVIDER_CONF, None) != ROCKSDB_PROVIDER
+
+
+def test_parquet_row_estimate_file_and_dir(spark, sf_dir, tmp_path):
+    # single file (driver testdata layout)
+    n_file = parquet_row_estimate(f"{sf_dir}/events.parquet")
+    assert n_file == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # directory of part files (scale-fixture layout)
+    d = str(tmp_path / "ev_dir")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100).repartition(
+        3
+    ).write.parquet(d)
+    assert parquet_row_estimate(d) == 100
 
 
 def test_rocksdb_scope_restores_previous_provider(spark):
