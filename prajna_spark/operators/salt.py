@@ -85,3 +85,60 @@ def salted_broadcast_join(
         "__salt", (F.rand(seed=7) * n_salts).cast("int")
     )
     return probe_salted.join(F.broadcast(build_salted), on + ["__salt"]).drop("__salt")
+
+
+def window_agg_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Skew-immune spelling of a WHOLE-PARTITION window aggregate —
+    ``F.sum(x).over(Window.partitionBy(keys))`` and friends.
+
+    The window spelling is the one skew case AQE cannot fix: a window
+    partition is indivisible, so a hot key's every row lands on ONE task
+    and skew-join splitting never applies (WindowExec isn't a join).
+    This twin computes the per-key aggregate with a hash aggregate
+    (map-side combine collapses the hot key to one row per input
+    partition BEFORE the shuffle) and joins it back to the rows. The
+    join-back still hashes the hot key to one partition — but that IS a
+    shuffle join, which AQE's skew-join splitting can divide at runtime;
+    the aggregate shuffle itself carries only |keys|x|partitions| rows.
+
+    ``aggs`` maps output column name -> decomposable aggregate
+    expression (unaliased). Output == ``df`` plus one column per agg,
+    exactly matching the window spelling row-for-row."""
+    keys = list(keys)
+    per_key = df.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return df.join(per_key, keys)
+
+
+def window_agg_auto(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    skew_ratio: float | None = None,
+    threshold: float = 8.0,
+) -> DataFrame:
+    """Diagnostic-driven selection between the window spelling and the
+    grouped-join twin: pass the measured ``plans.metrics.max_skew_ratio``
+    from a prior run's ``stage_task_skew`` report (the
+    ``tools/skew_report.py`` loop); at or above ``threshold`` the
+    grouped-join spelling is selected, else the plain window. The
+    default threshold matches skew_report's ALERT_RATIO.
+
+    This closes the diagnose->remedy loop for hot-key windows: AQE
+    handles skewed shuffle JOINS at runtime, partial aggregation handles
+    skewed GROUPBYs for free, and this rewrite converts the remaining
+    case (skewed window partitions) into the first one."""
+    from pyspark.sql import Window
+
+    if skew_ratio is not None and skew_ratio >= threshold:
+        return window_agg_grouped(df, keys, aggs)
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    out = df
+    for name, a in aggs.items():
+        out = out.withColumn(name, a.over(w))
+    return out

@@ -86,6 +86,17 @@ def main() -> int:
             flagged.append(name)
     if flagged:
         print(f"\nflagged (> {ALERT_RATIO}x): {flagged}")
+        print(
+            "remedy: pass the measured ratio to "
+            "operators.salt.window_agg_auto(df, keys, aggs, skew_ratio=R) — "
+            "whole-partition window aggregates rewrite to hash-agg + "
+            "join-back (map-side combine absorbs the hot key; AQE skew-join "
+            "splits the join-back). Joins: AQE skewJoin (on by default) or "
+            "salted_broadcast_join; groupBy: already absorbed by partial "
+            "aggregation unless per-key state is large (collect_list/"
+            "percentile) — use salted_agg there. The diagnose->remedy loop "
+            "is tested in tests/test_skew_remedy.py."
+        )
     else:
         print("\nno stage exceeds the skew alert ratio")
     return 0
