@@ -92,16 +92,26 @@ def main() -> int:
     fails = [n for n, r in rows.items() if r["last_verdict"] == "FAIL"]
     print(f"catalog: {len(rows)} queries; latest driver round: r{ledger['latest_round']}")
     print(f"never driver-recorded: {len(never)}" + (f" -> {never}" if never else ""))
-    from prajna_spark.queries import _NEWEST_UNRECORDED, _OLDEST_UNRECORDED
+    from prajna_spark.queries import (
+        _FORCE_RERECORD,
+        _NEWEST_UNRECORDED,
+        _OLDEST_UNRECORDED,
+    )
 
     pinned_first = sorted(n for n in never if n in _OLDEST_UNRECORDED)
     pinned_last = sorted(n for n in never if n in _NEWEST_UNRECORDED)
+    forced = sorted(n for n in rows if n in _FORCE_RERECORD)
     if pinned_first:
         print(f"  pinned FIRST in rotation (oldest catalog entries): {pinned_first}")
     if pinned_last:
         print(
             "  pinned LAST in rotation (new this round; must not displace"
             f" the backlog): {pinned_last}"
+        )
+    if forced:
+        print(
+            "  forced re-record (red/weak last record, fix shipped;"
+            f" sorts right after the never-recorded block): {forced}"
         )
     print(f"driver FAIL at last record: {len(fails)}" + (f" -> {fails}" if fails else ""))
     by_staleness: dict[int, list[str]] = {}

@@ -16,6 +16,10 @@ by key-shifting each copy, preserving the join graph exactly:
 
 Usage: python tools/gen_scale.py 3      # writes /tmp/prajna_scale/sf0.3
        python tools/gen_scale.py 10     # writes /tmp/prajna_scale/sf1.0
+       python tools/gen_scale.py 30 lineitem supplier
+           # tier-scoped fixture: scale only the named tables (plus the
+           # fixed nation/region) — e.g. a 30x edge set for the graph
+           # tier without paying for 30x documents/embeddings
 
 This is a perf proxy only — correctness oracles always run on the
 driver-generated data, never on this.
@@ -50,6 +54,8 @@ FIXED_TABLES = ["nation", "region"]
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = set(sys.argv[2:])
+    scaled = [t for t in SCALED_TABLES if not only or t in only]
     out = f"/tmp/prajna_scale/sf{round(0.1 * k, 1)}"
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
@@ -60,19 +66,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    src = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in SCALED_TABLES}
+    src = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in scaled}
     # one offset per key domain = max(key)+1, read in one tiny job each
     offsets = {}
     for dom, sites in KEY_SITES.items():
+        sites = [(t, c) for t, c in sites if t in src]
+        if not sites:
+            continue
         t, c = sites[0]
         offsets[dom] = src[t].agg(F.max(c)).first()[0] + 1
 
     shift_cols = {}  # table -> [(col, offset)]
     for dom, sites in KEY_SITES.items():
+        if dom not in offsets:
+            continue
         for t, c in sites:
-            shift_cols.setdefault(t, []).append((c, offsets[dom]))
+            if t in src:
+                shift_cols.setdefault(t, []).append((c, offsets[dom]))
 
-    for t in SCALED_TABLES:
+    for t in scaled:
         parts = []
         for i in range(k):
             df = src[t]
