@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from prajna_spark.functions.rounding import R
 from prajna_spark.operators.pagerank import pagerank
 from prajna_spark.queries import query
-from prajna_spark.session import tune
+from prajna_spark.session import scale_shuffle_partitions, tune
 from prajna_spark.sources import load_table
 
 _N_ITER = 4
@@ -75,6 +75,7 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one-row broadcast scalars; ranks are checkpointed and rounded
     (9 decimals) every round so the DuckDB replay hash-matches."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     pe = li.select(
         (F.col("l_partkey") * 2).alias("src"),
@@ -123,6 +124,7 @@ def bfs_hops_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UNION-dedup breadth expansion + min(d)) define shortest-hop distance
     without mirroring the Spark loop's structure."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     pe = li.select(
         (F.col("l_partkey") * 2).alias("src"),
@@ -169,6 +171,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle triple-joins the raw edge list; equality proves the
     orientation bookkeeping exact (413k triangles at sf0.01)."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     from prajna_spark.operators.triangles import triangle_count
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -222,6 +225,7 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis; the oracle's triple join is orientation-free ground
     truth."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     from prajna_spark.operators.triangles import clustering_coefficients
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -278,6 +282,7 @@ def sssp_supplier_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop query, and like it, exactly replayed by an unrolled SQL ladder
     (min over IEEE doubles is engine-portable)."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     pe = li.groupBy(
         (F.col("l_partkey") * 2).alias("p_nid"),
@@ -346,6 +351,7 @@ def kcore_parts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit before the fixpoint, so the oracle's fixed-depth ladder can
     never silently diverge."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -402,6 +408,7 @@ def labelprop_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; O(1) lineage via localCheckpoint. Integer-only arithmetic,
     so the fixed-depth SQL ladder replays the schedule exactly."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     from prajna_spark.operators.labelprop import label_propagation
 
     li = load_table(spark, "lineitem", sf_dir)
@@ -471,6 +478,7 @@ def modularity_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list), the global m rides a one-row broadcast, and the per-
     community contribution avoids any cross-row fp sum."""
     tune(spark)
+    scale_shuffle_partitions(spark, sf_dir)
     from prajna_spark.functions.rounding import pround
     from prajna_spark.operators.labelprop import label_propagation
 

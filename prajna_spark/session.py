@@ -50,7 +50,56 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # every catalog query runs tune() at entry, so resetting the
+    # pre-coalesce shuffle granularity here bounds any leak from a prior
+    # query's scale_shuffle_partitions() call in the same session
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(DEFAULT_SHUFFLE_PARTITIONS),
+    )
     # events.parquet stores ts as TIMESTAMP(NANOS) which the Spark parquet
     # reader rejects; read as raw nanos and convert in the catalog.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def scale_shuffle_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    rows_per_partition: int = 35_000,
+    cap: int = 2048,
+) -> int:
+    """Size the PRE-COALESCE shuffle granularity to the input, from
+    parquet footers only (no job). AQE's coalescePartitions merges small
+    reducers back down at runtime, so raising
+    ``initialPartitionNum`` is free at small scale — but it is the only
+    dial that bounds PER-TASK working sets as data grows: with a fixed
+    32-partition shuffle, each reduce task's buffered rows scale
+    linearly with the corpus until the heap dies. Found live on the 30x
+    graph fixture (round 7): the wedge-closure shuffle OOM'd an 8 GB
+    heap at 32 partitions and completed at 512. The memory-heavy
+    iterative/wedge operators call this after ``tune()`` (which resets
+    the granularity, bounding cross-query leaks); sizing from row count
+    is deliberately coarse — the point is the ORDER of task count, AQE
+    owns the fine-tuning."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    try:
+        n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        n = 0
+    parts = min(cap, max(DEFAULT_SHUFFLE_PARTITIONS, n // rows_per_partition))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(parts)
+    )
+    return parts

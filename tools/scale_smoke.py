@@ -14,6 +14,12 @@ import os
 import sys
 import time
 
+# Scaled fixtures are memory-bound, not oracle-bound: give the single
+# local JVM a bigger heap than the 8g bench default unless the caller
+# pinned one (the 30x graph tier OOMs an 8 GB heap; correctness/bench
+# runs keep their own defaults for round-over-round comparability).
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from prajna_spark.queries import queries  # noqa: E402
