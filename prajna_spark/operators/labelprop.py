@@ -67,4 +67,10 @@ def label_propagation(
         )
         release_local_checkpoint(labels)
         labels = nxt
+    # the edge checkpoint is EDGE-cardinality — the one frame here whose
+    # leak compounds across queries in a shared session (found live:
+    # the 30x fixture's second LP-family query OOM'd a 24 GB heap on the
+    # previous query's pinned edges). The returned labels checkpoint is
+    # node-cardinality and must stay (it IS the result).
+    release_local_checkpoint(sym)
     return labels.select(F.col("nid").alias("node_id"), F.col("lbl").alias("community"))
