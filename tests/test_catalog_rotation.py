@@ -15,12 +15,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_order_is_staleness_monotone():
+    from prajna_spark.queries import _FORCE_RERECORD
+
     seen = _recorded_rounds()
     names = list(registry().keys())
     # last-recorded round must be non-decreasing along the ordering, with
-    # never-recorded (treated as round -inf) leading.
-    last_rounds = [max(seen[n]) if n in seen and seen[n] else -1 for n in names]
+    # never-recorded (treated as round -inf) leading — EXCEPT the
+    # _FORCE_RERECORD tier (red/weak last record whose fix shipped this
+    # round), which deliberately jumps the staleness queue to land in
+    # the very next driver window.
+    ordered = [n for n in names if n not in _FORCE_RERECORD]
+    last_rounds = [
+        max(seen[n]) if n in seen and seen[n] else -1 for n in ordered
+    ]
     assert last_rounds == sorted(last_rounds)
+    # forced entries sit immediately after the never-recorded block
+    never_count = sum(1 for n in names if not seen.get(n))
+    forced_recorded = [n for n in _FORCE_RERECORD if seen.get(n)]
+    for n in forced_recorded:
+        idx = names.index(n)
+        assert never_count <= idx < never_count + len(forced_recorded)
 
 
 def test_never_recorded_lead_the_window():
