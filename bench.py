@@ -12,7 +12,9 @@ $SPARK_GRAFT_BENCH_REPS (default 3) repetitions are run and the per-query
 MINIMUM is reported — min-of-N filters sandbox/load variance so
 round-over-round deltas are signal, not noise. A query that raises is
 recorded as -1 rather than aborting the suite (an earlier successful rep's
-timing is kept).
+timing is kept). The extended tier runs once, then (when reps >= 2) its 20
+slowest entries are re-run and the minimum kept — min-of-2 where one-shot
+load noise actually distorts the record, without doubling the whole tier.
 
 The first rep also records per-query shuffle/input VOLUME deltas
 (plans.metrics over AppStatusStore) under "shuffle" — the scale regression
@@ -289,21 +291,43 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
-    # Secondary tier: heavier/newer operators timed once, reported under
-    # "extended" WITHOUT entering the headline total — keeps the headline
-    # comparable round-over-round while still publishing these numbers.
-    extended: dict[str, float] = {}
-    for name in extended_names:
+    # Secondary tier: heavier/newer operators, reported under "extended"
+    # WITHOUT entering the headline total — keeps the headline comparable
+    # round-over-round while still publishing these numbers.
+    def run_extended(name: str) -> float:
         t0 = time.time()
         try:
             with persist_scope():
                 catalog[name](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
-                extended[name] = round(time.time() - t0, 3)
+                return round(time.time() - t0, 3)
         except Exception as exc:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            extended[name] = -1.0
+            return -1.0
+
+    extended: dict[str, float] = {}
+    for name in extended_names:
+        extended[name] = run_extended(name)
+
+    # Load-robust extended readings (r7 VERDICT item 5): one-shot timings
+    # of the slowest entries swing 2-3x with machine load, which made the
+    # extended map useless for regression detection. When reps >= 2, the
+    # TOP-20 slowest entries (plus any failures, which get a retry) are
+    # re-run once and the per-query MINIMUM kept — the same min-of-N
+    # variance filter the headline tier has always used, bounded to the
+    # entries where noise actually distorts the record.
+    if max(1, reps) >= 2 and smoke == 0:
+        slowest = sorted(
+            (n for n in extended if extended[n] > 0),
+            key=lambda n: -extended[n],
+        )[:20]
+        retries = [n for n in extended if extended[n] < 0]
+        for name in slowest + retries:
+            dt = run_extended(name)
+            if dt > 0:
+                prev = extended[name]
+                extended[name] = dt if prev < 0 else min(prev, dt)
 
     # Output contract (round-6 fix): the driver records only a ~2 KB TAIL
     # of stdout and parses the timing JSON out of it. The extended map

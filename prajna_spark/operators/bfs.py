@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Observation
 
-from prajna_spark.operators.lifecycle import release_local_checkpoint
+from prajna_spark.operators.lifecycle import (
+    release_local_checkpoint,
+    scoped_local_checkpoint,
+)
 
 
 def multi_source_bfs(
@@ -46,13 +49,13 @@ def multi_source_bfs(
     catalog oracle for this operator.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(scoped_local_checkpoint)
 
     frontier = (
-        seeds.select(F.col(id_col).alias("nid")).distinct().localCheckpoint(eager=True)
+        seeds.select(F.col(id_col).alias("nid")).distinct().transform(scoped_local_checkpoint)
     )
     visited = frontier.withColumn("hops", F.lit(0).cast("long"))
-    visited = visited.localCheckpoint(eager=True)
+    visited = visited.transform(scoped_local_checkpoint)
 
     for hop in range(1, max_hops + 1):
         reached = (
@@ -64,7 +67,7 @@ def multi_source_bfs(
         new_frontier = (
             reached.join(visited.hint("SHUFFLE_HASH"), "nid", "left_anti")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         release_local_checkpoint(frontier)
         frontier = new_frontier
@@ -73,11 +76,11 @@ def multi_source_bfs(
         prev_visited = visited
         visited = visited.unionAll(
             frontier.withColumn("hops", F.lit(hop).cast("long"))
-        ).localCheckpoint(eager=True)
+        ).transform(scoped_local_checkpoint)
         release_local_checkpoint(prev_visited)
 
-    out = visited.select(F.col("nid").alias("node_id"), "hops").localCheckpoint(
-        eager=True
+    out = visited.select(F.col("nid").alias("node_id"), "hops").transform(
+        scoped_local_checkpoint
     )
     release_local_checkpoint(visited)
     release_local_checkpoint(frontier)
@@ -113,13 +116,13 @@ def bounded_sssp(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
 
     dist = (
         seeds.select(F.col(id_col).alias("nid"))
         .distinct()
         .withColumn("dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .transform(scoped_local_checkpoint)
     )
     for _ in range(max_hops):
         cand = e.join(dist.hint("SHUFFLE_HASH"), e.src == dist.nid).select(
@@ -130,12 +133,12 @@ def bounded_sssp(
             dist.unionAll(cand)
             .groupBy("nid")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         release_local_checkpoint(prev)
     out = dist.select(
         F.col("nid").alias("node_id"), F.round("dist", decimals).alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
     release_local_checkpoint(dist)
     release_local_checkpoint(e)
     return out

@@ -36,7 +36,10 @@ def label_propagation(
 ) -> DataFrame:
     """Run ``n_iter`` synchronous LP rounds; returns (node_id, community)
     where community is the surviving label (node ids seed labels)."""
-    from prajna_spark.operators.lifecycle import release_local_checkpoint
+    from prajna_spark.operators.lifecycle import (
+        release_local_checkpoint,
+        scoped_local_checkpoint,
+    )
 
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
@@ -45,13 +48,13 @@ def label_propagation(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
     sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(scoped_local_checkpoint)
 
     labels = (
         sym.select(F.col("a").alias("nid"))
         .distinct()
         .select("nid", F.col("nid").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(scoped_local_checkpoint)
     )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
     for _ in range(n_iter):
@@ -63,7 +66,7 @@ def label_propagation(
             counts.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select(F.col("node").alias("nid"), "lbl")
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         release_local_checkpoint(labels)
         labels = nxt

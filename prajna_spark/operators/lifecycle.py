@@ -29,6 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _ACTIVE: list[list[DataFrame]] = []
+_ACTIVE_CKPT: list[list[DataFrame]] = []
 
 
 def scoped_persist(
@@ -42,19 +43,54 @@ def scoped_persist(
     return p
 
 
+def scoped_local_checkpoint(
+    df: DataFrame, eager: bool = True, parent: bool = False
+) -> DataFrame:
+    """localCheckpoint() that registers with the innermost persist_scope.
+
+    ``unpersist`` is a silent no-op for checkpointed frames (see
+    :func:`release_local_checkpoint`), so scope exit releases these via
+    the LogicalRDD leaf directly. Iterative operators route EVERY
+    generation through this: superseded generations they release
+    themselves mid-loop stay released (double-release is a no-op), and
+    the FINAL generation — which previously outlived the query until an
+    eventual JVM GC, the exact mechanism behind the r7 label-propagation
+    leak — is freed deterministically at scope exit. Outside any scope
+    the behavior is plain localCheckpoint (session-lifetime blocks), as
+    before.
+
+    ``parent=True`` registers with the ENCLOSING scope instead: for a
+    checkpoint that materializes a function's RETURN VALUE inside that
+    function's own persist_scope — a checkpointed frame CANNOT be
+    recomputed (lineage is truncated), so releasing it at the inner
+    scope's exit would break the caller; its lifetime belongs to the
+    caller's scope."""
+    c = df.localCheckpoint(eager=eager)
+    bags = _ACTIVE_CKPT[:-1] if parent else _ACTIVE_CKPT
+    if bags:
+        bags[-1].append(c)
+    return c
+
+
 @contextmanager
 def persist_scope():
-    """Unpersist every scoped_persist made inside the block on exit."""
+    """Unpersist every scoped_persist and release every
+    scoped_local_checkpoint made inside the block on exit."""
     bag: list[DataFrame] = []
+    ckpts: list[DataFrame] = []
     _ACTIVE.append(bag)
+    _ACTIVE_CKPT.append(ckpts)
     try:
         yield bag
     finally:
         _ACTIVE.pop()
+        _ACTIVE_CKPT.pop()
         for df in bag:
             # blocking: scope exit is the deterministic release point —
             # callers rely on storage being back at baseline right after
             df.unpersist(blocking=True)
+        for df in ckpts:
+            release_local_checkpoint(df, blocking=True)
 
 
 def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:

@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
-from prajna_spark.operators.lifecycle import release_local_checkpoint
+from prajna_spark.operators.lifecycle import (
+    release_local_checkpoint,
+    scoped_local_checkpoint,
+)
 
 
 def pagerank(
@@ -52,22 +55,22 @@ def pagerank(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
     nodes = (
         e.select(F.col("src").alias("nid"))
         .unionAll(e.select(F.col("dst").alias("nid")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(scoped_local_checkpoint)
     )
     deg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outd")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     ranks = (
         nodes.crossJoin(F.broadcast(n_df))
         .select("nid", pround(F.lit(1.0) / F.col("n"), round_decimals).alias("r"))
-        .localCheckpoint(eager=True)
+        .transform(scoped_local_checkpoint)
     )
 
     base = float(1.0 - damping)
@@ -95,7 +98,7 @@ def pagerank(
                     round_decimals,
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         prev = ranks
         ranks = new_ranks

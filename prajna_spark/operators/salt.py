@@ -107,12 +107,42 @@ def window_agg_grouped(
 
     ``aggs`` maps output column name -> decomposable aggregate
     expression (unaliased). Output == ``df`` plus one column per agg,
-    exactly matching the window spelling row-for-row."""
+    exactly matching the window spelling row-for-row — including rows
+    with NULL key values: Window.partitionBy treats the NULL group as a
+    partition and groupBy keeps it as a group, so the join-back uses
+    null-safe equality (a plain equi-join would silently drop them)."""
     keys = list(keys)
+    _reject_agg_name_collisions(df, keys, aggs)
     per_key = df.groupBy(*keys).agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
-    return df.join(per_key, keys)
+    # Rename the aggregate's key columns so the null-safe join condition
+    # is unambiguous, then drop them — output columns == df + aggs.
+    renamed = per_key
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__pk_{k}")
+    cond = None
+    for k in keys:
+        term = df[k].eqNullSafe(renamed[f"__pk_{k}"])
+        cond = term if cond is None else cond & term
+    return df.join(renamed, cond).drop(*[f"__pk_{k}" for k in keys])
+
+
+def _reject_agg_name_collisions(
+    df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]
+) -> None:
+    """Both window_agg spellings must behave identically on name
+    collisions; without this the window path would silently OVERWRITE an
+    existing column while the grouped path produced a duplicate."""
+    collisions = sorted(set(aggs) & set(df.columns))
+    if collisions:
+        raise ValueError(
+            f"aggs output names collide with existing columns: {collisions}; "
+            "alias the aggregates to fresh names"
+        )
+    reserved = sorted({f"__pk_{k}" for k in keys} & set(df.columns))
+    if reserved:
+        raise ValueError(f"reserved join-back names present in df: {reserved}")
 
 
 def window_agg_auto(
@@ -135,6 +165,7 @@ def window_agg_auto(
     case (skewed window partitions) into the first one."""
     from pyspark.sql import Window
 
+    _reject_agg_name_collisions(df, keys, aggs)
     if skew_ratio is not None and skew_ratio >= threshold:
         return window_agg_grouped(df, keys, aggs)
     w = Window.partitionBy(*[F.col(k) for k in keys])

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from prajna_spark.operators.lifecycle import scoped_persist
+from prajna_spark.operators.lifecycle import scoped_local_checkpoint, scoped_persist
 
 
 def _oriented(edges: DataFrame, src_col: str, dst_col: str):
@@ -155,21 +155,24 @@ def k_core(
     non-convergence must be loud)."""
     from pyspark.sql import Observation
 
-    from prajna_spark.operators.lifecycle import release_local_checkpoint
+    from prajna_spark.operators.lifecycle import (
+        release_local_checkpoint,
+        scoped_local_checkpoint,
+    )
 
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
     und = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
     sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(scoped_local_checkpoint)
 
     survivors = (
         sym.groupBy("a")
         .agg(F.count(F.lit(1)).alias("deg"))
         .where(F.col("deg") >= k)
         .select(F.col("a").alias("nid"), "deg")
-        .localCheckpoint(eager=True)
+        .transform(scoped_local_checkpoint)
     )
     n_prev = survivors.count()  # the ONLY count() job; rounds use observe()
     for _ in range(max_rounds):
@@ -191,7 +194,7 @@ def k_core(
             .where(F.col("deg") >= k)
             .select(F.col("a").alias("nid"), "deg")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         n_now = obs.get["n"] or 0
         release_local_checkpoint(survivors)
@@ -203,7 +206,7 @@ def k_core(
         raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
     out = survivors.select(
         F.col("nid").alias("node_id"), F.col("deg").cast("long").alias("core_degree")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
     release_local_checkpoint(survivors)
     release_local_checkpoint(sym)
     return out

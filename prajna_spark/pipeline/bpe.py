@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+
 
 def char_tokens(word) -> F.Column:
     """array<string> of the word's characters."""
@@ -123,7 +125,7 @@ def learn_bpe_merges(
         F.col(word_col).alias("word"),
         F.col(freq_col).cast("long").alias("freq"),
         char_tokens(F.col(word_col)).alias("toks"),
-    ).localCheckpoint()
+    ).transform(scoped_local_checkpoint)
     merges = []
     for rnd in range(1, n_merges + 1):
         top = _top_pair(corpus)
@@ -131,7 +133,7 @@ def learn_bpe_merges(
             break
         la, lb, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rnd, la, lb, int(c)))
-        nxt = merge_pair(corpus, la, lb).localCheckpoint()
+        nxt = merge_pair(corpus, la, lb).transform(scoped_local_checkpoint)
         corpus.unpersist()
         corpus = nxt
     return spark.createDataFrame(

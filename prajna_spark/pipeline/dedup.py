@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import pround
 from prajna_spark.operators.fanout import fan_out
-from prajna_spark.operators.lifecycle import release_local_checkpoint, scoped_persist
+from prajna_spark.operators.lifecycle import (
+    release_local_checkpoint,
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 from prajna_spark.pipeline.textqa import fingerprint, normalized, tokens
 
 #: Cap on characters fed to shingling — bounds per-row work at scale while
@@ -419,10 +423,10 @@ def connected_components(
     )
     e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(scoped_local_checkpoint)
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
 
     # Every join below is hinted SHUFFLE_HASH: the label/neighbour frames
     # are corpus-cardinality, so at scale a broadcast build is never the
@@ -463,7 +467,7 @@ def connected_components(
                 ).alias("__chg"),
             )
             .observe(obs, F.sum(F.col("__chg").cast("long")).alias("chg"))
-            .localCheckpoint(eager=True)
+            .transform(scoped_local_checkpoint)
         )
         changed = obs.get["chg"] or 0
         # Release the superseded checkpoint NOW: each localCheckpoint pins
@@ -481,7 +485,7 @@ def connected_components(
 
     out = labels.select(
         F.col("nid").alias(id_col), F.col("label").alias("component_id")
-    ).localCheckpoint(eager=True)
+    ).transform(scoped_local_checkpoint)
     # the returned frame is its own checkpoint; the loop's last label
     # generation and the doubled edge list are no longer reachable
     release_local_checkpoint(labels)

@@ -71,17 +71,20 @@ def _load_all() -> None:
     )
 
 
-def _recorded_rounds() -> dict[str, list[int]]:
-    """Read the driver's CORRECTNESS_r*.json ledgers from the repo root.
-    Missing/unreadable files contribute nothing (fresh checkout → every
-    query counts as never-recorded and plain registration order results)."""
+def _recorded_rounds() -> dict[str, dict[int, bool]]:
+    """Read the driver's CORRECTNESS_r*.json ledgers from the repo root:
+    query name -> {round: record_is_green}. Green = hash-verified against
+    the oracle OR the declared rows-only check (``err == "no_oracle"``);
+    anything else (hash mismatch, spark/oracle error) is red. Missing/
+    unreadable files contribute nothing (fresh checkout → every query
+    counts as never-recorded and plain registration order results)."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: dict[str, list[int]] = {}
+    seen: dict[str, dict[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -91,8 +94,9 @@ def _recorded_rounds() -> dict[str, list[int]]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in data:
-            seen.setdefault(name, []).append(int(m.group(1)))
+        for name, row in data.items():
+            green = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
+            seen.setdefault(name, {})[int(m.group(1))] = green
     return seen
 
 
@@ -124,13 +128,15 @@ _NEWEST_UNRECORDED = frozenset(
     }
 )
 
-# Queries whose LAST driver record is red/weak for a reason fixed this
-# round get forced back into the next window even though they are not
-# the stalest rows: r6's one red row (pq_encode_embeddings, array cells
-# crashed the driver canonicalizer) and the query with the same output
-# shape that would red-row whenever re-recorded (ivf_kmeans_centroids).
-# Both now emit scalar-only schemas; this tier re-records them in r7 so
-# the fix lands in the durable ledger (VERDICT r6 item 1 "Done =" bar).
+# Queries whose LAST driver record is red for a reason fixed this round
+# get forced back into the next window even though they are not the
+# stalest rows. SELF-CLEARING (VERDICT r7 "What's wrong" #1): the tier
+# applies only while the query's latest driver record is still red — the
+# moment a green record lands, the name sorts by ordinary staleness
+# again, so membership here never burns window slots after the fix is
+# proven. (r7's two members, pq_encode_embeddings and
+# ivf_kmeans_centroids, both went green in CORRECTNESS_r07 and are now
+# inert; kept as documentation of the mechanism's last use.)
 _FORCE_RERECORD = frozenset({"pq_encode_embeddings", "ivf_kmeans_centroids"})
 
 
@@ -154,11 +160,14 @@ def _staleness_order(names: list[str]) -> list[str]:
             else:
                 tier = 1
             return (0, tier, name)
-        if name in _FORCE_RERECORD:
+        latest = max(rounds)
+        if not rounds[latest] and name in _FORCE_RERECORD:
+            # latest record still red AND a fix is declared shipped:
             # sorts with the never-recorded block (after it), ahead of
-            # every already-recorded row
+            # every already-recorded row. Once a green record lands the
+            # branch stops firing — self-clearing.
             return (0, 3, name)
-        return (1, max(rounds), name)
+        return (1, latest, name)
 
     return sorted(names, key=sort_key)
 

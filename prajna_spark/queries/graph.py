@@ -489,7 +489,11 @@ def modularity_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     )
-    from prajna_spark.operators.lifecycle import persist_scope, scoped_persist
+    from prajna_spark.operators.lifecycle import (
+        persist_scope,
+        scoped_local_checkpoint,
+        scoped_persist,
+    )
 
     with persist_scope():
         edges = scoped_persist(edges)
@@ -539,5 +543,7 @@ def modularity_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("q_contrib"),
             )
         )
-        out = out.localCheckpoint()
+        # parent=True: this checkpoint IS the return value materialized
+        # inside the query's own scope — its blocks belong to the caller
+        out = scoped_local_checkpoint(out, parent=True)
     return out

@@ -253,16 +253,29 @@ def stream_stream_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
     )
     name = "q_ss_purchase_views"
-    q = (
-        p.join(v, cond, "inner")
-        .select("p_id", "v_id")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # join state buffers BOTH sides' rows within the watermark bound —
+    # state that scales with the event universe, so the drain runs under
+    # the footer-estimated provider selection (off-heap RocksDB once the
+    # corpus outgrows the heap threshold; statestore.py rationale)
+    import os as _os
+
+    from prajna_spark.streaming.statestore import (
+        auto_state_provider,
+        parquet_row_estimate,
     )
-    q.awaitTermination()
+
+    est = parquet_row_estimate(_os.path.join(sf_dir, "events.parquet"))
+    with auto_state_provider(spark, est):
+        q = (
+            p.join(v, cond, "inner")
+            .select("p_id", "v_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1800,8 +1813,18 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost (state partitioning binds to this checkpoint only)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # outer-join state holds BOTH sides within the watermark (plus the
+    # held unmatched left rows) — event-universe-sized, so the provider
+    # is footer-estimate-selected like the other key-universe streams
+    from prajna_spark.streaming.statestore import (
+        auto_state_provider,
+        parquet_row_estimate,
+    )
+
+    est = parquet_row_estimate(os.path.join(sf_dir, "events.parquet"))
     try:
-        drain(max_files=n_data)  # ONE streaming startup, 3 ordered batches
+        with auto_state_provider(spark, est):
+            drain(max_files=n_data)  # ONE streaming startup, 3 ordered batches
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out).where(F.col("p_id") >= 0)

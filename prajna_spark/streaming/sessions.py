@@ -122,3 +122,30 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def session_state_scope(spark, source_path: str, threshold: int | None = None):
+    """Footer-estimated state-store provider selection for the
+    sessionizer's drain: one state row per ACTIVE user key, which grows
+    with the key universe — at 100 TB ingest the heap provider is the
+    wrong posture, exactly the dedup-store argument
+    (streaming/statestore.py). The estimate is the source's parquet
+    row count (active keys <= input rows, the safe over-estimate).
+
+    Start the streaming query INSIDE the scope — the provider binds at
+    checkpoint creation::
+
+        with session_state_scope(spark, src) as provider:
+            q = sessionize(stream).writeStream...start()
+            q.awaitTermination()
+    """
+    from prajna_spark.streaming.statestore import (
+        AUTO_ROWS_THRESHOLD,
+        auto_state_provider,
+        parquet_row_estimate,
+    )
+
+    est = parquet_row_estimate(source_path)
+    return auto_state_provider(
+        spark, est, threshold=AUTO_ROWS_THRESHOLD if threshold is None else threshold
+    )

@@ -77,7 +77,19 @@ def auto_state_provider(
         with rocksdb_state(spark, changelog=changelog):
             yield "rocksdb"
     else:
-        yield "hdfs"
+        # Explicitly scope the DEFAULT provider too: if the caller runs
+        # inside an active rocksdb_state scope (or a stray unscoped
+        # provider conf is set), the drain would otherwise engage RocksDB
+        # while this function reports "hdfs" (r7 ADVICE). Unset/restore
+        # mirrors rocksdb_state's discipline.
+        prev = spark.conf.get(_PROVIDER_CONF, None)
+        if prev is not None:
+            spark.conf.unset(_PROVIDER_CONF)
+        try:
+            yield "hdfs"
+        finally:
+            if prev is not None:
+                spark.conf.set(_PROVIDER_CONF, prev)
 
 
 @contextmanager

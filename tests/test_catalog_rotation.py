@@ -19,22 +19,58 @@ def test_order_is_staleness_monotone():
 
     seen = _recorded_rounds()
     names = list(registry().keys())
+
+    def still_forced(n: str) -> bool:
+        # the forced tier is self-clearing: it applies only while the
+        # latest driver record is red
+        rounds = seen.get(n)
+        return bool(rounds) and n in _FORCE_RERECORD and not rounds[max(rounds)]
+
     # last-recorded round must be non-decreasing along the ordering, with
-    # never-recorded (treated as round -inf) leading — EXCEPT the
-    # _FORCE_RERECORD tier (red/weak last record whose fix shipped this
-    # round), which deliberately jumps the staleness queue to land in
-    # the very next driver window.
-    ordered = [n for n in names if n not in _FORCE_RERECORD]
+    # never-recorded (treated as round -inf) leading — EXCEPT actively-
+    # forced entries (red last record whose fix shipped this round), which
+    # deliberately jump the staleness queue to land in the very next
+    # driver window.
+    ordered = [n for n in names if not still_forced(n)]
     last_rounds = [
         max(seen[n]) if n in seen and seen[n] else -1 for n in ordered
     ]
     assert last_rounds == sorted(last_rounds)
-    # forced entries sit immediately after the never-recorded block
+    # actively-forced entries sit immediately after the never-recorded block
     never_count = sum(1 for n in names if not seen.get(n))
-    forced_recorded = [n for n in _FORCE_RERECORD if seen.get(n)]
-    for n in forced_recorded:
+    forced_active = [n for n in _FORCE_RERECORD if still_forced(n)]
+    for n in forced_active:
         idx = names.index(n)
-        assert never_count <= idx < never_count + len(forced_recorded)
+        assert never_count <= idx < never_count + len(forced_active)
+
+
+def test_forced_tier_self_clears(monkeypatch):
+    """A _FORCE_RERECORD member with a GREEN latest record sorts by
+    ordinary staleness (no pinning); the same member with a RED latest
+    record jumps to the head of the recorded block (VERDICT r7 'What's
+    wrong' #1 — green members must stop burning window slots)."""
+    import prajna_spark.queries as q
+
+    monkeypatch.setattr(q, "_FORCE_RERECORD", frozenset({"forced_q"}))
+    names = ["zz_fresh", "forced_q", "aa_stale"]
+
+    # red latest record -> pinned right after the never-recorded block
+    monkeypatch.setattr(
+        q,
+        "_recorded_rounds",
+        lambda: {"forced_q": {3: True, 7: False}, "aa_stale": {3: True},
+                 "zz_fresh": {7: True}},
+    )
+    assert q._staleness_order(names) == ["forced_q", "aa_stale", "zz_fresh"]
+
+    # green latest record -> cleared; ordinary staleness (r7 ties, name)
+    monkeypatch.setattr(
+        q,
+        "_recorded_rounds",
+        lambda: {"forced_q": {3: False, 7: True}, "aa_stale": {3: True},
+                 "zz_fresh": {7: True}},
+    )
+    assert q._staleness_order(names) == ["aa_stale", "forced_q", "zz_fresh"]
 
 
 def test_never_recorded_lead_the_window():

@@ -94,6 +94,55 @@ def test_sessionize_gap_boundary_exactly_at_gap_opens_new(spark, tmp_path):
     assert opens[(2, 2000)] == 2      # sub-gap event extended
 
 
+def _drain_with_scope(spark, tmp_path, name, threshold):
+    """Drain the sessionizer under session_state_scope and return
+    (rows, provider label, rocksdb* custom-metric keys seen)."""
+    from prajna_spark.streaming.sessions import session_state_scope, sessionize
+
+    src = str(tmp_path / f"e_{name}")
+    _write_events(spark, src, [(1000, 1, 1.0), (1060, 1, 2.0), (5000, 2, 3.0)])
+    stream = spark.readStream.schema(EVT_SCHEMA).parquet(src)
+    with session_state_scope(spark, src, threshold=threshold) as provider:
+        q = (
+            sessionize(stream, gap_sec=60)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.awaitTermination()
+    keys: set[str] = set()
+    for p in q.recentProgress:
+        for op in p.get("stateOperators") or []:
+            keys |= set(op.get("customMetrics") or {})
+    rows = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table(name).collect()
+        if r.status == "open"
+    )
+    return rows, provider, {k for k in keys if k.startswith("rocksdb")}
+
+
+def test_session_state_scope_auto_selects_and_engages(spark, tmp_path):
+    """The sessionizer's state is one row per active key — key-universe-
+    sized, so its drain auto-selects the provider from the source's
+    parquet footers (r7 VERDICT item 6). Above threshold the drain must
+    PROVE RocksDB ran it (rocksdb* custom state metrics); below, the
+    heap provider (no rocksdb metrics), with identical results."""
+    rows_rocks, prov_rocks, rk_rocks = _drain_with_scope(
+        spark, tmp_path, "t_sess_rocks", threshold=1
+    )
+    rows_heap, prov_heap, rk_heap = _drain_with_scope(
+        spark, tmp_path, "t_sess_heap", threshold=10**9
+    )
+    assert prov_rocks == "rocksdb" and rk_rocks, rk_rocks
+    assert prov_heap == "hdfs" and not rk_heap, rk_heap
+    # t=1060 == end+gap opens a NEW session (boundary semantics above)
+    assert rows_rocks == rows_heap == [(1, 1060, 1), (2, 5000, 1)]
+
+
 def test_sessionize_is_streaming_and_schema(spark, tmp_path):
     src = str(tmp_path / "e2")
     _write_events(spark, src, [(1000, 1, 1.0)])

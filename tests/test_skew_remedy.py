@@ -122,6 +122,41 @@ def test_window_remedy_collapses_hot_key_spread(spark):
         df.unpersist(blocking=False)
 
 
+def test_grouped_spelling_keeps_null_keyed_rows(spark):
+    """Window.partitionBy treats NULL keys as their own partition group;
+    the grouped twin must keep those rows too (null-safe join-back), or
+    window_agg_auto silently changes row counts when the skew threshold
+    flips the spelling on nullable-keyed data (r7 ADVICE, medium)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("a", 3), (None, 4), ("b", 5)],
+        "k string, v int",
+    )
+    aggs = {"total_v": F.sum("v"), "n_k": F.count(F.lit(1))}
+
+    def rows(out):
+        return sorted(
+            ((r["k"], r["v"], r["total_v"], r["n_k"]) for r in out.collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    win = rows(window_agg_auto(df, ["k"], aggs))
+    grp = rows(window_agg_grouped(df, ["k"], aggs))
+    assert win == grp
+    assert len(grp) == 5  # both NULL-keyed rows kept
+    assert (None, 2, 6, 2) in grp  # NULL group aggregated as one partition
+
+
+def test_window_agg_rejects_output_name_collisions(spark):
+    """Both spellings raise on aggs-name/df-column collisions instead of
+    diverging (window overwrites, grouped duplicates) — r7 ADVICE low."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    for fn in (window_agg_grouped, window_agg_auto):
+        with pytest.raises(ValueError, match="collide"):
+            fn(df, ["k"], {"v": F.sum("v")})
+
+
 def test_window_agg_auto_threshold_routing(spark):
     df = _hot_frame(spark).limit(1000)
     aggs = {"total_v": F.sum("v")}

@@ -37,8 +37,14 @@ def reject_complex_cells(df: pd.DataFrame, side: str) -> list[str]:
     problems = []
     for c in df.columns:
         if df[c].dtype == object:
-            sample = df[c].dropna().head(20)
-            if any(isinstance(v, (list, tuple, dict, np.ndarray)) for v in sample):
+            # full scan, not a head sample — a mostly-scalar column with
+            # array cells further down must not escape the guard (r7
+            # ADVICE); these frames are already driver-side pandas, so
+            # scanning every value is cheap.
+            vals = df[c].dropna()
+            if vals.map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            ).any():
                 problems.append(
                     f"col {c} ({side}): complex-typed cells — the driver "
                     "canonicalizer cannot hash these; serialize to scalar "

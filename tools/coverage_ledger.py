@@ -100,7 +100,14 @@ def main() -> int:
 
     pinned_first = sorted(n for n in never if n in _OLDEST_UNRECORDED)
     pinned_last = sorted(n for n in never if n in _NEWEST_UNRECORDED)
-    forced = sorted(n for n in rows if n in _FORCE_RERECORD)
+    # The forced tier is self-clearing: it only applies while the latest
+    # driver record is red (mirrors queries/__init__.py sort_key).
+    forced = sorted(
+        n for n in rows if n in _FORCE_RERECORD and rows[n]["last_verdict"] == "FAIL"
+    )
+    cleared = sorted(
+        n for n in rows if n in _FORCE_RERECORD and rows[n]["last_verdict"] != "FAIL"
+    )
     if pinned_first:
         print(f"  pinned FIRST in rotation (oldest catalog entries): {pinned_first}")
     if pinned_last:
@@ -110,8 +117,13 @@ def main() -> int:
         )
     if forced:
         print(
-            "  forced re-record (red/weak last record, fix shipped;"
+            "  forced re-record (red last record, fix shipped;"
             f" sorts right after the never-recorded block): {forced}"
+        )
+    if cleared:
+        print(
+            "  forced-tier entries CLEARED (green record landed; ordinary"
+            f" staleness applies): {cleared}"
         )
     print(f"driver FAIL at last record: {len(fails)}" + (f" -> {fails}" if fails else ""))
     by_staleness: dict[int, list[str]] = {}

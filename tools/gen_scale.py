@@ -21,6 +21,13 @@ Usage: python tools/gen_scale.py 3      # writes /tmp/prajna_scale/sf0.3
            # fixed nation/region) — e.g. a 30x edge set for the graph
            # tier without paying for 30x documents/embeddings
 
+CAVEAT for tier-scoped fixtures (r7 ADVICE): key shifting applies only
+to the SELECTED tables, so the join graph is preserved only AMONG them.
+A key domain split across scaled and unscaled tables (e.g. scaling
+lineitem without part splits the partkey domain) produces dangling
+foreign keys in copies 2..k — fine for single-table perf proxies, wrong
+for cross-tier joins. main() warns when a KEY_SITES domain is split.
+
 This is a perf proxy only — correctness oracles always run on the
 driver-generated data, never on this.
 """
@@ -56,6 +63,18 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     only = set(sys.argv[2:])
     scaled = [t for t in SCALED_TABLES if not only or t in only]
+    if only:
+        # tier-scoped: warn on key domains split across scaled/unscaled
+        # tables — joins across that split dangle in copies 2..k
+        for dom, sites in KEY_SITES.items():
+            tables = {t for t, _ in sites}
+            inside = tables & set(scaled)
+            if inside and tables - set(scaled):
+                print(
+                    f"WARNING: key domain {dom!r} split — scaled "
+                    f"{sorted(inside)} vs unscaled {sorted(tables - set(scaled))}; "
+                    "cross-tier joins on it will dangle in copies 2..k"
+                )
     out = f"/tmp/prajna_scale/sf{round(0.1 * k, 1)}"
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
