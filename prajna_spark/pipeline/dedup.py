@@ -508,16 +508,24 @@ def verify_pairs_jaccard(
     narrow (id, tokens) frame is scope-persisted (spill-capable) so the
     corpus is scanned and tokenized ONCE for both join sides — the two
     joins key on different ids, so Catalyst cannot reuse one exchange for
-    them and would otherwise recompute the scan per side."""
+    them and would otherwise recompute the scan per side.
+
+    Both joins pin SHUFFLE_HASH: the token-set side is CORPUS-cardinality
+    (one row per document, each carrying its word set), so a broadcast
+    build is never the right plan — found live at 30x data, where AQE
+    elected to broadcast it and the driver-side build died on
+    spark.driver.maxResultSize (1 GiB of serialized token sets); the same
+    per-executor ceiling the CC loop's hints already guard against."""
     words = scoped_persist(
         docs.select(
             F.col(id_col).alias("__wid"),
             F.array_distinct(tokens(F.col(text_col))).alias("__ws"),
         )
     )
-    j = (
-        pairs.join(words.withColumnRenamed("__wid", "id_a").withColumnRenamed("__ws", "ws_a"), "id_a")
-        .join(words.withColumnRenamed("__wid", "id_b").withColumnRenamed("__ws", "ws_b"), "id_b")
+    wa = words.withColumnRenamed("__wid", "id_a").withColumnRenamed("__ws", "ws_a")
+    wb = words.withColumnRenamed("__wid", "id_b").withColumnRenamed("__ws", "ws_b")
+    j = pairs.join(wa.hint("SHUFFLE_HASH"), "id_a").join(
+        wb.hint("SHUFFLE_HASH"), "id_b"
     )
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size(F.array_union("ws_a", "ws_b"))
@@ -717,9 +725,11 @@ def jaccard_similarity_join(
     sb = sets.select(F.col("__sid").alias("id_b"), F.col("__ss").alias("ss_b"))
     inter = F.size(F.array_intersect("ss_a", "ss_b"))
     union = F.size(F.array_union("ss_a", "ss_b"))
+    # SHUFFLE_HASH: the shingle-set sides are corpus-cardinality — same
+    # AQE-broadcast ceiling verify_pairs_jaccard hit live at 30x
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("SHUFFLE_HASH"), "id_a")
+        .join(sb.hint("SHUFFLE_HASH"), "id_b")
         .where(union > 0)
         .select(
             "id_a",

@@ -16,7 +16,7 @@ from prajna_spark.functions.rounding import R, pround
 from prajna_spark.pipeline import dedup, textqa
 from prajna_spark.operators.fanout import fan_out
 from prajna_spark.queries import query
-from prajna_spark.session import tune
+from prajna_spark.session import scale_shuffle_partitions, tune
 from prajna_spark.sources import load_table, stream_table
 
 # DuckDB SQL fragments mirroring pipeline.textqa expressions exactly.
@@ -32,6 +32,17 @@ _PUNCT = (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    # documents rows are FAT (text, token arrays, shingle sets) and the
+    # dedup tier expands them quadratically into pair rows, so the
+    # pre-coalesce shuffle granularity scales from the documents footers
+    # with a correspondingly low rows-per-partition — sf0.1 (5k docs)
+    # still resolves to the 32 default (byte-identical small-scale
+    # plans); the 30x fixture gets 150 initial partitions, which bounds
+    # the verify/CC stages' per-task working sets the same way the graph
+    # tier's wedge shuffle is bounded (session.scale_shuffle_partitions)
+    scale_shuffle_partitions(
+        spark, sf_dir, table="documents", rows_per_partition=1_000
+    )
     # per-row text work (regex token sweeps, per-token hashing) is heavy
     # relative to row width; fan a single-split small file across cores
     # (no-op when the scan already has >= parallelism splits)

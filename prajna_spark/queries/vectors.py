@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from prajna_spark.functions.rounding import R, pround
 from prajna_spark.pipeline import similarity
 from prajna_spark.queries import query
-from prajna_spark.session import tune
+from prajna_spark.session import scale_shuffle_partitions, tune
 from prajna_spark.sources import load_table
 
 DIM = 64  # embeddings table dimension (TESTDATA)
@@ -40,6 +40,15 @@ def _dot_terms(a: str, b: str, d: int = DIM) -> str:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    # embedding rows carry a dim-wide float array each, and the cell/
+    # assignment stages (semdedup, IVF training) explode them by dim or
+    # by pair — per-task working sets scale with rows x dim, so the
+    # pre-coalesce granularity follows the embeddings footers with a
+    # low rows-per-partition; sf0.1 (2k rows / 500 = 4 -> floor 32)
+    # keeps small-scale plans byte-identical
+    scale_shuffle_partitions(
+        spark, sf_dir, table="embeddings", rows_per_partition=500
+    )
     return load_table(spark, "embeddings", sf_dir)
 
 

@@ -57,6 +57,19 @@ def test_missing_table_degrades_to_default(spark, tmp_path):
     assert parts == DEFAULT_SHUFFLE_PARTITIONS
 
 
+def test_docs_and_emb_loaders_are_default_scale_noops(spark):
+    """The shared documents/embeddings loaders size the pre-coalesce
+    granularity from their tables' footers (round 8: the 30x dedup-tier
+    hunt) — at driver scales (sf0.1 and below) both must resolve to the
+    unchanged default so bench/oracle plans stay byte-identical."""
+    from prajna_spark.queries.text import _docs
+    from prajna_spark.queries.vectors import _emb
+
+    for loader in (_docs, _emb):
+        loader(spark, "/root/testdata/sf0.1")
+        assert spark.conf.get(_CONF) == str(DEFAULT_SHUFFLE_PARTITIONS)
+
+
 def test_pq_codebook_training_owns_its_cache(spark, sf_dir):
     """pq_codebook_trained persists its exploded sub-vector frame; with
     no caller persist_scope active the function must release it itself

@@ -22,6 +22,7 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from prajna_spark.operators.lifecycle import persist_scope  # noqa: E402
 from prajna_spark.queries import queries  # noqa: E402
 from prajna_spark.session import get_spark  # noqa: E402
 
@@ -40,7 +41,13 @@ def main() -> int:
         attempted += 1
         t0 = time.time()
         try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            # scope: release each query's internal persists/checkpoints
+            # before the next one — at 30x data, cross-query storage
+            # accumulation alone OOM'd an 8 GB heap on the dedup tier
+            # (each query green in isolation), exactly the long-lived-
+            # driver leak class the scoped-release mechanism bounds
+            with persist_scope():
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             print(f"OK   {name} [{time.time() - t0:.1f}s]", flush=True)
         except Exception as exc:
             failed.append(name)
