@@ -698,9 +698,12 @@ def jaccard_similarity_join(
     t_relaxed = threshold - 1e-3
     prefix_len = (F.col("__sz") - F.ceil(F.col("__sz") * t_relaxed) + 1).cast("int")
     w = Window.partitionBy("__sid").orderBy("trank")
+    # SHUFFLE_HASH: the ranked vocabulary is one row per DISTINCT SHINGLE
+    # — it grows with the corpus (billions at 100 TB), so broadcasting it
+    # is the same driver-collect ceiling verify_pairs_jaccard hit at 30x
     prefix = (
         sets.select("__sid", "__sz", F.explode("__ss").alias("sh"))
-        .join(ranked, "sh")
+        .join(ranked.hint("SHUFFLE_HASH"), "sh")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
         .select("sh", "__sid", "__sz")

@@ -187,3 +187,27 @@ def test_quantized_recall_broadcasts_the_bounded_knn_side(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_verify_joins_never_broadcast_the_corpus_side(spark, sf_dir):
+    """The dedup verify joins attach per-document token/shingle SETS to
+    candidate pairs — a corpus-cardinality side that must never become a
+    broadcast build: at 30x data AQE elected to broadcast it and the
+    driver-side build died on spark.driver.maxResultSize (round-8 hunt).
+    The SHUFFLE_HASH pins must survive to the physical plan in BOTH
+    funnel spellings — on the pair-id verify joins AND on the PPJoin
+    prefix's ranked-vocabulary join (one row per distinct shingle, also
+    corpus-scale). The only broadcasts allowed are zip_with_index's
+    __pid boundary tables, which are partition-count-sized forever."""
+    for q in ("dedup_lsh_verified", "dedup_jaccard_exact_join"):
+        plan = (
+            CATALOG[q](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, f"{q}: hint dropped\n{plan}"
+        for key in ("id_", "sh#"):
+            assert f"BroadcastHashJoin [{key}" not in plan, (
+                f"{q}: a corpus-sized side ({key}) is being broadcast\n{plan}"
+            )
