@@ -48,6 +48,19 @@ def main() -> int:
             # driver leak class the scoped-release mechanism bounds
             with persist_scope():
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            # same post-query cleanliness assertion as determinism_check:
+            # a leak that is invisible at oracle scale is exactly the one
+            # that kills a later query here
+            leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            if leaked:
+                print(f"LEAK {name}: {leaked} persistent RDDs after scope exit",
+                      flush=True)
+                failed.append(name)
+                # force-release so one leak doesn't taint later queries
+                it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+                while it.hasNext():
+                    it.next().unpersist(True)
+                continue
             print(f"OK   {name} [{time.time() - t0:.1f}s]", flush=True)
         except Exception as exc:
             failed.append(name)
