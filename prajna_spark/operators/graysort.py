@@ -1,0 +1,155 @@
+"""GraySort-analog distributed sort — the reference's flagship scale
+workload, re-expressed Spark-first.
+
+Prajna's only published large-scale benchmark is a 2.5 TB gensort sort
+(25e9 x 100-byte records, 10-byte key;
+``samples/SortBenchmark/ReadMe.txt:2``). Its pipeline is a TWO-STAGE
+static repartition — 65536 leading-key bins, then ``-nump`` stage-2
+partitions — followed by a per-partition native qsort
+(``samples/SortBenchmark/SortBenchmark.fs:145-160``, ``qsort/``), and
+its README notes the missing piece: "I don't have code to determine
+partition boundary yet" (``ReadMe.txt:33-35``) — boundaries are static
+byte-prefix bins, so a skewed key distribution unbalances stage 2.
+
+The Spark expression is ONE operator: ``repartitionByRange`` reservoir-
+samples the key distribution and computes balanced boundaries (the
+exact component the reference lacks), and ``sortWithinPartitions`` runs
+Tungsten's cache-aware external sort — the same two-stage shape
+(range-partition shuffle, then partition-local sort), JVM-side,
+spill-safe, with whole-stage codegen. ``DSet.bin_sort`` (dset.py) is
+the operator surface; this module adds the benchmark harness:
+gensort-shaped record generation and a valsort-analog verification
+(``valsort.exe`` in the reference's tool list), both fully distributed.
+
+Scale posture: generation is a map-only ``spark.range`` projection (no
+driver loop, no Python), the sort shuffle moves each record exactly
+once, and verification is one extra pass (per-partition lag check +
+per-partition min/max/count/checksum aggregate whose output is
+``num_partitions`` rows). At 100 TB the only knob is
+``num_partitions`` — size it so each partition's slice fits an
+executor's sort buffer; boundaries stay balanced by sampling no matter
+how skewed the keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KEY_LEN = 10
+PAYLOAD_LEN = 90
+RECORD_BYTES = KEY_LEN + PAYLOAD_LEN  # gensort: 100-byte records
+
+
+def gen_records(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic gensort-shaped corpus: 10-char key + 90-char payload
+    per record, uniform over the hex alphabet, from seeded md5 chains —
+    pure JVM expressions over ``spark.range`` (distributed, no driver
+    data). gensort's records are uniform random bytes with the record
+    number recoverable from the payload; here ``id`` plays that role."""
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    sid = F.col("id").cast("string")
+    return rng.select(
+        F.col("id"),
+        F.substring(F.md5(sid), 1, KEY_LEN).alias("key"),
+        F.substring(
+            F.concat(
+                F.md5(F.concat(sid, F.lit("a"))),
+                F.md5(F.concat(sid, F.lit("b"))),
+                F.md5(F.concat(sid, F.lit("c"))),
+            ),
+            1,
+            PAYLOAD_LEN,
+        ).alias("payload"),
+    )
+
+
+def gray_sort(df: DataFrame, num_partitions: int, key: str = "key") -> DataFrame:
+    """Globally sort ``df`` by ``key``: sampled range partition + partition-
+    local sort. Identical shape to ``DSet.bin_sort``; kept as a free
+    function so the benchmark drives exactly what it measures. The
+    explicit ``num_partitions`` is the one scale knob (the reference's
+    ``-nump``); AQE does not override a user repartition count."""
+    return df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
+
+
+@dataclass(frozen=True)
+class SortValidation:
+    """valsort-analog report; all-distributed computation."""
+
+    in_count: int
+    out_count: int
+    in_checksum: int
+    out_checksum: int
+    intra_partition_violations: int
+    boundary_violations: int
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.in_count == self.out_count
+            and self.in_checksum == self.out_checksum
+            and self.intra_partition_violations == 0
+            and self.boundary_violations == 0
+        )
+
+
+def _multiset_fingerprint(df: DataFrame, key: str, payload: str) -> tuple[int, int]:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x00", F.col(key), F.col(payload)))).alias("cksum"),
+    ).first()
+    return int(row["n"]), int(row["cksum"] or 0)
+
+
+def validate_sorted(
+    df_in: DataFrame,
+    df_sorted: DataFrame,
+    key: str = "key",
+    payload: str = "payload",
+) -> SortValidation:
+    """The reference ships ``valsort.exe`` to check its output; this is
+    the distributed equivalent:
+
+    - intra-partition sortedness: ``lag`` over the PHYSICAL row order
+      (monotonically_increasing_id is ordinal within a partition, so
+      ordering the window by it replays row order rather than re-sorting
+      by key — a re-sort would vacuously pass);
+    - boundary ordering: each partition's max(key) <= the next non-empty
+      partition's min(key), checked over num_partitions rows;
+    - multiset equality: count + order-insensitive crc32 checksum of the
+      full records, in vs out (valsort's duplicate/loss check).
+    """
+    tagged = df_sorted.select(
+        F.col(key),
+        F.col(payload),
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__ord"),
+    )
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    intra = (
+        tagged.withColumn("__prev", F.lag(key).over(w))
+        .where(F.col("__prev").isNotNull() & (F.col(key) < F.col("__prev")))
+        .count()
+    )
+    bounds = tagged.groupBy("__pid").agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    )
+    wb = Window.orderBy("__pid")
+    boundary = (
+        bounds.withColumn("__prev_hi", F.lag("hi").over(wb))
+        .where(F.col("__prev_hi").isNotNull() & (F.col("lo") < F.col("__prev_hi")))
+        .count()
+    )
+    n_in, ck_in = _multiset_fingerprint(df_in, key, payload)
+    n_out, ck_out = _multiset_fingerprint(df_sorted, key, payload)
+    return SortValidation(
+        in_count=n_in,
+        out_count=n_out,
+        in_checksum=ck_in,
+        out_checksum=ck_out,
+        intra_partition_violations=int(intra),
+        boundary_violations=int(boundary),
+    )

@@ -1,0 +1,83 @@
+"""GraySort-analog sort benchmark: correctness of the generate → range-
+sort → valsort-verify pipeline (operators/graysort.py; reference
+workload samples/SortBenchmark — 2.5 TB gensort sort, ReadMe.txt:2,
+SortBenchmark.fs:145-160, verified there by valsort.exe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.graysort import (
+    KEY_LEN,
+    PAYLOAD_LEN,
+    gen_records,
+    gray_sort,
+    validate_sorted,
+)
+
+N = 20_000
+NUMP = 8
+
+
+def test_gen_records_shape_and_determinism(spark):
+    df = gen_records(spark, N, num_partitions=4)
+    assert df.count() == N
+    row = df.agg(
+        F.min(F.length("key")).alias("klo"),
+        F.max(F.length("key")).alias("khi"),
+        F.min(F.length("payload")).alias("plo"),
+        F.max(F.length("payload")).alias("phi"),
+        F.count_distinct("id").alias("ids"),
+    ).first()
+    assert (row["klo"], row["khi"]) == (KEY_LEN, KEY_LEN)
+    assert (row["plo"], row["phi"]) == (PAYLOAD_LEN, PAYLOAD_LEN)
+    assert row["ids"] == N
+    # deterministic across invocations (seeded hash chain, no rand())
+    a = gen_records(spark, 100).orderBy("id").collect()
+    b = gen_records(spark, 100).orderBy("id").collect()
+    assert a == b
+
+
+def test_gray_sort_is_globally_sorted_multiset_preserving(spark):
+    records = gen_records(spark, N, num_partitions=4)
+    v = validate_sorted(records, gray_sort(records, NUMP))
+    assert v.ok, v
+    assert v.in_count == N
+
+
+def test_validator_catches_unsorted_and_mutated_output(spark):
+    records = gen_records(spark, N, num_partitions=4)
+    # unsorted "output": same multiset, no sort -> sortedness violations
+    v_unsorted = validate_sorted(records, records.repartition(NUMP))
+    assert not v_unsorted.ok
+    assert v_unsorted.intra_partition_violations > 0
+    assert v_unsorted.in_checksum == v_unsorted.out_checksum
+    # lost row -> count+checksum mismatch even though output is sorted
+    v_lost = validate_sorted(
+        records, gray_sort(records.where(F.col("id") != 0), NUMP)
+    )
+    assert not v_lost.ok
+    assert v_lost.out_count == N - 1
+    assert v_lost.in_checksum != v_lost.out_checksum
+    # corrupted payload -> checksum mismatch at equal count
+    v_mut = validate_sorted(
+        records,
+        gray_sort(
+            records.withColumn(
+                "payload",
+                F.when(F.col("id") == 0, F.lit("x" * PAYLOAD_LEN)).otherwise(
+                    F.col("payload")
+                ),
+            ),
+            NUMP,
+        ),
+    )
+    assert not v_mut.ok
+    assert v_mut.in_count == v_mut.out_count
+    assert v_mut.in_checksum != v_mut.out_checksum
+
+
+def test_gray_sort_output_partition_count_is_the_nump_knob(spark):
+    # the reference's -nump: stage-2 partition count is caller-owned
+    out = gray_sort(gen_records(spark, 5_000, num_partitions=4), NUMP)
+    assert out.rdd.getNumPartitions() == NUMP

@@ -1,0 +1,83 @@
+"""GraySort-analog sort benchmark CLI (reference parity:
+samples/SortBenchmark, the 2.5 TB gensort run — ReadMe.txt:2).
+
+Generates n gensort-shaped 100-byte records distributed (no driver
+loop), range-partition-sorts them (operators/graysort.py — sampled
+boundaries, the component the reference's README says it lacks), runs
+the valsort-analog verification, and prints ONE JSON line with
+records/s and logical MB/s for the sort pass.
+
+Timing protocol: the generated input is persisted and materialized
+first so the measured sort pass reads memory-resident input (the
+reference reads gensort files from local disk; both exclude generation
+cost). Verification runs after the clock stops.
+
+Usage: python tools/sort_benchmark.py [n_records] [n_partitions]
+       default 25_000_000 records (2.5 GB logical = 1/1000 of the
+       reference's GraySort) across 64 output partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel  # noqa: E402
+
+from prajna_spark.operators.graysort import (  # noqa: E402
+    RECORD_BYTES,
+    gen_records,
+    gray_sort,
+    validate_sorted,
+)
+from prajna_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000_000
+    nump = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark("prajna-sort-benchmark")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    records = gen_records(spark, n).persist(StorageLevel.MEMORY_AND_DISK)
+    records.write.mode("overwrite").format("noop").save()
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    gray_sort(records, nump).write.mode("overwrite").format("noop").save()
+    sort_s = time.time() - t0
+
+    v = validate_sorted(records, gray_sort(records, nump))
+    records.unpersist()
+
+    out = {
+        "benchmark": "graysort_analog",
+        "records": n,
+        "record_bytes": RECORD_BYTES,
+        "logical_mb": round(n * RECORD_BYTES / 1e6, 1),
+        "partitions": nump,
+        "gen_sec": round(gen_s, 2),
+        "sort_sec": round(sort_s, 2),
+        "rows_per_sec": round(n / sort_s),
+        "mb_per_sec": round(n * RECORD_BYTES / 1e6 / sort_s, 1),
+        "valsort": {
+            "ok": v.ok,
+            "count_match": v.in_count == v.out_count,
+            "checksum_match": v.in_checksum == v.out_checksum,
+            "intra_partition_violations": v.intra_partition_violations,
+            "boundary_violations": v.boundary_violations,
+        },
+    }
+    print(json.dumps(out))
+    return 0 if v.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
