@@ -411,9 +411,15 @@ def poisson_bootstrap_means(
     over the B rounded means."""
     from prajna_spark.functions.rounding import pround
 
+    from prajna_spark.operators.fanout import fan_out
+
     rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
-    rows = df.select(
-        F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+    # the B-way explode + per-(row, rep) md5 draw is the expensive map
+    # side, and a single-file input scans as ONE split — fan out the
+    # narrow (k, v) rows BEFORE the explode (measured 6x at sf0.1;
+    # no-op on a many-split table at scale)
+    rows = fan_out(
+        df.select(F.col(key_col).alias("__k"), F.col(value_col).alias("__v"))
     ).select("__k", "__v", rep)
     w = poisson1_multiplicity(bootstrap_uniform(F.col("__k"), F.col("rep"), seed))
     return (

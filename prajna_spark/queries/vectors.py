@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R, pround
+from prajna_spark.operators.fanout import fan_out
 from prajna_spark.pipeline import similarity
 from prajna_spark.queries import query
 from prajna_spark.session import scale_shuffle_partitions, tune
@@ -49,7 +50,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_shuffle_partitions(
         spark, sf_dir, table="embeddings", rows_per_partition=500
     )
-    return load_table(spark, "embeddings", sf_dir)
+    # the sf0.1 table is ONE parquet file -> one scan split, and the
+    # vector tier's heavy work is MAP-SIDE (PQ encode / ADC / centroid
+    # assignment fold the codebooks into per-row literal expressions):
+    # without a fan-out the whole corpus pass runs on one core no matter
+    # how many exist (measured: pq_encode 5.4s -> ~1s). Conditional, so
+    # a many-split 100 TB table never pays the shuffle.
+    return fan_out(load_table(spark, "embeddings", sf_dir))
 
 
 @query(
