@@ -36,6 +36,18 @@ def get_spark(app_name: str = "prajna-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Every cache/checkpoint this engine takes is MEMORY_AND_DISK —
+        # spill-safe by construction — so the default 50% of unified
+        # memory PROTECTED from eviction (spark.memory.storageFraction)
+        # is exactly wrong at scale: iterative graph operators pin a
+        # corpus-sized edge checkpoint in the protected region and
+        # starve the 32 concurrent shuffle-hash tasks sharing the heap.
+        # Found live at 100x (kcore_parts_dense: hard executor OOM in
+        # the first peeling round on a 24 GB heap; green in 388 s at
+        # 0.1 on the same heap). Eviction costs a disk write; the
+        # protected default costs the job. Static conf — must be set at
+        # JVM build, so it lives here and not in tune().
+        .config("spark.memory.storageFraction", "0.1")
     )
     return builder.getOrCreate()
 
