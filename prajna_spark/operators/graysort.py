@@ -23,9 +23,11 @@ gensort-shaped record generation and a valsort-analog verification
 
 Scale posture: generation is a map-only ``spark.range`` projection (no
 driver loop, no Python), the sort shuffle moves each record exactly
-once, and verification is one extra pass (per-partition lag check +
-per-partition min/max/count/checksum aggregate whose output is
-``num_partitions`` rows). At 100 TB the only knob is
+once, and verification re-reads the (persisted) sorted output three
+ways — per-partition lag check, per-partition min/max boundary
+aggregate (``num_partitions`` rows), and a count+checksum fingerprint;
+persist the sorted frame before validating or each pass re-runs the
+sort. At 100 TB the only knob is
 ``num_partitions`` — size it so each partition's slice fits an
 executor's sort buffer; boundaries stay balanced by sampling no matter
 how skewed the keys.
@@ -68,11 +70,14 @@ def gen_records(spark: SparkSession, n: int, num_partitions: int | None = None) 
 
 def gray_sort(df: DataFrame, num_partitions: int, key: str = "key") -> DataFrame:
     """Globally sort ``df`` by ``key``: sampled range partition + partition-
-    local sort. Identical shape to ``DSet.bin_sort``; kept as a free
-    function so the benchmark drives exactly what it measures. The
+    local sort. Delegates to ``DSet.bin_sort`` (dset.py) — the benchmark
+    drives THE operator, so any future bin_sort fix (null ordering,
+    sampling config) reaches the benchmark path automatically. The
     explicit ``num_partitions`` is the one scale knob (the reference's
     ``-nump``); AQE does not override a user repartition count."""
-    return df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
+    from prajna_spark.dset import DSet
+
+    return DSet(df).bin_sort(key, num_partitions=num_partitions).df
 
 
 @dataclass(frozen=True)

@@ -416,8 +416,9 @@ def poisson_bootstrap_means(
     rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
     # the B-way explode + per-(row, rep) md5 draw is the expensive map
     # side, and a single-file input scans as ONE split — fan out the
-    # narrow (k, v) rows BEFORE the explode (measured 6x at sf0.1;
-    # no-op on a many-split table at scale)
+    # narrow (k, v) rows BEFORE the explode (sf0.1 orders, B=32: 8.9s ->
+    # 1.5s isolated, 8.2s -> 2.1s for the full catalog query; no-op on a
+    # many-split table at scale)
     rows = fan_out(
         df.select(F.col(key_col).alias("__k"), F.col(value_col).alias("__v"))
     ).select("__k", "__v", rep)

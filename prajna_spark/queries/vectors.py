@@ -305,7 +305,8 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4x index-compression step before ANN serving. Codes are
     bit-identical across engines (floor-on-magnitude rounding), verified
     through an md5 digest of the code vector plus its L1 norm. Row-local
-    transforms only: no shuffle, scan-partitioned output."""
+    transforms only — no key shuffle; the only data movement is the
+    loader's conditional ingest fan-out (a scale no-op)."""
     emb = _emb(spark, sf_dir)
     q = similarity.quantize_int8(emb, "embedding", "q8")
     return q.select(
