@@ -84,3 +84,13 @@ def test_pq_codebook_training_owns_its_cache(spark, sf_dir):
     book = pq.pq_codebook_trained(emb, dim=64, m=8, k=16, n_iter=1)
     assert len(book) == 8 and len(book[0]) == 16
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_session_unprotects_storage_memory(spark):
+    # Round-8 100x find: kcore's corpus-sized edge checkpoint sat in the
+    # eviction-PROTECTED storage region (storageFraction default 0.5) and
+    # hard-OOM'd the 32 concurrent shuffle-hash tasks sharing a 24 GB
+    # heap. Every cache this engine takes is spill-safe MEMORY_AND_DISK,
+    # so the session factory must keep storage evictable: pressure costs
+    # a disk write, never the executor (session.py get_spark).
+    assert spark.conf.get("spark.memory.storageFraction") == "0.1"
