@@ -333,11 +333,15 @@ def main() -> None:
     # of stdout and parses the timing JSON out of it. The extended map
     # (~140 entries) and the shuffle-volume map are each several KB, so
     # they are printed as EARLIER stand-alone lines (and persisted whole
-    # to BENCH_full.json); the LAST line is the compact headline JSON
+    # to the untracked BENCH_full.latest.json); the LAST line is the compact
     # (~1.1 KB) that is guaranteed to fit in the tail. Only the last line
     # starts with the "metric" key, so tail-greps can't latch onto a
     # truncated sidecar line.
     ext_total = round(sum(t for t in extended.values() if t > 0), 3)
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load1 = load5 = -1.0
     full = {
         "metric": "headline_suite_total_sec",
         "value": total,
@@ -347,11 +351,25 @@ def main() -> None:
         "extended_total_sec": ext_total,
         "shuffle": shuffle,
         "sf": sf,
+        # Provenance so a committed copy is provably a quiet-machine
+        # reference: load average sampled at END of the run (a loaded
+        # driver machine shows here), reps, and wall-clock stamp.
+        "provenance": {
+            "loadavg_1m": round(load1, 2),
+            "loadavg_5m": round(load5, 2),
+            "reps": max(1, reps),
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        },
     }
     if smoke == 0:  # don't let a smoke run clobber a real run's sidecar
         try:
+            # Untracked path (gitignored): a driver bench run never dirties
+            # the working tree or silently replaces the committed
+            # quiet-machine reference. Blessing a run is a deliberate step:
+            #   cp BENCH_full.latest.json BENCH_full.json && git commit
             sidecar = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_full.latest.json",
             )
             with open(sidecar, "w") as f:
                 json.dump(full, f, indent=1)

@@ -15,17 +15,44 @@ but never splits a too-small scan upward.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical nodes whose physical plan contains an exchange. Resolving the
+# RDD of such a plan under AQE eagerly materializes query stages (runs
+# jobs) just to read a partition count — so fan_out refuses and returns
+# the input unchanged. Matched at line starts of the analyzed-plan tree
+# so column names can't false-positive.
+_WIDE_NODE = re.compile(
+    r"^[\s+:-]*(Join|Aggregate|Sort|Repartition|RepartitionByExpression"
+    r"|Window|Deduplicate|Distinct|Intersect|Except|GlobalLimit|CoGroup"
+    r"|FlatMapGroups)\b",
+    re.MULTILINE,
+)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` to cluster parallelism iff it currently has
     fewer partitions — call immediately BEFORE an explode/flatMap whose
-    output is much larger than its input."""
+    output is much larger than its input.
+
+    Precondition: ``df`` should be a SCAN-STAGE plan (scan + narrow
+    projections/filters). For such plans, reading the RDD's partition
+    count is pure metadata. If the plan already contains a shuffle, the
+    partition count is an AQE runtime decision — resolving the RDD would
+    eagerly run the upstream query stages just to read it — so this
+    helper detects wide nodes in the analyzed logical plan (a string
+    inspection, no job) and returns ``df`` unchanged.
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _WIDE_NODE.search(plan):
+            return df
         # JVM-side RDD partition metadata: no Python-serializer plan is
-        # constructed (df.rdd would build the javaToPython conversion).
+        # constructed (df.rdd would build the javaToPython conversion),
+        # and with no exchange in the plan no query stage materializes.
         current = df._jdf.rdd().getNumPartitions()
     except Exception:  # pragma: no cover - non-standard DataFrame impls
         current = df.rdd.getNumPartitions()

@@ -86,8 +86,8 @@ class SortValidation:
 
     in_count: int
     out_count: int
-    in_checksum: int
-    out_checksum: int
+    in_checksum: tuple[int, int]  # (decimal-summed xxhash64, bit_xor of xxhash64)
+    out_checksum: tuple[int, int]
     intra_partition_violations: int
     boundary_violations: int
 
@@ -101,12 +101,21 @@ class SortValidation:
         )
 
 
-def _multiset_fingerprint(df: DataFrame, key: str, payload: str) -> tuple[int, int]:
+def _multiset_fingerprint(df: DataFrame, key: str, payload: str) -> tuple[int, tuple[int, int]]:
+    # Per-record xxhash64, combined two commutative ways: an additive sum
+    # accumulated in decimal(38,0) (an int64 sum would overflow — and under
+    # ANSI mode throw — at ~1e9s of records, far below the 25e9-record
+    # GraySort target; same ANSI-safe pattern as operators/stats.py), and a
+    # bitwise XOR. The (sum, xor) pair is a far stronger duplicate/loss
+    # check than a single additive hash: compensating mutations that cancel
+    # in the sum almost surely break the XOR and vice versa.
+    h = F.xxhash64(F.concat_ws("\x00", F.col(key), F.col(payload)))
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.crc32(F.concat_ws("\x00", F.col(key), F.col(payload)))).alias("cksum"),
+        F.sum(h.cast("decimal(38,0)")).alias("cksum"),
+        F.bit_xor(h).alias("ckxor"),
     ).first()
-    return int(row["n"]), int(row["cksum"] or 0)
+    return int(row["n"]), (int(row["cksum"] or 0), int(row["ckxor"] or 0))
 
 
 def validate_sorted(
@@ -124,8 +133,10 @@ def validate_sorted(
       by key — a re-sort would vacuously pass);
     - boundary ordering: each partition's max(key) <= the next non-empty
       partition's min(key), checked over num_partitions rows;
-    - multiset equality: count + order-insensitive crc32 checksum of the
-      full records, in vs out (valsort's duplicate/loss check).
+    - multiset equality: count + order-insensitive (sum, xor) xxhash64
+      fingerprint of the full records, in vs out (valsort's duplicate/loss
+      check); the sum accumulates in decimal(38,0) so it is exact — and
+      ANSI-safe — at the 25e9-record reference scale.
     """
     tagged = df_sorted.select(
         F.col(key),

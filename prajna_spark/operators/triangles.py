@@ -73,14 +73,26 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str):
 
 def _closed_wedges(o: DataFrame) -> DataFrame:
     """(s, v, w) — one row per triangle, rooted at its lowest-ranked
-    vertex s (v, w its oriented out-neighbors, rank(v) < rank(w))."""
+    vertex s (v, w its oriented out-neighbors, rank(v) < rank(w)).
+
+    The closing semi-join is SHUFFLE_HASH-pinned with the EDGE-sized
+    closing side as build: left alone, Catalyst plans a sort-merge join,
+    which externally sorts the wedge set — the one corpus-superlinear
+    intermediate (|wedges| = sum_s outdeg(s)^2, up to O(m^1.5)) — and at
+    100x that sort's spill exceeded this VM's disk on top of the
+    unavoidable shuffle write (VERDICT r8). With a shuffled hash join the
+    wedges stream through the probe side: each wedge row crosses exactly
+    ONE exchange (its shuffle write) and never rests in a sort buffer.
+    The build side is O(m) edges split across shuffle partitions (sized
+    by scale_shuffle_partitions at the query layer), so per-task hash
+    maps stay bounded."""
     left = o.select(F.col("s"), F.col("t").alias("v"), F.col("trank").alias("rv"))
     right = o.select(F.col("s"), F.col("t").alias("w"), F.col("trank").alias("rw"))
     wedges = (
         left.join(right, "s").where(F.col("rv") < F.col("rw")).select("s", "v", "w")
     )
     closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
-    return wedges.join(closing, ["v", "w"], "left_semi")
+    return wedges.join(closing.hint("SHUFFLE_HASH"), ["v", "w"], "left_semi")
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:

@@ -49,6 +49,14 @@ def get_spark(app_name: str = "prajna-spark") -> SparkSession:
         # JVM build, so it lives here and not in tune().
         .config("spark.memory.storageFraction", "0.1")
     )
+    # ContextCleaner acts only when driver GC enqueues dead weak
+    # references; on a large heap the old gen may never collect within a
+    # multi-query run, so shuffle/broadcast cleanup debt accumulates
+    # (tools/pressure_probe.py measures this). Env hook so the probe can
+    # A/B the periodic-GC cadence without forking the factory.
+    gc_interval = os.environ.get("SPARK_GRAFT_PERIODIC_GC")
+    if gc_interval:
+        builder = builder.config("spark.cleaner.periodicGC.interval", gc_interval)
     return builder.getOrCreate()
 
 

@@ -1,0 +1,56 @@
+"""fan_out (operators/fanout.py) — conditional scan fan-out.
+
+Contract under test:
+- a narrow (scan-stage) plan with fewer partitions than cluster
+  parallelism is repartitioned up;
+- a narrow plan already at/above parallelism is returned unchanged
+  (no gratuitous shuffle at scale);
+- a plan containing a wide node (shuffle) is returned UNCHANGED —
+  resolving its RDD under AQE would eagerly materialize query stages
+  just to read a partition count (r8 ADVICE), so the helper must
+  detect wide plans from the analyzed logical plan alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prajna_spark.operators.fanout import fan_out
+
+
+def _npart(df):
+    return df.rdd.getNumPartitions()
+
+
+def test_small_scan_fans_out(spark):
+    df = spark.range(0, 1000, 1, 1).withColumn("x", F.col("id") * 2)
+    out = fan_out(df, min_partitions=8)
+    assert _npart(out) == 8
+    assert out.count() == 1000
+
+
+def test_wide_enough_scan_unchanged(spark):
+    df = spark.range(0, 1000, 1, 16)
+    out = fan_out(df, min_partitions=8)
+    assert out is df
+
+
+def test_wide_plan_returned_unchanged(spark):
+    # Aggregate → exchange in the physical plan: fan_out must not touch
+    # it (and must not run any job deciding that).
+    agg = spark.range(0, 100, 1, 1).groupBy((F.col("id") % 5).alias("k")).count()
+    assert fan_out(agg, min_partitions=8) is agg
+    joined = spark.range(0, 50, 1, 1).join(
+        spark.range(0, 50, 1, 1).withColumnRenamed("id", "id2"),
+        F.col("id") == F.col("id2"),
+    )
+    assert fan_out(joined, min_partitions=8) is joined
+    srt = spark.range(0, 100, 1, 1).orderBy("id")
+    assert fan_out(srt, min_partitions=8) is srt
+
+
+def test_column_name_cannot_false_positive(spark):
+    # A column literally named "Join" must not trip the wide-node regex.
+    df = spark.range(0, 100, 1, 1).withColumn("Join", F.lit(1))
+    out = fan_out(df, min_partitions=4)
+    assert _npart(out) == 4
