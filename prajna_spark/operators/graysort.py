@@ -118,32 +118,9 @@ def _multiset_fingerprint(df: DataFrame, key: str, payload: str) -> tuple[int, t
     return int(row["n"]), (int(row["cksum"] or 0), int(row["ckxor"] or 0))
 
 
-def validate_sorted(
-    df_in: DataFrame,
-    df_sorted: DataFrame,
-    key: str = "key",
-    payload: str = "payload",
-) -> SortValidation:
-    """The reference ships ``valsort.exe`` to check its output; this is
-    the distributed equivalent:
-
-    - intra-partition sortedness: ``lag`` over the PHYSICAL row order
-      (monotonically_increasing_id is ordinal within a partition, so
-      ordering the window by it replays row order rather than re-sorting
-      by key — a re-sort would vacuously pass);
-    - boundary ordering: each partition's max(key) <= the next non-empty
-      partition's min(key), checked over num_partitions rows;
-    - multiset equality: count + order-insensitive (sum, xor) xxhash64
-      fingerprint of the full records, in vs out (valsort's duplicate/loss
-      check); the sum accumulates in decimal(38,0) so it is exact — and
-      ANSI-safe — at the 25e9-record reference scale.
-    """
-    tagged = df_sorted.select(
-        F.col(key),
-        F.col(payload),
-        F.spark_partition_id().alias("__pid"),
-        F.monotonically_increasing_id().alias("__ord"),
-    )
+def _order_violations(tagged: DataFrame, key: str) -> tuple[int, int]:
+    """Intra-partition + boundary violations over a (key, __pid, __ord)
+    frame where __ord replays physical row order within each __pid."""
     w = Window.partitionBy("__pid").orderBy("__ord")
     intra = (
         tagged.withColumn("__prev", F.lag(key).over(w))
@@ -159,8 +136,97 @@ def validate_sorted(
         .where(F.col("__prev_hi").isNotNull() & (F.col("lo") < F.col("__prev_hi")))
         .count()
     )
-    n_in, ck_in = _multiset_fingerprint(df_in, key, payload)
+    return int(intra), int(boundary)
+
+
+def validate_sorted(
+    df_in: DataFrame,
+    df_sorted: DataFrame,
+    key: str = "key",
+    payload: str = "payload",
+    in_fingerprint: tuple[int, tuple[int, int]] | None = None,
+) -> SortValidation:
+    """The reference ships ``valsort.exe`` to check its output; this is
+    the distributed equivalent:
+
+    - intra-partition sortedness: ``lag`` over the PHYSICAL row order
+      (monotonically_increasing_id is ordinal within a partition, so
+      ordering the window by it replays row order rather than re-sorting
+      by key — a re-sort would vacuously pass);
+    - boundary ordering: each partition's max(key) <= the next non-empty
+      partition's min(key), checked over num_partitions rows;
+    - multiset equality: count + order-insensitive (sum, xor) xxhash64
+      fingerprint of the full records, in vs out (valsort's duplicate/loss
+      check); the sum accumulates in decimal(38,0) so it is exact — and
+      ANSI-safe — at the 25e9-record reference scale.
+
+    ``in_fingerprint`` accepts a pre-computed input fingerprint (from
+    :func:`_multiset_fingerprint`) so a disk-backed harness can
+    fingerprint the input once and delete it before validation — the
+    25 GB rung doesn't fit input + shuffle + output + a second input
+    pass on this VM's disk.
+    """
+    tagged = df_sorted.select(
+        F.col(key),
+        F.col(payload),
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__ord"),
+    )
+    intra, boundary = _order_violations(tagged, key)
+    n_in, ck_in = in_fingerprint or _multiset_fingerprint(df_in, key, payload)
     n_out, ck_out = _multiset_fingerprint(df_sorted, key, payload)
+    return SortValidation(
+        in_count=n_in,
+        out_count=n_out,
+        in_checksum=ck_in,
+        out_checksum=ck_out,
+        intra_partition_violations=int(intra),
+        boundary_violations=int(boundary),
+    )
+
+
+def validate_sorted_files(
+    spark: SparkSession,
+    out_path: str,
+    in_fingerprint: tuple[int, tuple[int, int]],
+    key: str = "key",
+    payload: str = "payload",
+) -> SortValidation:
+    """valsort-analog over WRITTEN sorted output (the true GraySort
+    protocol: output must rest on disk). Partition identity is recovered
+    from the file name (``part-NNNNN`` carries the range-partition
+    ordinal — one file per sort partition), not ``spark_partition_id()``:
+    the validating scan's partitioning is a read-time packing decision
+    (splits are size-ordered, then bin-packed) with no relation to sort
+    order.
+
+    Precondition enforced here: each output file must land in ONE read
+    split, so physical row order within a file is replayed by
+    ``monotonically_increasing_id`` — the scan conf pins
+    ``maxPartitionBytes`` high for this read. Boundary ordering across
+    files follows the part-number ordering, which repartitionByRange
+    guarantees is the range order.
+    """
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024**3))
+    try:
+        out = spark.read.parquet(out_path)
+        tagged = out.select(
+            F.col(key),
+            F.col(payload),
+            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+            .cast("int")
+            .alias("__pid"),
+            F.monotonically_increasing_id().alias("__ord"),
+        )
+        intra, boundary = _order_violations(tagged, key)
+        n_in, ck_in = in_fingerprint
+        n_out, ck_out = _multiset_fingerprint(out, key, payload)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     return SortValidation(
         in_count=n_in,
         out_count=n_out,

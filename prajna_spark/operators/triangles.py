@@ -66,33 +66,57 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str):
         )
         .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"), "trank")
     )
-    # persisted: probed three times (both wedge sides + the closing semi)
-    o = scoped_persist(o)
+    # o itself is consumed once (by _wedge_adjacency) — the reused
+    # intermediate is the packed adjacency, persisted by the callers
     return und, deg, o
 
 
-def _closed_wedges(o: DataFrame) -> DataFrame:
-    """(s, v, w) — one row per triangle, rooted at its lowest-ranked
-    vertex s (v, w its oriented out-neighbors, rank(v) < rank(w)).
-
-    The closing semi-join is SHUFFLE_HASH-pinned with the EDGE-sized
-    closing side as build: left alone, Catalyst plans a sort-merge join,
-    which externally sorts the wedge set — the one corpus-superlinear
-    intermediate (|wedges| = sum_s outdeg(s)^2, up to O(m^1.5)) — and at
-    100x that sort's spill exceeded this VM's disk on top of the
-    unavoidable shuffle write (VERDICT r8). With a shuffled hash join the
-    wedges stream through the probe side: each wedge row crosses exactly
-    ONE exchange (its shuffle write) and never rests in a sort buffer.
-    The build side is O(m) edges split across shuffle partitions (sized
-    by scale_shuffle_partitions at the query layer), so per-task hash
-    maps stay bounded."""
-    left = o.select(F.col("s"), F.col("t").alias("v"), F.col("trank").alias("rv"))
-    right = o.select(F.col("s"), F.col("t").alias("w"), F.col("trank").alias("rw"))
-    wedges = (
-        left.join(right, "s").where(F.col("rv") < F.col("rw")).select("s", "v", "w")
+def _wedge_adjacency(o: DataFrame) -> DataFrame:
+    """(s, nbrs) — the rank-SORTED out-neighbor array of every wedge
+    root under the degree orientation (ascending (degree, id) rank).
+    Array length is bounded by the orientation's out-degree bound
+    O(sqrt m), so no unbounded collect_list."""
+    return (
+        o.groupBy("s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("trank").alias("r"), F.col("t").alias("t")))
+            ).alias("arr")
+        )
+        .select("s", F.expr("transform(arr, x -> x.t)").alias("nbrs"))
     )
-    closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
-    return wedges.join(closing.hint("SHUFFLE_HASH"), ["v", "w"], "left_semi")
+
+
+def _triangle_rows(adj: DataFrame) -> DataFrame:
+    """(s, v, tri) — one row per oriented edge (s, v) that roots at least
+    one wedge; ``tri`` is the array of w closing a triangle (s, v, w),
+    i.e. out-neighbors of s ranked above v intersected with
+    out-neighbors of v.
+
+    This is the array-packed spelling of wedge closure. The row-per-wedge
+    spelling (o self-joined on s, then semi-joined against closing edges
+    on (v, w)) shuffles |wedges| = sum_s outdeg(s)^2 individual 3-long
+    rows — ~32 B/row before compression — and at 100x that single
+    exchange alone overran this VM's disk (VERDICT r8; still red with
+    the sort-merge spill eliminated via SHUFFLE_HASH). Here the wedge
+    candidates cross the exchange as ARRAY SUFFIXES of each root's
+    sorted neighbor list (one row per oriented edge, 8 B/entry
+    amortized), cutting the shuffled bytes ~4x while keeping the same
+    per-entry total; the closing check is an in-memory array
+    intersection at the middle vertex v instead of a join against the
+    edge set. SHUFFLE_HASH keeps the adjacency build side (O(m) packed
+    entries across shuffle partitions) from ever electing a sort."""
+    wedge_rows = (
+        adj.select(F.col("s"), F.col("nbrs"), F.posexplode("nbrs").alias("i", "v"))
+        # elements AFTER position i (0-based) = out-neighbors of s ranked
+        # above v; slice is 1-based and tolerates length past the end
+        .select("s", "v", F.expr("slice(nbrs, i + 2, size(nbrs))").alias("ws"))
+        .where(F.size("ws") > 0)
+    )
+    vn = adj.select(F.col("s").alias("v"), F.col("nbrs").alias("vnbrs"))
+    return wedge_rows.join(vn.hint("SHUFFLE_HASH"), "v").select(
+        "s", "v", F.array_intersect("ws", "vnbrs").alias("tri")
+    )
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
@@ -101,9 +125,12 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     Returns one row ``(n_edges, n_triangles)`` where n_edges counts
     undirected edges."""
     und, _, o = _oriented(edges, src_col, dst_col)
-    tri = _closed_wedges(o)
+    # persisted: both sides of the closing join read the adjacency
+    tri = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_tri = tri.agg(
+        F.coalesce(F.sum(F.size("tri")), F.lit(0)).cast("long").alias("n_triangles")
+    )
     return n_edges.crossJoin(F.broadcast(n_tri))
 
 
@@ -119,17 +146,32 @@ def clustering_coefficients(
     neighborhood is to a clique (community-structure / spam-farm signal).
 
     Each triangle is still FOUND once (at its degree-ordered root — the
-    same bounded wedge fan-out as :func:`triangle_count`) and then
-    credited to its three corners by a 3-way explode: per-node counting
-    adds one narrow (node)-keyed aggregation over 3x#triangles rows,
-    nothing else. The coefficient is one integer-fed IEEE division —
-    oracle-exact."""
+    same bounded wedge fan-out as :func:`triangle_count`, in the
+    array-packed spelling of :func:`_triangle_rows`) and then credited
+    to its three corners: the root s and middle v take the intersection
+    SIZE (aggregated before any explode), only the closing w entries
+    explode — so the per-node aggregation sees 2x(#oriented edges) +
+    3x(#triangles)-bounded rows, partial-aggregated map-side. The
+    coefficient is one integer-fed IEEE division — oracle-exact."""
     und, deg, o = _oriented(edges, src_col, dst_col)
-    corners = _closed_wedges(o).select(
-        F.explode(F.array("s", "v", "w")).alias("node")
+    # persisted: both sides of the closing join read the adjacency
+    trows = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
+    n = F.size("tri")
+    corners = trows.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("s").alias("node"), n.alias("n")),
+                    F.struct(F.col("v").alias("node"), n.alias("n")),
+                ),
+                F.expr("transform(tri, w -> struct(w as node, 1 as n))"),
+            )
+        ).alias("c")
     )
-    tc = corners.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    tc = (
+        corners.groupBy(F.col("c.node").alias("node"))
+        .agg(F.sum("c.n").cast("long").alias("n_triangles"))
+        .where(F.col("n_triangles") > 0)
     )
     d = deg.select(F.col("a").alias("node"), F.col("d").cast("long").alias("degree"))
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")

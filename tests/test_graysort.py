@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 from prajna_spark.operators.graysort import (
     KEY_LEN,
     PAYLOAD_LEN,
+    _multiset_fingerprint,
     gen_records,
     gray_sort,
     validate_sorted,
+    validate_sorted_files,
 )
 
 N = 20_000
@@ -81,3 +83,34 @@ def test_gray_sort_output_partition_count_is_the_nump_knob(spark):
     # the reference's -nump: stage-2 partition count is caller-owned
     out = gray_sort(gen_records(spark, 5_000, num_partitions=4), NUMP)
     assert out.rdd.getNumPartitions() == NUMP
+
+
+def test_validate_sorted_files_disk_protocol(spark, tmp_path):
+    # the disk-backed harness path: fingerprint input, sort, WRITE, then
+    # validate the written files (partition identity recovered from the
+    # part-NNNNN file names, not the validating scan's partitioning)
+    records = gen_records(spark, N, num_partitions=4)
+    in_fp = _multiset_fingerprint(records, "key", "payload")
+    out_dir = str(tmp_path / "sorted")
+    gray_sort(records, NUMP).write.mode("overwrite").parquet(out_dir)
+    v = validate_sorted_files(spark, out_dir, in_fp)
+    assert v.ok, v
+    assert v.in_count == N
+    # a mutated write must fail the fingerprint over the SAME files path
+    bad_dir = str(tmp_path / "sorted_bad")
+    gray_sort(
+        records.withColumn(
+            "payload",
+            F.when(F.col("id") == 1, F.lit("y" * PAYLOAD_LEN)).otherwise(
+                F.col("payload")
+            ),
+        ),
+        NUMP,
+    ).write.mode("overwrite").parquet(bad_dir)
+    v_bad = validate_sorted_files(spark, bad_dir, in_fp)
+    assert not v_bad.ok
+    assert v_bad.in_checksum != v_bad.out_checksum
+    # conf restored after validation
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) != str(
+        4 * 1024**3
+    )

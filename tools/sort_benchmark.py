@@ -12,9 +12,16 @@ first so the measured sort pass reads memory-resident input (the
 reference reads gensort files from local disk; both exclude generation
 cost). Verification runs after the clock stops.
 
-Usage: python tools/sort_benchmark.py [n_records] [n_partitions]
+Usage: python tools/sort_benchmark.py [n_records] [n_partitions] [disk]
        default 25_000_000 records (2.5 GB logical = 1/1000 of the
        reference's GraySort) across 64 output partitions.
+
+``disk`` mode is the true GraySort protocol — input rests on disk
+(parquet), the timed pass is read+sort+WRITE of the sorted output, and
+validation runs over the written files (operators/graysort.py
+validate_sorted_files). The input is fingerprinted before the sort and
+deleted right after it so the 25 GB rung fits this VM's disk
+(input + shuffle + output would not fit alongside a second input pass).
 """
 
 from __future__ import annotations
@@ -32,9 +39,11 @@ from pyspark import StorageLevel  # noqa: E402
 
 from prajna_spark.operators.graysort import (  # noqa: E402
     RECORD_BYTES,
+    _multiset_fingerprint,
     gen_records,
     gray_sort,
     validate_sorted,
+    validate_sorted_files,
 )
 from prajna_spark.session import get_spark  # noqa: E402
 
@@ -42,30 +51,59 @@ from prajna_spark.session import get_spark  # noqa: E402
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000_000
     nump = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    disk = len(sys.argv) > 3 and sys.argv[3] == "disk"
     spark = get_spark("prajna-sort-benchmark")
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    records = gen_records(spark, n).persist(StorageLevel.MEMORY_AND_DISK)
-    records.write.mode("overwrite").format("noop").save()
-    gen_s = time.time() - t0
+    if disk:
+        import shutil
 
-    # Persist the sorted output and TIME its materialization, then
-    # validate THAT execution — not a fresh re-run (repartitionByRange
-    # resamples boundaries per execution, so validating a recomputation
-    # would certify a different sort than the one benchmarked; it also
-    # re-ran the whole shuffle+sort once per validation pass).
-    t0 = time.time()
-    sorted_df = gray_sort(records, nump).persist(StorageLevel.MEMORY_AND_DISK)
-    sorted_df.write.mode("overwrite").format("noop").save()
-    sort_s = time.time() - t0
+        base = os.environ.get("SPARK_GRAFT_SORT_DIR", "/tmp/prajna_sort")
+        in_dir = os.path.join(base, "input")
+        out_dir = os.path.join(base, "output")
+        shutil.rmtree(base, ignore_errors=True)
 
-    v = validate_sorted(records, sorted_df)
-    sorted_df.unpersist()
-    records.unpersist()
+        t0 = time.time()
+        gen_records(spark, n).write.mode("overwrite").parquet(in_dir)
+        gen_s = time.time() - t0
+        # fingerprint the on-disk input BEFORE sorting so it can be
+        # deleted right after the timed pass (disk headroom at 25 GB)
+        in_fp = _multiset_fingerprint(spark.read.parquet(in_dir), "key", "payload")
+
+        # timed pass = the true GraySort protocol: read input files,
+        # range-partition sort, WRITE sorted output to disk
+        t0 = time.time()
+        gray_sort(spark.read.parquet(in_dir), nump).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        sort_s = time.time() - t0
+
+        shutil.rmtree(in_dir, ignore_errors=True)
+        v = validate_sorted_files(spark, out_dir, in_fp)
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        t0 = time.time()
+        records = gen_records(spark, n).persist(StorageLevel.MEMORY_AND_DISK)
+        records.write.mode("overwrite").format("noop").save()
+        gen_s = time.time() - t0
+
+        # Persist the sorted output and TIME its materialization, then
+        # validate THAT execution — not a fresh re-run (repartitionByRange
+        # resamples boundaries per execution, so validating a recomputation
+        # would certify a different sort than the one benchmarked; it also
+        # re-ran the whole shuffle+sort once per validation pass).
+        t0 = time.time()
+        sorted_df = gray_sort(records, nump).persist(StorageLevel.MEMORY_AND_DISK)
+        sorted_df.write.mode("overwrite").format("noop").save()
+        sort_s = time.time() - t0
+
+        v = validate_sorted(records, sorted_df)
+        sorted_df.unpersist()
+        records.unpersist()
 
     out = {
         "benchmark": "graysort_analog",
+        "protocol": "disk" if disk else "persist",
         "records": n,
         "record_bytes": RECORD_BYTES,
         "logical_mb": round(n * RECORD_BYTES / 1e6, 1),
