@@ -64,8 +64,20 @@ def scoped_local_checkpoint(
     function's own persist_scope — a checkpointed frame CANNOT be
     recomputed (lineage is truncated), so releasing it at the inner
     scope's exit would break the caller; its lifetime belongs to the
-    caller's scope."""
-    c = df.localCheckpoint(eager=eager)
+    caller's scope.
+
+    Storage level: SERIALIZED memory+disk, overriding localCheckpoint's
+    JVM-side default of DESERIALIZED object caching. A checkpointed
+    UnsafeRow cached as a JVM object graph costs ~5x its data bytes and
+    — decisively — its block size is only ESTIMATED by the memory
+    manager, so a corpus-sized edge checkpoint blows the heap past the
+    unified-memory accounting entirely: kcore at 100x died with raw
+    java.lang.OutOfMemoryError inside MemoryStore's unroll of a
+    Java-serialized checkpoint partition (r9 probe), unreachable by
+    eviction tuning because the overrun was never accounted. Serialized
+    blocks are exact byte buffers: compact, evictable, and deserialized
+    incrementally on read."""
+    c = df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
     bags = _ACTIVE_CKPT[:-1] if parent else _ACTIVE_CKPT
     if bags:
         bags[-1].append(c)
