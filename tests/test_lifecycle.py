@@ -121,3 +121,32 @@ def test_iterative_operators_leave_bounded_checkpoints(spark):
     pr_new = _cached_ids(spark) - base
     assert len(pr_new) <= 1, f"pagerank left {len(pr_new)} pinned RDDs"
     release_local_checkpoint(pr, blocking=True)
+
+
+def test_scoped_local_checkpoint_blocks_are_serialized(spark):
+    # localCheckpoint's JVM default caches DESERIALIZED row objects whose
+    # block sizes are only estimated — the 100x kcore OOM (r9). The
+    # helper must pin the serialized level so blocks are exact byte
+    # buffers the memory manager can account and evict.
+    from prajna_spark.operators.lifecycle import (
+        persist_scope,
+        scoped_local_checkpoint,
+    )
+
+    with persist_scope():
+        c = scoped_local_checkpoint(spark.range(0, 1000, 1, 4))
+        # the cached RDD is the LogicalRDD leaf the checkpoint planted
+        # (c._jdf.rdd() would be a fresh uncached derivation of the plan)
+        leaves = c._jdf.queryExecution().analyzed().collectLeaves()
+        rdds = [
+            leaves.apply(i).rdd()
+            for i in range(leaves.size())
+            if leaves.apply(i).getClass().getSimpleName() == "LogicalRDD"
+        ]
+        assert rdds, "checkpoint must plant a LogicalRDD leaf"
+        lvl = rdds[0].getStorageLevel()
+        assert lvl.useMemory() and lvl.useDisk()
+        assert not lvl.deserialized(), (
+            "checkpoint blocks must be SERIALIZED (exact accounting)"
+        )
+        assert c.count() == 1000
