@@ -27,9 +27,24 @@ from prajna_spark.operators.lifecycle import scoped_local_checkpoint, scoped_per
 
 
 def _oriented(edges: DataFrame, src_col: str, dst_col: str):
-    """Shared machinery: returns (und, deg, o) — deduped undirected edges
-    (a < b), per-node degrees, and the degree-ordered oriented edge set
-    (s -> t with rank(s) < rank(t)), und and o scope-persisted."""
+    """Shared machinery: returns (und, deg, ranks, o) — deduped
+    undirected edges (a < b), per-node degrees, the dense (degree, id)
+    node ranking, and the degree-ordered oriented edge set in RANK SPACE:
+    ``o(s, t)`` with s < t both dense ranks. und scope-persisted.
+
+    Rank space is a deliberate physical choice: the total order
+    (degree, id) is materialized ONCE as a single long per node
+    (node-cardinality zip_with_index — one small shuffle), so every
+    downstream comparison, array sort, and array intersection runs on
+    PRIMITIVE longs. The earlier spelling carried (degree, id) structs
+    through orientation and sorted array<struct> per adjacency row —
+    and Spark evaluates struct comparisons through InterpretedOrdering
+    objects constructed per call (thread dumps at 100x showed the
+    adjacency stage dominated by InterpretedOrdering.<init> /
+    PhysicalStructType.forSchema), a cost that is invisible at sf0.1
+    and devours the stage at scale."""
+    from prajna_spark.operators.zipindex import zip_with_index
+
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
@@ -43,47 +58,34 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str):
     sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
 
-    # orient a -> b iff (deg(a), a) < (deg(b), b)
-    da = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
-    db = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    # dense rank following (degree, id); (d, a) is unique per node so the
+    # index is deterministic. zip_with_index scope-persists internally.
+    ranks = zip_with_index(deg, order_by=["d", "a"], index_col="r").select(
+        "a", "r"
+    )
+    ra = ranks.select(F.col("a").alias("u"), F.col("r").alias("ru"))
+    rb = ranks.select(F.col("a").alias("v"), F.col("r").alias("rv"))
     o = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .join(da, "u")
-        .join(db, "v")
+        .join(ra, "u")
+        .join(rb, "v")
         .select(
-            F.when(
-                F.struct("du", "u") < F.struct("dv", "v"),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
-            .alias("o"),
-            F.when(
-                F.struct("du", "u") < F.struct("dv", "v"),
-                F.struct(F.col("dv").alias("rd"), F.col("v").alias("rn")),
-            )
-            .otherwise(F.struct(F.col("du").alias("rd"), F.col("u").alias("rn")))
-            .alias("trank"),
+            F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t")
         )
-        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"), "trank")
     )
     # o itself is consumed once (by _wedge_adjacency) — the reused
     # intermediate is the packed adjacency, persisted by the callers
-    return und, deg, o
+    return und, deg, ranks, o
 
 
 def _wedge_adjacency(o: DataFrame) -> DataFrame:
     """(s, nbrs) — the rank-SORTED out-neighbor array of every wedge
-    root under the degree orientation (ascending (degree, id) rank).
-    Array length is bounded by the orientation's out-degree bound
-    O(sqrt m), so no unbounded collect_list."""
-    return (
-        o.groupBy("s")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("trank").alias("r"), F.col("t").alias("t")))
-            ).alias("arr")
-        )
-        .select("s", F.expr("transform(arr, x -> x.t)").alias("nbrs"))
+    root under the degree orientation. Neighbors are dense ranks, so the
+    sort is a PRIMITIVE array<long> sort (no struct ordering). Array
+    length is bounded by the orientation's out-degree bound O(sqrt m),
+    so no unbounded collect_list."""
+    return o.groupBy("s").agg(
+        F.array_sort(F.collect_list("t")).alias("nbrs")
     )
 
 
@@ -124,7 +126,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     direction, duplicates tolerated — symmetrized and deduped here).
     Returns one row ``(n_edges, n_triangles)`` where n_edges counts
     undirected edges."""
-    und, _, o = _oriented(edges, src_col, dst_col)
+    und, _, _, o = _oriented(edges, src_col, dst_col)
     # persisted: both sides of the closing join read the adjacency
     tri = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -153,7 +155,7 @@ def clustering_coefficients(
     explode — so the per-node aggregation sees 2x(#oriented edges) +
     3x(#triangles)-bounded rows, partial-aggregated map-side. The
     coefficient is one integer-fed IEEE division — oracle-exact."""
-    und, deg, o = _oriented(edges, src_col, dst_col)
+    und, deg, ranks, o = _oriented(edges, src_col, dst_col)
     # persisted: both sides of the closing join read the adjacency
     trows = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
     n = F.size("tri")
@@ -161,18 +163,21 @@ def clustering_coefficients(
         F.explode(
             F.concat(
                 F.array(
-                    F.struct(F.col("s").alias("node"), n.alias("n")),
-                    F.struct(F.col("v").alias("node"), n.alias("n")),
+                    F.struct(F.col("s").alias("rk"), n.alias("n")),
+                    F.struct(F.col("v").alias("rk"), n.alias("n")),
                 ),
-                F.expr("transform(tri, w -> struct(w as node, 1 as n))"),
+                F.expr("transform(tri, w -> struct(w as rk, 1 as n))"),
             )
         ).alias("c")
     )
-    tc = (
-        corners.groupBy(F.col("c.node").alias("node"))
+    # corner credits aggregate in RANK space, then map back to node ids
+    # with one node-cardinality join against the ranking table
+    tcr = (
+        corners.groupBy(F.col("c.rk").alias("r"))
         .agg(F.sum("c.n").cast("long").alias("n_triangles"))
         .where(F.col("n_triangles") > 0)
     )
+    tc = tcr.join(ranks, "r").select(F.col("a").alias("node"), "n_triangles")
     d = deg.select(F.col("a").alias("node"), F.col("d").cast("long").alias("degree"))
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
     coeff = F.when(
