@@ -25,9 +25,9 @@ from pyspark.sql import DataFrame
 # the input unchanged. Matched at line starts of the analyzed-plan tree
 # so column names can't false-positive.
 _WIDE_NODE = re.compile(
-    r"^[\s+:-]*(Join|Aggregate|Sort|Repartition|RepartitionByExpression"
-    r"|Window|Deduplicate|Distinct|Intersect|Except|GlobalLimit|CoGroup"
-    r"|FlatMapGroups)\b",
+    r"^[\s+:-]*(Join|Aggregate|Sort|Repartition\w*"
+    r"|Window|Deduplicate|Distinct|Intersect|Except|GlobalLimit"
+    r"|CoGroup\w*|FlatMapGroups\w*|FlatMapCoGroups\w*)\b",
     re.MULTILINE,
 )
 

@@ -203,18 +203,35 @@ def validate_sorted_files(
     Precondition enforced here: each output file must land in ONE read
     split, so physical row order within a file is replayed by
     ``monotonically_increasing_id`` — the scan conf pins
-    ``maxPartitionBytes`` high for this read. Boundary ordering across
-    files follows the part-number ordering, which repartitionByRange
-    guarantees is the range order.
+    ``maxPartitionBytes`` above the LARGEST output file (checked by a
+    cheap driver-side listing; a file bigger than the pin would split
+    across read partitions and produce false order violations with no
+    diagnostic). Boundary ordering across files follows the part-number
+    ordering, which repartitionByRange guarantees is the range order.
     """
+    # One-file-one-split precondition: list the output files (metadata
+    # only, via the Hadoop FS the path actually lives on) and pin the
+    # split size above the largest file, with a 4 GiB floor.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(hconf)
+    max_file = 0
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("part-"):
+            max_file = max(max_file, int(status.getLen()))
+    pin = max(4 * 1024**3, max_file + 1)
     old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024**3))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(pin))
     try:
         out = spark.read.parquet(out_path)
         tagged = out.select(
             F.col(key),
             F.col(payload),
-            F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+            # Anchored to the basename: a directory component matching
+            # part-<digits> anywhere in out_path must not be captured.
+            F.regexp_extract(F.input_file_name(), r"/part-(\d+)[^/]*$", 1)
             .cast("int")
             .alias("__pid"),
             F.monotonically_increasing_id().alias("__ord"),

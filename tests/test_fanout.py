@@ -49,6 +49,26 @@ def test_wide_plan_returned_unchanged(spark):
     assert fan_out(srt, min_partitions=8) is srt
 
 
+def test_pandas_group_plans_returned_unchanged(spark):
+    # r9 ADVICE: FlatMapGroupsInPandas / FlatMapCoGroupsInPandas nodes
+    # must match the wide-node guard — their physical plans carry an
+    # exchange, and resolving the RDD would eagerly run query stages.
+    import pandas as pd
+
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    base = spark.range(0, 100, 1, 1).withColumn("k", F.col("id") % 5)
+    grouped = base.groupBy("k").applyInPandas(ident, schema="id long, k long")
+    assert fan_out(grouped, min_partitions=8) is grouped
+    cg = (
+        base.groupBy("k")
+        .cogroup(base.groupBy("k"))
+        .applyInPandas(lambda l, r: l, schema="id long, k long")
+    )
+    assert fan_out(cg, min_partitions=8) is cg
+
+
 def test_column_name_cannot_false_positive(spark):
     # A column literally named "Join" must not trip the wide-node regex.
     df = spark.range(0, 100, 1, 1).withColumn("Join", F.lit(1))

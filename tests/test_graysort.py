@@ -114,3 +114,16 @@ def test_validate_sorted_files_disk_protocol(spark, tmp_path):
     assert spark.conf.get("spark.sql.files.maxPartitionBytes", None) != str(
         4 * 1024**3
     )
+
+
+def test_validate_sorted_files_path_with_part_dir_component(spark, tmp_path):
+    # r9 ADVICE: a directory component matching part-<digits> in out_path
+    # must not be captured as the file's partition id — the extractor is
+    # anchored to the basename. Before the fix this collapsed every file
+    # to pid=2 and reported spurious boundary violations.
+    records = gen_records(spark, 5_000, num_partitions=4)
+    in_fp = _multiset_fingerprint(records, "key", "payload")
+    out_dir = str(tmp_path / "part-2" / "sorted")
+    gray_sort(records, NUMP).write.mode("overwrite").parquet(out_dir)
+    v = validate_sorted_files(spark, out_dir, in_fp)
+    assert v.ok, v

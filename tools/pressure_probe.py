@@ -85,17 +85,23 @@ def _jvm_snapshot(spark) -> dict:
         rdd_mb = round(rdd_b / 1e6, 1)
     except Exception:
         pass
-    # shuffle scratch on disk
-    local_dirs = env.blockManager().diskBlockManager().localDirsString()
-    disk_mb = 0
-    for d in local_dirs:
-        try:
-            out = subprocess.run(
-                ["du", "-sm", d], capture_output=True, text=True, timeout=120
-            )
-            disk_mb += int(out.stdout.split()[0])
-        except Exception:
-            pass
+    # shuffle scratch on disk; localDirsString is a private accessor that
+    # may not be py4j-reachable on every Spark build — fall back to -1
+    # like the other probes rather than killing the whole snapshot.
+    disk_mb = -1
+    try:
+        local_dirs = env.blockManager().diskBlockManager().localDirsString()
+        disk_mb = 0
+        for d in local_dirs:
+            try:
+                out = subprocess.run(
+                    ["du", "-sm", d], capture_output=True, text=True, timeout=120
+                )
+                disk_mb += int(out.stdout.split()[0])
+            except Exception:
+                pass
+    except Exception:
+        pass
     return {
         "shuffles_registered": n_shuffles,
         "heap_used_mb": int(heap_used_mb),
