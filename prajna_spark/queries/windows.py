@@ -281,11 +281,35 @@ def stream_stream_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "telemetry_distinct_users_hll",
-    # rows-only by declared design: the estimates come from Apache
-    # DataSketches HLL, which DuckDB cannot reproduce bit-for-bit; the
-    # invariants (union-of-sketches == sketch-of-union; estimates within
-    # HLL tolerance of exact) are asserted in tests/test_rollup_cascade.py.
-    oracle=None,
+    # Hash-verifiable spelling (VERDICT r9 task #2): DuckDB cannot replay
+    # Apache DataSketches HLL bit-for-bit, so the catalog row emits the
+    # DECISION-RELEVANT output in oracle-expressible form — the exact
+    # distinct count per bucket (DuckDB-replayable) plus a boolean
+    # asserting the HLL estimate landed within its advertised tolerance
+    # (3x the lg_k=12 relative standard error ~1.6% -> 5%; HLL is
+    # deterministic for fixed data, so the bound either holds for a
+    # dataset or it doesn't — no flakiness). The raw-estimate surface
+    # stays on operators.sketch_rollup + tests/test_rollup_cascade.py
+    # (union-of-sketches == sketch-of-union invariant).
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, user_id
+      FROM events
+    ), lv AS (
+      SELECT CAST(3600 AS BIGINT) AS resolution,
+             (t // 3600) * 3600 AS epoch_start, event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM e GROUP BY 2, 3
+      UNION ALL
+      SELECT CAST(86400 AS BIGINT) AS resolution,
+             (t // 86400) * 86400 AS epoch_start, event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM e GROUP BY 2, 3
+    )
+    SELECT resolution, epoch_start, event_type, exact_users,
+           TRUE AS hll_within_tolerance
+    FROM lv
+    """,
     tags=("streaming", "sketch", "hll", "continuous-aggregate"),
 )
 def telemetry_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +317,14 @@ def telemetry_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finest-level sketch pass (operators.sketch_rollup): distinct counts
     are not additive, so the cascade stores mergeable HLL sketches and
     unions them upward — the COUNT DISTINCT continuous-aggregate pattern
-    the plain rollup cannot express. All-JVM, map-side-combined."""
+    the plain rollup cannot express. All-JVM, map-side-combined.
+
+    The catalog output audits the cascade against an exact
+    count-distinct twin computed in the same job: per bucket it returns
+    the exact count plus ``hll_within_tolerance`` (|est - exact| / exact
+    <= 5%, 3x the lg_k=12 RSE). At scale the exact twin is the expensive
+    side — production keeps only the sketch cascade; this join is the
+    correctness harness that makes the row oracle-verifiable."""
     from prajna_spark.operators.sketch_rollup import hll_cascade, hll_partials
 
     tune(spark)
@@ -301,7 +332,32 @@ def telemetry_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("t"), "event_type", "user_id"
     )
     hourly = hll_partials(ev, "t", ["event_type"], "user_id", 3600)
-    return hll_cascade(hourly, ["event_type"], [3600, 86400])
+    est = hll_cascade(hourly, ["event_type"], [3600, 86400])
+
+    def _exact(width: int) -> DataFrame:
+        return ev.groupBy(
+            (F.floor(F.col("t") / width) * width).cast("long").alias("epoch_start"),
+            "event_type",
+        ).agg(
+            F.count_distinct("user_id").cast("long").alias("exact_users")
+        ).select(
+            F.lit(width).cast("long").alias("resolution"),
+            "epoch_start",
+            "event_type",
+            "exact_users",
+        )
+    exact = _exact(3600).unionByName(_exact(86400))
+    return est.join(exact, ["resolution", "epoch_start", "event_type"]).select(
+        "resolution",
+        "epoch_start",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("hll_within_tolerance"),
+    )
 
 
 @query(
@@ -947,8 +1003,9 @@ def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct users per event type through the DETERMINISTIC
     mergeable sketch path (operators.sketch_rollup.kmv_*): hourly KMV
     partials (k=64 smallest md5-derived 60-bit hashes) merged upward to
-    daily, then the Bar-Yossef estimate — the oracle-checkable twin of
-    the rows-only HLL cascade (telemetry_distinct_users_hll). Every
+    daily, then the Bar-Yossef estimate — the EXACTLY-replayable twin of
+    the HLL cascade (telemetry_distinct_users_hll, whose catalog row is
+    hash-verified via its bounded-error audit spelling). Every
     shuffle carries (bucket, event_type, 8-byte hash) rows bounded by
     WindowGroupLimit's pre-shuffle partial limit; keys never move."""
     from prajna_spark.operators.sketch_rollup import (
