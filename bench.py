@@ -228,6 +228,17 @@ EXTENDED = [
 
 
 def main() -> None:
+    # Quiet-machine gate (r9 VERDICT item 1): sample load BEFORE the Spark
+    # session exists — end-of-run loadavg is dominated by bench's own
+    # local[32] work, so only the start sample measures pre-existing
+    # contention. A run started above the threshold is tagged
+    # reference_grade=false in its sidecar and tools/bless_bench.py
+    # refuses to bless it.
+    quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD_MAX", "4.0"))
+    try:
+        load_start = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load_start = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -352,15 +363,27 @@ def main() -> None:
         "shuffle": shuffle,
         "sf": sf,
         # Provenance so a committed copy is provably a quiet-machine
-        # reference: load average sampled at END of the run (a loaded
-        # driver machine shows here), reps, and wall-clock stamp.
+        # reference. loadavg_start_1m is the gate (sampled before the
+        # session started — pre-existing contention); the end-of-run
+        # samples are informational only (bench's own local[32] work
+        # dominates them). reference_grade is what bless_bench.py checks.
         "provenance": {
+            "loadavg_start_1m": round(load_start, 2),
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),
+            "quiet_load_max": quiet_max,
+            "reference_grade": 0.0 <= load_start <= quiet_max,
             "reps": max(1, reps),
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         },
     }
+    if not full["provenance"]["reference_grade"]:
+        print(
+            f"bench: NOT reference grade — loadavg_1m at start "
+            f"{load_start:.2f} > {quiet_max} (or unreadable); sidecar "
+            f"tagged, bless_bench.py will refuse it",
+            file=sys.stderr,
+        )
     if smoke == 0:  # don't let a smoke run clobber a real run's sidecar
         try:
             # Untracked path (gitignored): a driver bench run never dirties

@@ -139,6 +139,36 @@ _NEWEST_UNRECORDED = frozenset(
 # inert; kept as documentation of the mechanism's last use.)
 _FORCE_RERECORD = frozenset({"pq_encode_embeddings", "ivf_kmeans_centroids"})
 
+# Queries whose oracle was UPGRADED this round from the declared
+# rows-only check to a hash-checkable spelling jump into the next window
+# so the first hash verdict actually lands (VERDICT r9 task #2: the HLL
+# rollup had been rows-only since r2; its new spelling audits the
+# estimates against an exact twin in oracle-expressible form).
+# SELF-CLEARING like _FORCE_RERECORD: the tier applies only while the
+# name has NO hash-verified driver record — the first hash_match green
+# returns it to ordinary staleness ordering, so membership never burns
+# window slots after the upgrade is proven.
+_FORCE_HASH_UPGRADE = frozenset({"telemetry_distinct_users_hll"})
+
+
+def _ever_hash_verified() -> set[str]:
+    """Names with at least one hash-verified driver record (hash_match
+    true in any CORRECTNESS_r*.json) — rows-only greens don't count."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        out.update(name for name, row in data.items() if row.get("hash_match"))
+    return out
+
 
 def _staleness_order(names: list[str]) -> list[str]:
     """Order queries never-driver-recorded first (oldest catalog entries
@@ -149,6 +179,7 @@ def _staleness_order(names: list[str]) -> list[str]:
     rounds — explicitly, with no coupling to import order.
     ``tools/coverage_ledger.py`` prints the same ledger."""
     seen = _recorded_rounds()
+    hash_ok = _ever_hash_verified()
 
     def sort_key(name: str):
         rounds = seen.get(name)
@@ -167,6 +198,10 @@ def _staleness_order(names: list[str]) -> list[str]:
             # every already-recorded row. Once a green record lands the
             # branch stops firing — self-clearing.
             return (0, 3, name)
+        if name in _FORCE_HASH_UPGRADE and name not in hash_ok:
+            # oracle upgraded from rows-only: jump the queue until the
+            # first hash_match record lands — self-clearing.
+            return (0, 4, name)
         return (1, latest, name)
 
     return sorted(names, key=sort_key)

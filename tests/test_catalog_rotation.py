@@ -15,22 +15,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_order_is_staleness_monotone():
-    from prajna_spark.queries import _FORCE_RERECORD
+    from prajna_spark.queries import (
+        _FORCE_HASH_UPGRADE,
+        _FORCE_RERECORD,
+        _ever_hash_verified,
+    )
 
     seen = _recorded_rounds()
+    hash_ok = _ever_hash_verified()
     names = list(registry().keys())
 
     def still_forced(n: str) -> bool:
-        # the forced tier is self-clearing: it applies only while the
-        # latest driver record is red
+        # both forced tiers are self-clearing: red-latest for
+        # _FORCE_RERECORD, no-hash-record-yet for _FORCE_HASH_UPGRADE
         rounds = seen.get(n)
-        return bool(rounds) and n in _FORCE_RERECORD and not rounds[max(rounds)]
+        if not rounds:
+            return False
+        if n in _FORCE_RERECORD and not rounds[max(rounds)]:
+            return True
+        return n in _FORCE_HASH_UPGRADE and n not in hash_ok
 
     # last-recorded round must be non-decreasing along the ordering, with
     # never-recorded (treated as round -inf) leading — EXCEPT actively-
-    # forced entries (red last record whose fix shipped this round), which
-    # deliberately jump the staleness queue to land in the very next
-    # driver window.
+    # forced entries (red last record whose fix shipped this round, or an
+    # oracle upgraded from rows-only awaiting its first hash verdict),
+    # which deliberately jump the staleness queue to land in the very
+    # next driver window.
     ordered = [n for n in names if not still_forced(n)]
     last_rounds = [
         max(seen[n]) if n in seen and seen[n] else -1 for n in ordered
@@ -38,7 +48,9 @@ def test_order_is_staleness_monotone():
     assert last_rounds == sorted(last_rounds)
     # actively-forced entries sit immediately after the never-recorded block
     never_count = sum(1 for n in names if not seen.get(n))
-    forced_active = [n for n in _FORCE_RERECORD if still_forced(n)]
+    forced_active = [
+        n for n in (_FORCE_RERECORD | _FORCE_HASH_UPGRADE) if still_forced(n)
+    ]
     for n in forced_active:
         idx = names.index(n)
         assert never_count <= idx < never_count + len(forced_active)
@@ -71,6 +83,28 @@ def test_forced_tier_self_clears(monkeypatch):
                  "zz_fresh": {7: True}},
     )
     assert q._staleness_order(names) == ["aa_stale", "forced_q", "zz_fresh"]
+
+
+def test_hash_upgrade_tier_self_clears(monkeypatch):
+    """A _FORCE_HASH_UPGRADE member with no hash-verified record jumps
+    the queue (after _FORCE_RERECORD's slot); once any hash_match record
+    exists it sorts by ordinary staleness again."""
+    import prajna_spark.queries as q
+
+    monkeypatch.setattr(q, "_FORCE_RERECORD", frozenset())
+    monkeypatch.setattr(q, "_FORCE_HASH_UPGRADE", frozenset({"upg_q"}))
+    names = ["zz_fresh", "upg_q", "aa_stale"]
+    monkeypatch.setattr(
+        q,
+        "_recorded_rounds",
+        lambda: {"upg_q": {9: True}, "aa_stale": {3: True}, "zz_fresh": {7: True}},
+    )
+    # rows-only greens so far -> pinned ahead of the recorded block
+    monkeypatch.setattr(q, "_ever_hash_verified", lambda: set())
+    assert q._staleness_order(names) == ["upg_q", "aa_stale", "zz_fresh"]
+    # first hash verdict landed -> ordinary staleness (r9 sorts last)
+    monkeypatch.setattr(q, "_ever_hash_verified", lambda: {"upg_q"})
+    assert q._staleness_order(names) == ["aa_stale", "zz_fresh", "upg_q"]
 
 
 def test_never_recorded_lead_the_window():

@@ -1,100 +1,63 @@
-"""Post-query storage cleanliness (r7 VERDICT item 4).
+"""Cross-query session hygiene: after real catalog queries the driver
+JVM returns to baseline (r9 VERDICT task #6, promoting the
+tools/pressure_probe.py finding into a pinned invariant).
 
-The r5 label-propagation edge-checkpoint leak shipped and survived TWO
-rounds of green correctness gates because nothing asserted that a query
-leaves executor storage empty: ``Dataset.unpersist()`` is a silent no-op
-for localCheckpoint'd frames, so a forgotten release pins corpus-sized
-blocks for the session lifetime and OOMs a LATER query's heap (found live
-at 30x data). Two nets now exist:
-
-- tools/determinism_check.py runs every catalog query under
-  ``persist_scope`` and reports ``LEAK <name>`` if ``getPersistentRDDs``
-  is non-empty after the scope closes — run pre-fix, it would have
-  printed ``LEAK labelprop_part_communities: 1 persistent RDDs`` (the
-  edge frame ``sym`` before labelprop.py released it);
-- this suite asserts the MECHANISM: ``scoped_local_checkpoint`` registers
-  checkpoints with the innermost ``persist_scope`` and scope exit
-  actually frees the blocks (which plain unpersist cannot), the
-  ``parent=True`` escape keeps a returned frame alive past its own
-  function's scope, and the representative iterative operators leave
-  storage empty end-to-end.
+The r9 root-cause work showed that after a sequence of heavy queries +
+forced GC, registered shuffles drop back to the steady floor and cached
+RDD/broadcast blocks release (shuffles 12→4, heap 20 GB→90 MB at 100x).
+If any operator starts pinning state past its persist_scope — a
+checkpoint that release misses, a broadcast kept reachable, a shuffle
+whose RDD survives in a module-level cache — this test catches it at
+test scale, without needing the 100x fixture.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from prajna_spark.operators.lifecycle import persist_scope
+from prajna_spark.plans.jvmstate import drain_to_baseline, jvm_state_snapshot
 
-from prajna_spark.operators.lifecycle import (
-    persist_scope,
-    scoped_local_checkpoint,
-)
-
-
-def _persistent_count(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-
-def test_scope_releases_checkpoint_blocks(spark):
-    before = _persistent_count(spark)
-    with persist_scope():
-        df = scoped_local_checkpoint(spark.range(1000).withColumn("x", F.lit(1)))
-        assert df.count() == 1000
-        assert _persistent_count(spark) > before  # blocks live inside
-    assert _persistent_count(spark) == before  # released at exit
+# Shuffle/persist/checkpoint-heavy spread: iterative graph (checkpoint
+# generations), LSH verify (scoped persists + pinned SHUFFLE_HASH joins),
+# cascade rollup (internal persists), windowed agg, broadcast-heavy join.
+QUERIES = [
+    "dedup_connected_components",
+    "triangle_count_parts",
+    "cascade_rollup_events",
+    "dedup_lsh_verified",
+    "q5_local_supplier_volume",
+    "rolling_distinct_users_24h",
+]
 
 
-def test_unscoped_checkpoint_is_session_owned(spark):
-    # outside any scope the behavior is plain localCheckpoint — the
-    # session owns the blocks (one-shot jobs, the driver gate)
-    before = _persistent_count(spark)
-    df = scoped_local_checkpoint(spark.range(100))
-    assert df.count() == 100
-    assert _persistent_count(spark) > before
-    from prajna_spark.operators.lifecycle import release_local_checkpoint
+def test_catalog_sequence_returns_jvm_state_to_baseline(spark, sf_dir):
+    from prajna_spark.queries import queries
 
-    release_local_checkpoint(df, blocking=True)
-    assert _persistent_count(spark) == before
-
-
-def test_parent_escape_survives_inner_scope(spark):
-    """A checkpoint that materializes a function's return value inside
-    that function's own scope must NOT be released at the inner exit —
-    checkpointed frames cannot be recomputed (lineage truncated), so an
-    inner-scope release would break the caller."""
-    before = _persistent_count(spark)
-    with persist_scope():  # the caller's scope
-        with persist_scope():  # the function's own scope
-            out = scoped_local_checkpoint(spark.range(500), parent=True)
-        # inner scope closed: the frame must still be usable
-        assert out.count() == 500
-        assert _persistent_count(spark) > before
-    # caller's scope closed: now it is released
-    assert _persistent_count(spark) == before
-
-
-def test_iterative_operators_leave_storage_empty(spark):
-    """End-to-end: the operators whose loops checkpoint per round
-    (the labelprop leak's family) leave getPersistentRDDs empty once the
-    caller's scope closes — consumed INSIDE the scope, per contract."""
-    from prajna_spark.operators.labelprop import label_propagation
-    from prajna_spark.pipeline.dedup import connected_components
-
-    edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (4, 5), (6, 6), (5, 4)], "src long, dst long"
+    cat = queries()
+    # settle whatever earlier tests left behind, then take the baseline
+    baseline = drain_to_baseline(
+        spark, {"shuffles_registered": 0, "rdd_blocks": 0, "broadcast_blocks": 0},
+        timeout_sec=30,
     )
-    nodes = edges.select(F.col("src").alias("nid")).unionAll(
-        edges.select(F.col("dst").alias("nid"))
-    ).distinct()
+    assert baseline["shuffles_registered"] >= 0, "probe must be readable"
 
-    before = _persistent_count(spark)
-    with persist_scope():
-        cc = connected_components(
-            edges, nodes, id_col="nid", src_col="src", dst_col="dst"
-        )
-        assert cc.count() == 6
-    assert _persistent_count(spark) == before
+    for name in QUERIES:
+        with persist_scope():
+            cat[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    with persist_scope():
-        lp = label_propagation(edges, "src", "dst", n_iter=3)
-        assert lp.count() > 0
-    assert _persistent_count(spark) == before
+    grown = jvm_state_snapshot(spark)
+    final = drain_to_baseline(spark, baseline, timeout_sec=90)
+    assert final["rdd_blocks"] <= baseline["rdd_blocks"], (
+        f"cached RDD blocks leaked past persist_scope: "
+        f"baseline={baseline} grown={grown} final={final}"
+    )
+    assert (
+        final["shuffles_registered"] <= baseline["shuffles_registered"]
+    ), (
+        f"registered shuffles did not drain after GC (ContextCleaner debt "
+        f"now outlives collection): baseline={baseline} grown={grown} "
+        f"final={final}"
+    )
+    assert final["broadcast_blocks"] <= baseline["broadcast_blocks"] + 2, (
+        f"broadcast blocks leaked: baseline={baseline} grown={grown} "
+        f"final={final}"
+    )

@@ -52,44 +52,17 @@ QUERIES = [
 
 
 def _jvm_snapshot(spark) -> dict:
-    jvm = spark.sparkContext._jvm
-    env = jvm.org.apache.spark.SparkEnv.get()
-    tracker = env.mapOutputTracker()  # MapOutputTrackerMaster on the driver
-    try:
-        n_shuffles = tracker.shuffleStatuses().size()
-    except Exception:
-        n_shuffles = -1
-    rt = jvm.java.lang.Runtime.getRuntime()
-    heap_used_mb = (rt.totalMemory() - rt.freeMemory()) // (1024 * 1024)
-    heap_max_mb = rt.maxMemory() // (1024 * 1024)
-    # block manager: broadcast vs rdd blocks (master view, local = 1 BM)
-    n_bcast = n_rdd = -1
-    bcast_mb = rdd_mb = -1.0
-    try:
-        status = env.blockManager().master().getStorageStatus()
-        n_bcast = n_rdd = 0
-        bcast_b = rdd_b = 0
-        for st in status:
-            it = st.blocks().iterator()
-            while it.hasNext():
-                kv = it.next()
-                bid = kv._1().toString()
-                sz = kv._2().memSize() + kv._2().diskSize()
-                if bid.startswith("broadcast_"):
-                    n_bcast += 1
-                    bcast_b += sz
-                elif bid.startswith("rdd_"):
-                    n_rdd += 1
-                    rdd_b += sz
-        bcast_mb = round(bcast_b / 1e6, 1)
-        rdd_mb = round(rdd_b / 1e6, 1)
-    except Exception:
-        pass
-    # shuffle scratch on disk; localDirsString is a private accessor that
-    # may not be py4j-reachable on every Spark build — fall back to -1
-    # like the other probes rather than killing the whole snapshot.
+    # core gauges shared with tests/test_storage_leak.py
+    from prajna_spark.plans.jvmstate import jvm_state_snapshot
+
+    snap = jvm_state_snapshot(spark)
+    # shuffle scratch on disk (tool-only: needs du); localDirsString is a
+    # private accessor that may not be py4j-reachable on every Spark
+    # build — fall back to -1 like the other probes rather than killing
+    # the whole snapshot.
     disk_mb = -1
     try:
+        env = spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
         local_dirs = env.blockManager().diskBlockManager().localDirsString()
         disk_mb = 0
         for d in local_dirs:
@@ -102,16 +75,8 @@ def _jvm_snapshot(spark) -> dict:
                 pass
     except Exception:
         pass
-    return {
-        "shuffles_registered": n_shuffles,
-        "heap_used_mb": int(heap_used_mb),
-        "heap_max_mb": int(heap_max_mb),
-        "broadcast_blocks": n_bcast,
-        "broadcast_mb": bcast_mb,
-        "rdd_blocks": n_rdd,
-        "rdd_mb": rdd_mb,
-        "shuffle_disk_mb": disk_mb,
-    }
+    snap["shuffle_disk_mb"] = disk_mb
+    return snap
 
 
 def main() -> int:

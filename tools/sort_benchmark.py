@@ -12,7 +12,7 @@ first so the measured sort pass reads memory-resident input (the
 reference reads gensort files from local disk; both exclude generation
 cost). Verification runs after the clock stops.
 
-Usage: python tools/sort_benchmark.py [n_records] [n_partitions] [disk]
+Usage: python tools/sort_benchmark.py [n_records] [n_partitions] [disk] [codec]
        default 25_000_000 records (2.5 GB logical = 1/1000 of the
        reference's GraySort) across 64 output partitions.
 
@@ -22,6 +22,14 @@ validation runs over the written files (operators/graysort.py
 validate_sorted_files). The input is fingerprinted before the sort and
 deleted right after it so the 25 GB rung fits this VM's disk
 (input + shuffle + output would not fit alongside a second input pass).
+
+``codec`` (disk mode only; default snappy) sets the parquet compression
+for input AND output: the hex-text records compress ~2x, so a stronger
+codec pushes more LOGICAL records through the same disk-bandwidth
+budget — the ladder row that shows where CPU takes over from I/O on a
+single-VM disk (~430 MB/s aggregate). The report includes the physical
+on-disk bytes of input and sorted output so the logical-vs-physical
+ratio (and therefore the bottleneck) is named in the row itself.
 """
 
 from __future__ import annotations
@@ -52,12 +60,22 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000_000
     nump = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     disk = len(sys.argv) > 3 and sys.argv[3] == "disk"
+    codec = sys.argv[4] if len(sys.argv) > 4 else "snappy"
     spark = get_spark("prajna-sort-benchmark")
     spark.sparkContext.setLogLevel("ERROR")
+    in_bytes = out_bytes = -1
 
     if disk:
         import shutil
 
+        def _tree_bytes(path: str) -> int:
+            total = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
         base = os.environ.get("SPARK_GRAFT_SORT_DIR", "/tmp/prajna_sort")
         in_dir = os.path.join(base, "input")
         out_dir = os.path.join(base, "output")
@@ -66,6 +84,7 @@ def main() -> int:
         t0 = time.time()
         gen_records(spark, n).write.mode("overwrite").parquet(in_dir)
         gen_s = time.time() - t0
+        in_bytes = _tree_bytes(in_dir)
         # fingerprint the on-disk input BEFORE sorting so it can be
         # deleted right after the timed pass (disk headroom at 25 GB)
         in_fp = _multiset_fingerprint(spark.read.parquet(in_dir), "key", "payload")
@@ -77,6 +96,7 @@ def main() -> int:
             "overwrite"
         ).parquet(out_dir)
         sort_s = time.time() - t0
+        out_bytes = _tree_bytes(out_dir)
 
         shutil.rmtree(in_dir, ignore_errors=True)
         v = validate_sorted_files(spark, out_dir, in_fp)
@@ -107,6 +127,9 @@ def main() -> int:
         "records": n,
         "record_bytes": RECORD_BYTES,
         "logical_mb": round(n * RECORD_BYTES / 1e6, 1),
+        "codec": codec if disk else None,
+        "input_disk_mb": round(in_bytes / 1e6, 1) if in_bytes >= 0 else None,
+        "output_disk_mb": round(out_bytes / 1e6, 1) if out_bytes >= 0 else None,
         "partitions": nump,
         "gen_sec": round(gen_s, 2),
         "sort_sec": round(sort_s, 2),
