@@ -84,6 +84,27 @@ def scoped_local_checkpoint(
     return c
 
 
+def _release_tolerant(release) -> None:
+    """Blocking release that tolerates CONCURRENT removal.
+
+    Under ``spark.cleaner.periodicGC.interval`` the ContextCleaner can
+    remove the very blocks a scope is releasing, between the blocking
+    ``removeRdd`` RPC's enumeration and its per-block removal — the RPC
+    then fails with "Block rdd_N_M does not exist" and ``awaitResult``
+    rethrows at scope exit, failing a query whose WORK already succeeded
+    (observed live: labelprop at 100x with periodicGC=300s; BASELINE.md
+    round-10 appendix). The end state — blocks gone — is exactly what
+    the scope wanted, so on failure retry non-blocking (async removal;
+    Spark logs-and-ignores its errors) and continue."""
+    try:
+        release(True)
+    except Exception:
+        try:
+            release(False)
+        except Exception:
+            pass
+
+
 @contextmanager
 def persist_scope():
     """Unpersist every scoped_persist and release every
@@ -100,9 +121,11 @@ def persist_scope():
         for df in bag:
             # blocking: scope exit is the deterministic release point —
             # callers rely on storage being back at baseline right after
-            df.unpersist(blocking=True)
+            _release_tolerant(lambda b, d=df: d.unpersist(blocking=b))
         for df in ckpts:
-            release_local_checkpoint(df, blocking=True)
+            _release_tolerant(
+                lambda b, d=df: release_local_checkpoint(d, blocking=b)
+            )
 
 
 def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:

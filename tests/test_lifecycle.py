@@ -123,6 +123,39 @@ def test_iterative_operators_leave_bounded_checkpoints(spark):
     release_local_checkpoint(pr, blocking=True)
 
 
+def test_scope_exit_tolerates_concurrent_removal(spark):
+    """Under periodic GC the ContextCleaner can race scope exit's
+    blocking unpersist ("Block rdd_N_M does not exist" from the
+    removeRdd RPC, observed live at 100x) — a query whose work
+    succeeded must not fail in cleanup. The tolerant release retries
+    non-blocking, then swallows: end state (blocks gone) is what the
+    scope wanted."""
+    from prajna_spark.operators.lifecycle import _release_tolerant
+
+    calls = []
+
+    def racy_release(blocking):
+        calls.append(blocking)
+        if blocking:
+            raise RuntimeError("Block rdd_9_9 does not exist")
+
+    _release_tolerant(racy_release)  # must not raise
+    assert calls == [True, False]
+
+    def always_fails(blocking):
+        calls.append(blocking)
+        raise RuntimeError("gone")
+
+    calls.clear()
+    _release_tolerant(always_fails)  # still must not raise
+    assert calls == [True, False]
+
+    # and the happy path stays blocking-only
+    calls.clear()
+    _release_tolerant(lambda b: calls.append(b))
+    assert calls == [True]
+
+
 def test_scoped_local_checkpoint_blocks_are_serialized(spark):
     # localCheckpoint's JVM default caches DESERIALIZED row objects whose
     # block sizes are only estimated — the 100x kcore OOM (r9). The

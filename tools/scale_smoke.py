@@ -19,6 +19,14 @@ import time
 # pinned one (the 30x graph tier OOMs an 8 GB heap; correctness/bench
 # runs keep their own defaults for round-over-round comparability).
 os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+# Long multi-query sessions accumulate ContextCleaner debt (shuffle
+# scratch competing for page cache/disk): with periodic GC the 100x
+# wedge-family queries run at their SOLO speed in-sequence (triangle
+# 447.6 s -> 136.9 s, clustering 532.9 s -> 269.8 s; BASELINE.md
+# round-10 appendix), so the knob is the default here. persist_scope's
+# tolerant release absorbs the cleaner-vs-scope unpersist race the
+# knob exposes (lifecycle._release_tolerant).
+os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "300s")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
