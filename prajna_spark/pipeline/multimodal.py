@@ -707,12 +707,23 @@ def dhash_hamming_pairs(
     found by LSH-style band blocking — EXACT for the defaults by
     pigeonhole: 4 disjoint 14-bit bands, so any pair differing in <= 3
     bits leaves >= 1 band untouched and meets in that band's bucket.
-    Candidates are bounded by bucket sizes (never all-pairs); the hamming
-    check is one xor+bit_count per candidate, all JVM."""
+
+    The banding runs over DISTINCT hash values, not image rows: band
+    candidates scale with the number of distinct dHashes (tiny — 56-bit
+    perceptual hashes of a corpus cluster heavily), and doc-level pairs
+    are produced only by the final expansion joins, whose size IS the
+    answer's size. The row-level spelling this replaced was measured
+    pair-quadratic at the 100x fixture: 500k synthetic images collapse
+    to 3,274 distinct hashes, so band buckets held up to 52k rows and
+    the candidate bound was sum(bucket^2) = 59.5e9 — a 37 GB shuffle
+    for candidates alone, before the hamming check could drop any
+    (BASELINE.md round-10 appendix). At the distinct-hash level the
+    same banding is 3,274*4 rows. The hamming check stays one
+    xor+bit_count per candidate, all JVM."""
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
-    bands = hashes.select(
-        "doc_id",
+    uniq = hashes.select("dhash").distinct()
+    bands = uniq.select(
         "dhash",
         F.explode(
             F.array(*[F.lit(i) for i in range(n_bands)])
@@ -724,25 +735,47 @@ def dhash_hamming_pairs(
         ),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.dhash") < F.col("b.dhash")),
+        )
+        .select(F.col("a.dhash").alias("ha"), F.col("b.dhash").alias("hb"))
+        .distinct()
+        .where(ham <= max_hamming)
+    )
+    # Expansion to doc pairs: every (doc of ha) x (doc of hb) for
+    # qualifying cross-hash pairs, plus all in-group pairs of each hash
+    # shared by >1 doc (hamming 0). Work from here on is proportional to
+    # the OUTPUT.
+    docs_a = hashes.select(F.col("doc_id").alias("da"), F.col("dhash").alias("ha"))
+    docs_b = hashes.select(F.col("doc_id").alias("db"), F.col("dhash").alias("hb"))
+    cross = (
+        hash_pairs.join(docs_a, "ha")
+        .join(docs_b, "hb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    s1, s2 = hashes.alias("s1"), hashes.alias("s2")
+    same = (
+        s1.join(
+            s2,
+            (F.col("s1.dhash") == F.col("s2.dhash"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col("s1.doc_id").alias("doc_a"),
+            F.col("s2.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
         )
-        .distinct()
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(ham <= max_hamming).select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
-    )
+    return cross.unionByName(same)
 
 
 def sample_frames(
