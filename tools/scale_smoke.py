@@ -6,6 +6,24 @@ OOM. Prints one line per query and a final summary; exit 1 on any
 failure.
 
 Usage: python tools/scale_smoke.py [sf_dir] [name_substring ...]
+                                   [--skip substring ...]
+
+``--skip`` excludes queries whose name contains any of the following
+substrings — for the documented pair-quadratic exclusions (fixture
+artifacts whose candidate set or OUTPUT is quadratic at the scaled
+fixture; BASELINE.md round-8/round-10 adjudications) when sweeping the
+whole catalog. The 100x family, measured r10:
+
+    --skip dedup_connected_components dedup_lsh_verified \
+           dedup_canonical_docs dedup_cluster_size_histogram \
+           image_dhash_hamming_pairs
+
+(the first four all consume the documents-LSH candidate graph, ~1.3e9
+pairs at 100x — dedup_canonical_docs OOM'd a 24 GB heap and took the
+session with it; the fifth's OUTPUT is 4.2e9 pairs. Every OTHER
+documents-dedup query — PPJoin exact join, sorted-neighborhood,
+exact/fingerprint/ngram/decontaminate, entity resolution — is
+measured green at 100x in one session.)
 """
 
 from __future__ import annotations
@@ -37,7 +55,15 @@ from prajna_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prajna_scale/sf1.0"
-    only = sys.argv[2:]
+    rest = sys.argv[2:]
+    only: list[str] = []
+    skip: list[str] = []
+    bucket = only
+    for arg in rest:
+        if arg == "--skip":
+            bucket = skip
+            continue
+        bucket.append(arg)
     spark = get_spark("prajna-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     failed = []
@@ -45,6 +71,9 @@ def main() -> int:
     cat = queries()
     for name, fn in cat.items():
         if only and not any(s in name for s in only):
+            continue
+        if skip and any(s in name for s in skip):
+            print(f"SKIP {name} (--skip)", flush=True)
             continue
         attempted += 1
         t0 = time.time()
