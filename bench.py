@@ -234,11 +234,41 @@ def main() -> None:
     # contention. A run started above the threshold is tagged
     # reference_grade=false in its sidecar and tools/bless_bench.py
     # refuses to bless it.
-    quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD_MAX", "4.0"))
+    raw_quiet = os.environ.get("SPARK_GRAFT_QUIET_LOAD_MAX", "4.0")
     try:
-        load_start = os.getloadavg()[0]
-    except OSError:  # pragma: no cover
-        load_start = -1.0
+        quiet_max = float(raw_quiet)
+    except ValueError:
+        # malformed env var must not kill the whole run (r10 advisory)
+        print(
+            f"bench: ignoring malformed SPARK_GRAFT_QUIET_LOAD_MAX="
+            f"{raw_quiet!r}; using default 4.0",
+            file=sys.stderr,
+        )
+        quiet_max = 4.0
+    # r10 VERDICT item 4: also gate on the 5-minute average (with a 2x
+    # allowance — the machine may legitimately be winding down from a
+    # prior run). The r10 blessing passed at start-1m 1.67 while 5m read
+    # 9.24: the instant was quiet but page cache / disk state was still
+    # settling. When the two averages disagree by >2x, settle and
+    # resample once before stamping.
+    def _sample_load() -> tuple[float, float]:
+        try:
+            l1, l5, _ = os.getloadavg()
+            return l1, l5
+        except OSError:  # pragma: no cover
+            return -1.0, -1.0
+
+    load_start, load_start_5m = _sample_load()
+    settled = False
+    if 0.0 <= load_start <= quiet_max and load_start_5m > 2 * load_start:
+        print(
+            f"bench: 1m/5m loadavg disagree ({load_start:.2f} vs "
+            f"{load_start_5m:.2f}) — settling 60s and resampling",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        load_start, load_start_5m = _sample_load()
+        settled = True
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -369,21 +399,66 @@ def main() -> None:
         # dominates them). reference_grade is what bless_bench.py checks.
         "provenance": {
             "loadavg_start_1m": round(load_start, 2),
+            "loadavg_start_5m": round(load_start_5m, 2),
+            "settled_before_start": settled,
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),
             "quiet_load_max": quiet_max,
-            "reference_grade": 0.0 <= load_start <= quiet_max,
+            # both start averages must be quiet: 1m at the threshold, 5m
+            # at a 2x allowance (winding-down tolerance). bless_bench.py
+            # enforces this stamp.
+            "reference_grade": (
+                0.0 <= load_start <= quiet_max
+                and 0.0 <= load_start_5m <= 2 * quiet_max
+            ),
             "reps": max(1, reps),
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         },
     }
     if not full["provenance"]["reference_grade"]:
         print(
-            f"bench: NOT reference grade — loadavg_1m at start "
-            f"{load_start:.2f} > {quiet_max} (or unreadable); sidecar "
-            f"tagged, bless_bench.py will refuse it",
+            f"bench: NOT reference grade — loadavg at start 1m="
+            f"{load_start:.2f} (max {quiet_max}) 5m={load_start_5m:.2f} "
+            f"(max {2 * quiet_max}); sidecar tagged, bless_bench.py "
+            f"will refuse it",
             file=sys.stderr,
         )
+    # Self-annotate vs the committed quiet reference (r10 VERDICT item 2):
+    # a loaded run (like the driver's r10, started at load 7.15) should
+    # carry its own expected-inflation note instead of reading as a code
+    # regression in the round-over-round table.
+    try:
+        blessed_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+        )
+        with open(blessed_path) as f:
+            blessed = json.load(f)
+        ref_total = blessed.get("value")
+        ref_prov = blessed.get("provenance", {})
+        # only when comparable: same scale factor, not a smoke run
+        if (
+            isinstance(ref_total, (int, float))
+            and ref_total > 0
+            and blessed.get("sf") == sf
+            and smoke == 0
+        ):
+            delta_pct = 100.0 * (total - ref_total) / ref_total
+            print(
+                f"bench: headline {total:.2f}s vs committed quiet "
+                f"reference {ref_total:.2f}s ({delta_pct:+.0f}%); this "
+                f"run start-load 1m={load_start:.2f}/5m="
+                f"{load_start_5m:.2f}, reference start-load "
+                f"1m={ref_prov.get('loadavg_start_1m', '?')} — "
+                + (
+                    "quiet-to-quiet comparable"
+                    if full["provenance"]["reference_grade"]
+                    else "NOT quiet: expect contention inflation, "
+                    "adjudicate regressions via tools/bench_ab.py"
+                ),
+                file=sys.stderr,
+            )
+    except (OSError, ValueError):
+        pass  # no committed reference yet — nothing to annotate
     if smoke == 0:  # don't let a smoke run clobber a real run's sidecar
         try:
             # Untracked path (gitignored): a driver bench run never dirties

@@ -23,10 +23,13 @@ active scope.
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 _ACTIVE: list[list[DataFrame]] = []
 _ACTIVE_CKPT: list[list[DataFrame]] = []
@@ -95,14 +98,29 @@ def _release_tolerant(release) -> None:
     (observed live: labelprop at 100x with periodicGC=300s; BASELINE.md
     round-10 appendix). The end state — blocks gone — is exactly what
     the scope wanted, so on failure retry non-blocking (async removal;
-    Spark logs-and-ignores its errors) and continue."""
+    Spark logs-and-ignores its errors) and continue.
+
+    Only the KNOWN race is downgraded silently: any other blocking
+    failure (dead gateway, leaked handle) still retries non-blocking —
+    best-effort release is the scope's contract either way — but logs a
+    warning with the swallowed exception, so a genuine release failure
+    that leaves storage above baseline has a signal (r10 advisory)."""
     try:
         release(True)
-    except Exception:
+    except Exception as exc:
+        if "does not exist" not in str(exc):
+            _log.warning(
+                "persist_scope: blocking release failed (%r); "
+                "retrying non-blocking", exc,
+            )
         try:
             release(False)
-        except Exception:
-            pass
+        except Exception as exc2:
+            _log.warning(
+                "persist_scope: non-blocking release also failed (%r); "
+                "storage may stay above baseline until ContextCleaner "
+                "acts", exc2,
+            )
 
 
 @contextmanager

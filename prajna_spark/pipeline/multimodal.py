@@ -719,7 +719,17 @@ def dhash_hamming_pairs(
     for candidates alone, before the hamming check could drop any
     (BASELINE.md round-10 appendix). At the distinct-hash level the
     same banding is 3,274*4 rows. The hamming check stays one
-    xor+bit_count per candidate, all JVM."""
+    xor+bit_count per candidate, all JVM.
+
+    Input contract: ``hashes`` must hold ONE row per doc_id (one hash
+    per image), as :func:`image_dhash` produces. The expansion joins
+    emit one output row per qualifying (row, row) pair, so duplicate
+    (doc_id, dhash) rows would emit duplicate pairs — dedup upstream if
+    your source violates this. Self-pairs from a contract-violating
+    multi-hash doc are guarded here (``doc_a != doc_b`` on the cross
+    expansion) because that guard is a free codegen filter; row-level
+    dedup is not (a doc-cardinality shuffle) and stays the caller's
+    job (r10 advisory)."""
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
     uniq = hashes.select("dhash").distinct()
@@ -761,6 +771,7 @@ def dhash_hamming_pairs(
             F.greatest("da", "db").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
+        .where(F.col("doc_a") != F.col("doc_b"))
     )
     s1, s2 = hashes.alias("s1"), hashes.alias("s2")
     same = (

@@ -86,11 +86,18 @@ def drain_to_baseline(
     reference."""
     deadline = time.time() + timeout_sec
     jvm = spark.sparkContext._jvm
+    gauges = ("shuffles_registered", "rdd_blocks", "broadcast_blocks")
     while True:
         jvm.System.gc()
         time.sleep(1.0)
         snap = jvm_state_snapshot(spark)
-        ok = (
+        # An unreadable gauge reads -1, and -1 <= baseline+slack is
+        # trivially true — convergence would be vacuous (r10 advisory).
+        # Unreadable gauges are NOT ok: keep polling (the accessor can be
+        # transiently unreachable mid-cleanup) and let the caller see the
+        # -1 in the timed-out snapshot instead of a fake success.
+        readable = all(snap[g] >= 0 and baseline[g] >= 0 for g in gauges)
+        ok = readable and (
             snap["shuffles_registered"]
             <= baseline["shuffles_registered"] + shuffle_slack
             and snap["rdd_blocks"] <= baseline["rdd_blocks"] + rdd_slack

@@ -247,6 +247,18 @@ def test_hamming_pairs_rejects_unsound_threshold():
         mm.dhash_hamming_pairs(None, n_bands=4, band_bits=14, max_hamming=4)
 
 
+def test_hamming_pairs_no_self_pairs_on_multihash_doc(spark):
+    """A contract-violating input (one doc with TWO nearby hashes) must
+    not emit a doc_a == doc_b self-pair from the cross expansion (r10
+    advisory — the guard is a free codegen filter)."""
+    rows = [(1, 0b1010), (1, 0b1011), (2, 0b1010)]
+    hashes_df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = mm.dhash_hamming_pairs(hashes_df).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in got)
+    # the legitimate cross-doc pairs survive
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(1, 2)}
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     h=st.integers(min_value=0, max_value=(1 << 56) - 1),

@@ -38,7 +38,12 @@ def test_catalog_sequence_returns_jvm_state_to_baseline(spark, sf_dir):
         spark, {"shuffles_registered": 0, "rdd_blocks": 0, "broadcast_blocks": 0},
         timeout_sec=30,
     )
-    assert baseline["shuffles_registered"] >= 0, "probe must be readable"
+    # All three gauges must be readable (>= 0): an unreadable gauge reads
+    # -1 and every -1 <= -1 leak assertion below would pass without
+    # measuring anything (r10 advisory) — the invariant this test pins
+    # would silently become a no-op.
+    for gauge in ("shuffles_registered", "rdd_blocks", "broadcast_blocks"):
+        assert baseline[gauge] >= 0, f"probe gauge {gauge} must be readable"
 
     for name in QUERIES:
         with persist_scope():

@@ -53,9 +53,15 @@ from prajna_spark.queries import queries  # noqa: E402
 from prajna_spark.session import get_spark  # noqa: E402
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prajna_scale/sf1.0"
-    rest = sys.argv[2:]
+def parse_args(argv: list[str]) -> tuple[str, list[str], list[str]]:
+    """(sf_dir, only, skip). The sf_dir positional is optional; a leading
+    ``--skip`` must not be consumed as sf_dir (r10 advisory: `scale_smoke
+    --skip foo` used to sweep dir '--skip' with 'foo' as an include
+    filter). Any other ``--`` argument is rejected loudly."""
+    if argv and not argv[0].startswith("--"):
+        sf_dir, rest = argv[0], argv[1:]
+    else:
+        sf_dir, rest = "/tmp/prajna_scale/sf1.0", argv
     only: list[str] = []
     skip: list[str] = []
     bucket = only
@@ -63,7 +69,14 @@ def main() -> int:
         if arg == "--skip":
             bucket = skip
             continue
+        if arg.startswith("--"):
+            raise SystemExit(f"scale_smoke: unknown flag {arg!r} (only --skip)")
         bucket.append(arg)
+    return sf_dir, only, skip
+
+
+def main() -> int:
+    sf_dir, only, skip = parse_args(sys.argv[1:])
     spark = get_spark("prajna-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     failed = []
