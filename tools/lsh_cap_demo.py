@@ -127,23 +127,23 @@ def _removals(comp: DataFrame, docs: DataFrame) -> DataFrame:
 def recall(spark, sf_dir: str, cap: int) -> int:
     docs = _docs(spark, sf_dir)
     with persist_scope():
+        pairs_u = dedup.lsh_band_pairs(
+            docs, "doc_id", "text", N_HASHES, BAND_SIZE
+        ).persist()
+        pairs_c = dedup.lsh_band_pairs(
+            docs, "doc_id", "text", N_HASHES, BAND_SIZE, max_bucket_size=cap
+        ).persist()
+
         t0 = time.time()
         truth = dedup.verify_pairs_jaccard(
-            docs,
-            dedup.lsh_band_pairs(docs, "doc_id", "text", N_HASHES, BAND_SIZE),
-            threshold=THRESHOLD,
+            docs, pairs_u, threshold=THRESHOLD
         ).persist()
         n_truth = truth.count()
         t_truth = time.time() - t0
 
         t0 = time.time()
         capped = dedup.verify_pairs_jaccard(
-            docs,
-            dedup.lsh_band_pairs(
-                docs, "doc_id", "text", N_HASHES, BAND_SIZE,
-                max_bucket_size=cap,
-            ),
-            threshold=THRESHOLD,
+            docs, pairs_c, threshold=THRESHOLD
         ).persist()
         n_capped = capped.count()
         t_capped = time.time() - t0
@@ -169,13 +169,14 @@ def recall(spark, sf_dir: str, cap: int) -> int:
         print(f"  flagged docs uncapped {n_dup:,}  capped-still-flagged "
               f"{n_dup_kept:,}  doc recall {n_dup_kept/max(n_dup,1):.4f}")
 
-        # (c) removal-decision recall: same CC + canonical rule both sides
+        # (c) removal-decision recall — CC over the RAW pairs (the exact
+        # shape of dedup_canonical_docs) + the same canonical rule
         comp_u = dedup.connected_components(
-            truth, docs.select("doc_id"), id_col="doc_id"
+            pairs_u, docs.select("doc_id"), id_col="doc_id"
         )
         rem_u = _removals(comp_u, docs).persist()
         comp_c = dedup.connected_components(
-            capped, docs.select("doc_id"), id_col="doc_id"
+            pairs_c, docs.select("doc_id"), id_col="doc_id"
         )
         rem_c = _removals(comp_c, docs)
         n_rem = rem_u.count()
@@ -204,9 +205,13 @@ def scale(spark, sf_dir: str, cap: int) -> int:
         print(f"  verified pairs (jaccard>={THRESHOLD}) {n_ver:,} "
               f"[{time.time()-t0:.1f}s]", flush=True)
 
+        # CC over the RAW capped candidates — the exact shape of the four
+        # excluded catalog queries (dedup_connected_components /
+        # canonical_docs / cluster_size_histogram consume unverified LSH
+        # pairs), so their 100x exclusion converts directly
         t0 = time.time()
         comp = dedup.connected_components(
-            verified, docs.select("doc_id"), id_col="doc_id"
+            pairs, docs.select("doc_id"), id_col="doc_id"
         ).persist()
         n_comp = comp.select("component_id").distinct().count()
         print(f"  connected components: {n_comp:,} clusters "
