@@ -27,6 +27,24 @@ LATEST = os.path.join(REPO, "BENCH_full.latest.json")
 BLESSED = os.path.join(REPO, "BENCH_full.json")
 
 
+def is_blessable(prov: dict) -> bool:
+    """The quiet-reference rule: the stamp says reference grade AND both
+    start averages are independently verifiable as quiet (r10 VERDICT
+    item 4 — a sidecar from an older bench.py, which graded on the
+    1-minute average alone, must not bless under the old rule)."""
+    if prov.get("reference_grade") is not True:
+        return False
+    quiet_max = float(prov.get("quiet_load_max", 4.0))
+    start_1m = prov.get("loadavg_start_1m", -1.0)
+    start_5m = prov.get("loadavg_start_5m", -1.0)
+    return (
+        isinstance(start_1m, (int, float))
+        and isinstance(start_5m, (int, float))
+        and 0.0 <= start_1m <= quiet_max
+        and 0.0 <= start_5m <= 2 * quiet_max
+    )
+
+
 def main() -> int:
     force = len(sys.argv) > 1 and sys.argv[1] == "--force"
     if force and len(sys.argv) < 3:
@@ -38,22 +56,7 @@ def main() -> int:
     with open(LATEST) as f:
         full = json.load(f)
     prov = full.get("provenance", {})
-    grade = prov.get("reference_grade")
-    # r10 VERDICT item 4: enforce BOTH start averages here too, not just
-    # the stamp — a sidecar from an older bench.py (which graded on the
-    # 1-minute average alone) must not bless under the old rule.
-    quiet_max = float(prov.get("quiet_load_max", 4.0))
-    start_1m = prov.get("loadavg_start_1m", -1.0)
-    start_5m = prov.get("loadavg_start_5m", -1.0)
-    both_quiet = (
-        isinstance(start_1m, (int, float))
-        and isinstance(start_5m, (int, float))
-        and 0.0 <= start_1m <= quiet_max
-        and 0.0 <= start_5m <= 2 * quiet_max
-    )
-    if grade is True and not both_quiet:
-        grade = False  # stale stamp format or missing 5m sample
-    if grade is not True and not force:
+    if not is_blessable(prov) and not force:
         print(
             "bless_bench: REFUSING — sidecar is not reference grade "
             f"(provenance: {json.dumps(prov)}).\n"
