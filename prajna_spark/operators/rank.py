@@ -37,8 +37,16 @@ def global_ntile(
     global row ordering, including Spark's own window, nondeterministic).
     """
     idx = "__ntile_idx"
-    indexed = zip_with_index(df, order_by=order_by, index_col=idx)
-    cnt = df.agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    # the global count rides zip_with_index's own offsets broadcast
+    # (total_col): no separate count branch. The former df.agg(count)
+    # branch re-inlined the caller's whole upstream subtree into the
+    # analyzed plan once per ntile call — chained ntiles
+    # (rfm_customer_segments: 3 levels) doubled the plan per level, and
+    # Catalyst planning time with it (143 static Exchanges; r11
+    # optimization — now one subtree, zero extra joins or jobs).
+    indexed = zip_with_index(
+        df, order_by=order_by, index_col=idx, total_col="__cnt"
+    )
     # SQL NTILE: q = cnt div n, r = cnt mod n; the first r tiles hold q+1
     # rows, the rest hold q. With a 0-based idx the tile boundary sits at
     # r*(q+1); the q == 0 branch (cnt < n) is fully covered by the first
@@ -53,9 +61,7 @@ def global_ntile(
         + 1
     )
     return (
-        indexed.join(F.broadcast(cnt))
-        .withColumn(tile_col, tile.cast("long"))
-        .drop(idx, "__cnt")
+        indexed.withColumn(tile_col, tile.cast("long")).drop(idx, "__cnt")
     )
 
 

@@ -49,6 +49,7 @@ def zip_with_index(
     order_by: list[str | Column],
     index_col: str = "idx",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add a 0-based ``index_col`` following the total order ``order_by``.
 
@@ -58,6 +59,14 @@ def zip_with_index(
     EstablishCorrelatedMix co-location check, DSetGenerics.fs:113-129).
     The range partitioner honors sort direction, so partition-id order
     follows the requested total order either way.
+
+    ``total_col``: when set, every row additionally carries the GLOBAL
+    row count under that name — computed as one extra window aggregate
+    over the #partitions-row offsets table and delivered by the SAME
+    broadcast join that attaches the offsets. Consumers that need the
+    total (global_ntile's bucket arithmetic) previously ran a separate
+    count branch whose analyzed plan re-inlined the whole upstream
+    subtree per call — chained ntiles doubled the plan per level (r11).
     """
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -77,7 +86,17 @@ def zip_with_index(
     )  # window over #partitions rows only — not a data-sized bottleneck
     offsets = counts.withColumn(
         "__offset", F.coalesce(F.sum("__cnt").over(w_prefix), F.lit(0))
-    ).select("__pid", "__offset")
+    )
+    if total_col is not None:
+        w_all = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(
+            total_col, F.sum("__cnt").over(w_all).cast("long")
+        )
+    offsets = offsets.select(
+        "__pid", "__offset", *([total_col] if total_col is not None else [])
+    )
 
     return (
         local.join(F.broadcast(offsets), "__pid")

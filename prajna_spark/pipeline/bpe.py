@@ -28,7 +28,7 @@ this is north-star LLM-pipeline surface alongside pipeline.vocab.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prajna_spark.operators.lifecycle import scoped_local_checkpoint
@@ -41,69 +41,88 @@ def char_tokens(word) -> F.Column:
     )
 
 
+def merge_tokens(toks: F.Column, la: str, lb: str) -> F.Column:
+    """Greedy-left non-overlapping merge of adjacent (la, lb) inside ONE
+    token array — a pure left fold (``aggregate``), no explode, no
+    window, no shuffle.
+
+    Fold state is (acc, last_merged): merge fires when the last element
+    of acc equals ``la``, the incoming token equals ``lb``, and the last
+    element was not itself produced by a merge in this scan (the
+    non-overlap rule — a consumed right symbol cannot serve as a new
+    left). This is EXACTLY the positional island-parity spelling the
+    previous row-per-token implementation computed (proved equivalent:
+    when la != lb candidates can never be adjacent so every candidate
+    merges; when la == lb the fold's merge-then-skip walk takes every
+    other candidate from each equal-token island start — the same even
+    relative parity), and the r11 pytest property suite plus the DuckDB
+    ladder oracle pin the behavior. Rewritten because the positional
+    spelling cost ~3 word-keyed shuffles of the exploded token frame PER
+    MERGE ROUND (posexplode + 4 windows + re-collect); a merge is a
+    per-row array computation and now costs zero data movement
+    (guide §2.4 / §1.2 step 1)."""
+    merged = F.lit(la + lb)
+    return F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(False).alias("lm"),
+        ),
+        lambda st, x: F.when(
+            (~st["lm"])
+            & (F.size(st["acc"]) > 0)
+            & (F.element_at(st["acc"], -1) == F.lit(la))
+            & (x == F.lit(lb)),
+            F.struct(
+                F.concat(
+                    F.slice(st["acc"], 1, F.size(st["acc"]) - 1),
+                    F.array(merged),
+                ).alias("acc"),
+                F.lit(True).alias("lm"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(st["acc"], F.array(x)).alias("acc"),
+                F.lit(False).alias("lm"),
+            )
+        ),
+        lambda st: st["acc"],
+    )
+
+
 def merge_pair(corpus: DataFrame, la: str, lb: str) -> DataFrame:
     """Apply ONE greedy-left merge of (la, lb) to a (word, freq, toks)
-    frame — the positional spelling (see module docstring)."""
-    t = corpus.select(
-        "word",
-        "freq",
-        F.posexplode("toks").alias("pos0", "t"),
-    ).withColumn("pos", F.col("pos0") + 1)
-    w_ord = Window.partitionBy("word").orderBy("pos")
-    t = t.withColumn("nxt", F.lead("t").over(w_ord)).withColumn(
-        "__isl",
-        F.col("pos")
-        - F.row_number().over(
-            Window.partitionBy("word", "t").orderBy("pos")
-        ),
-    )
-    t = t.withColumn(
-        "__istart",
-        F.min("pos").over(Window.partitionBy("word", "t", "__isl")),
-    )
-    cand = (F.col("t") == la) & (F.col("nxt") == lb)
-    if la == lb:
-        taken = cand & ((F.col("pos") - F.col("__istart")) % 2 == 0)
-    else:
-        taken = cand
-    t = t.withColumn("__taken", taken).withColumn(
-        "__prev_taken",
-        F.coalesce(F.lag("__taken").over(w_ord), F.lit(False)),
-    )
-    out = t.select(
-        "word",
-        "freq",
-        "pos",
-        F.when(F.col("__taken"), F.lit(la + lb))
-        .when(F.col("__prev_taken"), F.lit(None))
-        .otherwise(F.col("t"))
-        .alias("tok"),
-    ).where(F.col("tok").isNotNull())
-    return out.groupBy("word", "freq").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-            lambda s: s["tok"],
-        ).alias("toks")
+    frame — a single map-side projection (see :func:`merge_tokens`)."""
+    return corpus.select(
+        "word", "freq", merge_tokens(F.col("toks"), la, lb).alias("toks")
     )
 
 
 def _top_pair(corpus: DataFrame):
     """Most frequent adjacent pair (freq-weighted), ties to smallest
-    (left, right). Returns a one-row list or []."""
-    t = corpus.select(
-        "word", "freq", F.posexplode("toks").alias("pos", "t")
-    )
-    nxt = t.select(
-        F.col("word").alias("w2"),
-        (F.col("pos") - 1).alias("p2"),
-        F.col("t").alias("t2"),
+    (left, right). Returns a one-row list or [].
+
+    Adjacent pairs are zipped out of each word's token array MAP-SIDE
+    (slice+zip_with) — the previous spelling posexploded to token rows
+    and self-joined on (word, pos), an extra word-keyed shuffle of the
+    whole exploded frame per round for what is a per-row computation.
+    The only shuffle left is the pair-keyed count, map-side-combined to
+    distinct pairs per partition."""
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = corpus.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n1),
+                F.slice("toks", 2, n1),
+                lambda x, y: F.struct(x.alias("left"), y.alias("right")),
+            )
+        ).alias("p"),
     )
     return (
-        t.join(
-            nxt,
-            (F.col("w2") == F.col("word")) & (F.col("p2") == F.col("pos")),
+        pairs.groupBy(
+            F.col("p.left").alias("left"), F.col("p.right").alias("right")
         )
-        .groupBy(F.col("t").alias("left"), F.col("t2").alias("right"))
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), "left", "right")
         .limit(1)

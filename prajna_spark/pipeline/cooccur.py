@@ -82,33 +82,53 @@ def item_similarity_topk(
     (sim desc, neighbor asc) tie-break. Returns
     (item, neighbor, c_pair, c_item, c_neighbor, sim, rk).
     """
-    from prajna_spark.operators.lifecycle import scoped_persist
+    from prajna_spark.operators.lifecycle import scoped_local_checkpoint
 
-    capped = scoped_persist(capped_baskets(items, basket_col, item_col, cap))
-    pairs = item_pair_counts(capped, basket_col, item_col)
+    # checkpointed EAGERLY (not lazily persisted): the self-join below
+    # reads the capped frame on BOTH sides, and lazy persist let the two
+    # join-input stages race to populate the cache — the whole
+    # window+shuffle subtree executed twice (measured r11: the two
+    # duplicate 12.5 MB-write stages in the profile). An eager
+    # materialization costs one small job and both sides then read the
+    # stored partitions.
+    capped = scoped_local_checkpoint(
+        capped_baskets(items, basket_col, item_col, cap)
+    )
+    # symmetric pair counts in ONE pass: the former spelling unioned the
+    # (i < j) pair aggregate with its flipped copy, which ran the basket
+    # self-join + aggregation TWICE (both union branches). Counting both
+    # orientations directly doubles the join's output rows but halves
+    # the number of joins/aggregations — identical total volume, one
+    # pass (guide §2.4). Map-side partial aggregation bounds the shuffle
+    # at distinct-pairs per map partition either way.
+    a = capped.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item")
+    )
+    b = capped.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("neighbor")
+    )
+    sym = (
+        a.join(b, "_b")
+        .where(F.col("item") != F.col("neighbor"))
+        .groupBy("item", "neighbor")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ij"))
+    )
     freq = capped.groupBy(item_col).agg(
         F.count(F.lit(1)).cast("long").alias("_ci")
     )
-    sym = pairs.select(
-        F.col("item_i").alias("item"),
-        F.col("item_j").alias("neighbor"),
-        "c_ij",
-    ).unionByName(
-        pairs.select(
-            F.col("item_j").alias("item"),
-            F.col("item_i").alias("neighbor"),
-            "c_ij",
-        )
-    )
+    # join order is deliberate: neighbor-keyed lookup FIRST, item-keyed
+    # lookup second — the final window partitions by item, so the last
+    # join's hash partitioning on item satisfies the window's clustering
+    # and the plan needs no third pair-cardinality exchange.
     scored = (
-        sym.join(freq.withColumnRenamed(item_col, "item"), "item")
-        .withColumnRenamed("_ci", "c_item")
-        .join(
+        sym.join(
             freq.select(
                 F.col(item_col).alias("neighbor"), F.col("_ci").alias("c_neighbor")
             ),
             "neighbor",
         )
+        .join(freq.withColumnRenamed(item_col, "item"), "item")
+        .withColumnRenamed("_ci", "c_item")
         .select(
             "item",
             "neighbor",

@@ -185,16 +185,16 @@ def _sqdist_fold(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(
-    emb: DataFrame,
-    codebook: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    err_decimals: int = 6,
-) -> DataFrame:
-    """Map-only PQ encode: (id, codes array<long> of length m,
-    recon_err). The codebook is folded into literal expressions, so the
-    plan is ONE projection — no join, no shuffle, any corpus size."""
+def pq_code_columns(
+    codebook: list[list[list[float]]], vec_col: str = "embedding"
+) -> tuple[Column, Column]:
+    """The PQ encode as pure COLUMN EXPRESSIONS ``(codes, err)`` over
+    ``vec_col`` — codes is array<long> of length m, err the unrounded
+    reconstruction error. Map-only by construction, so consumers that
+    need codes NEXT TO other per-vector columns project them in place
+    instead of joining :func:`pq_encode`'s output back against the
+    corpus (that join was a full corpus self-shuffle for what is a
+    per-row expression — r11 optimization, guide §2.4)."""
     m = len(codebook)
     sub_dim = len(codebook[0][0])
     v = F.col(vec_col).cast("array<double>")
@@ -208,9 +208,24 @@ def pq_encode(
         # first index of the min == lowest-code tie-break
         codes.append((F.array_position(dists, best) - 1).cast("long"))
         err = best if err is None else err + best
+    assert err is not None
+    return F.array(*codes), err
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_decimals: int = 6,
+) -> DataFrame:
+    """Map-only PQ encode: (id, codes array<long> of length m,
+    recon_err). The codebook is folded into literal expressions, so the
+    plan is ONE projection — no join, no shuffle, any corpus size."""
+    codes, err = pq_code_columns(codebook, vec_col)
     return emb.select(
         F.col(id_col),
-        F.array(*codes).alias("codes"),
+        codes.alias("codes"),
         pround(err, err_decimals).alias("recon_err"),
     )
 
@@ -255,15 +270,15 @@ def pq_adc_recall(
     pair frame is |queries| * N with narrow payloads."""
     from pyspark.sql import Window
 
-    m = len(codebook)
-    sub_dim = len(codebook[0][0])
-    enc = pq_encode(emb, codebook, id_col, vec_col)
-    cand = (
-        emb.select(
-            F.col(id_col).alias("cand_id"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-        )
-        .join(enc.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+    codes_col, _ = pq_code_columns(codebook, vec_col)
+    # codes are a per-row expression — project them next to the full
+    # vector instead of joining pq_encode's output back on id (that was
+    # a corpus-sized self-join for a map-only computation; same rows,
+    # since id_col is unique)
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        codes_col.alias("codes"),
     )
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
@@ -349,10 +364,14 @@ def ivf_pq_search(
         F.array_position(cell_dists, F.array_min(cell_dists)).cast("int"),
     ).cast("long")
 
-    enc = pq_encode(emb, codebook, id_col, vec_col)
-    indexed = (
-        emb.select(F.col(id_col).alias("cand_id"), cell.alias("cell"))
-        .join(enc.select(F.col(id_col).alias("cand_id"), "codes"), "cand_id")
+    codes_col, _ = pq_code_columns(codebook, vec_col)
+    # cell id and codes are both per-row expressions — one projection,
+    # no corpus self-join (id_col unique, so rows are identical to the
+    # former pq_encode join)
+    indexed = emb.select(
+        F.col(id_col).alias("cand_id"),
+        cell.alias("cell"),
+        codes_col.alias("codes"),
     )
 
     # per-query probe list: nprobe nearest cells by the same coarse metric

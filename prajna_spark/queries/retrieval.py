@@ -582,7 +582,13 @@ def recommend_parts_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = item_similarity_topk(
         li, "l_orderkey", "l_partkey", cap=16, k=5, sim_decimals=6
     ).select("item", "neighbor", "sim")
-    owned = (
+    from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+
+    # owned feeds BOTH the candidate join and the freshness anti-join;
+    # checkpoint eagerly so the orders⋈lineitem+distinct subtree runs
+    # once instead of once per consumer (r11; the lazy-persist cache
+    # races when both consumers' stages launch concurrently)
+    owned = scoped_local_checkpoint(
         orders.select(F.col("o_custkey").alias("cust"), "o_orderkey")
         .join(
             li.select("l_orderkey", F.col("l_partkey").alias("item")),
