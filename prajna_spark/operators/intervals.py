@@ -115,14 +115,25 @@ def max_concurrency(
     join-back is null-safe).
     """
     valid = df.where(F.col(start_col).isNotNull())
-    starts = valid.select(*keys, F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    ends = valid.select(
+    # both boundaries of every interval in ONE pass: the former
+    # starts/ends union put the (often join-derived) input under both
+    # branches, executing it twice (r11; same fix as operators.symmetry)
+    boundaries = valid.select(
         *keys,
-        F.coalesce(F.col(end_col), F.lit(_OPEN_SENTINEL)).alias("t"),
-        F.lit(-1).alias("d"),
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    F.coalesce(F.col(end_col), F.lit(_OPEN_SENTINEL)).alias(
+                        "t"
+                    ),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(*keys, F.col("__b.t").alias("t"), F.col("__b.d").alias("d"))
     net = (
-        starts.unionByName(ends)
+        boundaries
         .groupBy(*keys, "t")
         .agg(F.sum("d").cast("long").alias("net"))
     )

@@ -24,7 +24,7 @@ convergence promise, and identical on both engines by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,13 +41,17 @@ def label_propagation(
         scoped_local_checkpoint,
     )
 
+    from prajna_spark.operators.symmetry import symmetrize
+
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
     und = e.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
-    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # one-pass symmetrization: the union spelling ran the caller's edge
+    # derivation + distinct twice inside this checkpoint job (r11)
+    sym = symmetrize(und, "a", "b")
     sym = sym.transform(scoped_local_checkpoint)
 
     labels = (
@@ -56,16 +60,22 @@ def label_propagation(
         .select("nid", F.col("nid").alias("lbl"))
         .transform(scoped_local_checkpoint)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
     for _ in range(n_iter):
         nbr = sym.join(
             labels.hint("SHUFFLE_HASH"), sym.b == labels.nid
         ).select(F.col("a").alias("node"), "lbl")
         counts = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # per-node argmax as a hash AGGREGATE, not a window: min_by over
+        # the (-count, label) composite realizes the same
+        # (count desc, label asc) tie-break, partial-aggregates map-side,
+        # and skips the window's per-partition sort (r11)
         nxt = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("node").alias("nid"), "lbl")
+            counts.groupBy(F.col("node").alias("nid"))
+            .agg(
+                F.min_by(
+                    "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("lbl")
+            )
             .transform(scoped_local_checkpoint)
         )
         release_local_checkpoint(labels)

@@ -23,14 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from prajna_spark.operators.lifecycle import scoped_local_checkpoint, scoped_persist
+from prajna_spark.operators.lifecycle import scoped_local_checkpoint
 
 
 def _oriented(edges: DataFrame, src_col: str, dst_col: str):
     """Shared machinery: returns (und, deg, ranks, o) — deduped
     undirected edges (a < b), per-node degrees, the dense (degree, id)
     node ranking, and the degree-ordered oriented edge set in RANK SPACE:
-    ``o(s, t)`` with s < t both dense ranks. und scope-persisted.
+    ``o(s, t)`` with s < t both dense ranks. und eagerly checkpointed.
 
     Rank space is a deliberate physical choice: the total order
     (degree, id) is materialized ONCE as a single long per node
@@ -43,19 +43,22 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str):
     adjacency stage dominated by InterpretedOrdering.<init> /
     PhysicalStructType.forSchema), a cost that is invisible at sf0.1
     and devours the stage at scale."""
+    from prajna_spark.operators.symmetry import symmetrize
     from prajna_spark.operators.zipindex import zip_with_index
 
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
-    # persisted: consumed by deg, the orientation join, and n_edges —
-    # without this the upstream edge derivation (often itself a join)
-    # re-executes once per consumer
-    und = scoped_persist(
+    # checkpointed EAGERLY: consumed by deg, the orientation join, and
+    # n_edges — and the first consumer used to arrive through the
+    # two-branch symmetrizing union, whose map tasks raced to populate a
+    # lazy persist and computed the exploding upstream join + distinct
+    # twice (r11). One materialization job; every consumer reads blocks.
+    und = scoped_local_checkpoint(
         e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()
     )
-    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = symmetrize(und, "a", "b")
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
 
     # dense rank following (degree, id); (d, a) is unique per node so the
@@ -127,8 +130,10 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     Returns one row ``(n_edges, n_triangles)`` where n_edges counts
     undirected edges."""
     und, _, _, o = _oriented(edges, src_col, dst_col)
-    # persisted: both sides of the closing join read the adjacency
-    tri = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
+    # checkpointed eagerly: both sides of the closing join read the
+    # adjacency, and a lazy persist lets their map stages race to
+    # compute it twice (r11)
+    tri = _triangle_rows(scoped_local_checkpoint(_wedge_adjacency(o)))
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_tri = tri.agg(
         F.coalesce(F.sum(F.size("tri")), F.lit(0)).cast("long").alias("n_triangles")
@@ -156,8 +161,9 @@ def clustering_coefficients(
     3x(#triangles)-bounded rows, partial-aggregated map-side. The
     coefficient is one integer-fed IEEE division — oracle-exact."""
     und, deg, ranks, o = _oriented(edges, src_col, dst_col)
-    # persisted: both sides of the closing join read the adjacency
-    trows = _triangle_rows(scoped_persist(_wedge_adjacency(o)))
+    # checkpointed eagerly: both sides of the closing join read the
+    # adjacency (see triangle_count)
+    trows = _triangle_rows(scoped_local_checkpoint(_wedge_adjacency(o)))
     n = F.size("tri")
     corners = trows.select(
         F.explode(
@@ -222,8 +228,12 @@ def k_core(
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
+    from prajna_spark.operators.symmetry import symmetrize
+
     und = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
-    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # one-pass symmetrization: the union spelling ran the caller's edge
+    # derivation + distinct twice inside this checkpoint job (r11)
+    sym = symmetrize(und, "a", "b")
     sym = sym.transform(scoped_local_checkpoint)
 
     survivors = (
@@ -236,14 +246,19 @@ def k_core(
     n_prev = survivors.count()  # the ONLY count() job; rounds use observe()
     for _ in range(max_rounds):
         keep = survivors.select("nid")
+        # b-side survivor filter FIRST, a-side second: the degree count
+        # below groups by a, so the last semi-join's hash partitioning
+        # on a satisfies the aggregation's clustering and the plan needs
+        # no third edge-cardinality exchange per round (r11; semi-joins
+        # are filters, so the order cannot change the result)
         restricted = (
             sym.join(
-                keep.hint("SHUFFLE_HASH"), sym.a == keep.nid, "left_semi"
-            )
-            .join(
                 keep.withColumnRenamed("nid", "__n").hint("SHUFFLE_HASH"),
                 F.col("b") == F.col("__n"),
                 "left_semi",
+            )
+            .join(
+                keep.hint("SHUFFLE_HASH"), F.col("a") == keep.nid, "left_semi"
             )
         )
         obs = Observation()

@@ -53,8 +53,16 @@ def nb_train(
     Materializing the full vocab x class grid keeps scoring a single
     left join (absent pair == unseen == default_ll, coalesced there).
     """
-    wc = _doc_word_counts(train, [label_col], text_col).withColumnRenamed(
-        label_col, "label"
+    from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+
+    # checkpointed eagerly: the (label, word, n) counts feed
+    # tokens_per_label, the vocab, AND the likelihood grid join — without
+    # materialization the exploding tokenization + aggregation ran once
+    # per consumer (r11; 23 static shuffles down to the model algebra)
+    wc = scoped_local_checkpoint(
+        _doc_word_counts(train, [label_col], text_col).withColumnRenamed(
+            label_col, "label"
+        )
     )
     tokens_per_label = wc.groupBy("label").agg(F.sum("n").alias("t_l"))
     vocab = wc.select("word").distinct()
@@ -89,7 +97,10 @@ def nb_train(
             ),
         )
     )
-    return word_ll, class_stats
+    # n_classes rows, but its lineage re-runs two train-table aggregates
+    # per consumer and nb_predict broadcasts it twice — one trivial
+    # materialization job ends that (r11)
+    return word_ll, scoped_local_checkpoint(class_stats)
 
 
 def nb_predict(

@@ -418,11 +418,16 @@ def connected_components(
     Returns (id_col, component_id) for EVERY node; singletons map to
     themselves.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from prajna_spark.operators.symmetry import symmetrize
 
+    # one-pass symmetrization: the union spelling executed the caller's
+    # candidate-pair derivation (often a whole LSH pipeline) twice inside
+    # this checkpoint job (r11)
+    e = symmetrize(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+        "dst",
+    )
     e = e.transform(scoped_local_checkpoint)
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")

@@ -8,10 +8,9 @@ classic cheap perplexity filter).
   under the add-k-smoothed bigram model
   ``P(w2|w1) = (c12 + k) / (c1 + k*V)``.
 
-Scale shapes: tokens explode once; bigrams come from a per-document
-``lead`` window (document-sized partitions — never global); every join
-keys on the narrow (w1, w2) / w1 token strings with map-side-combined
-counts. Cross-engine exactness: counts are integers, the smoothed
+Scale shapes: bigrams are zipped map-side out of each document's token
+array (no explode-then-window, no doc-keyed shuffle); every join keys on
+the narrow (w1, w2) / w1 token strings with map-side-combined counts. Cross-engine exactness: counts are integers, the smoothed
 probability is one IEEE division, ``ln`` is libm-identical — only the
 per-document sum order varies (rounded by the caller).
 
@@ -21,24 +20,32 @@ declared Spark-native north-star addition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from prajna_spark.operators.lifecycle import scoped_persist
+from prajna_spark.operators.lifecycle import scoped_local_checkpoint
 from prajna_spark.pipeline.textqa import tokens
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) for every adjacent token pair in each document."""
-    tok = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    return (
-        tok.withColumn("w2", F.lead("w1").over(w))
-        .where(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
-    )
+    """(id, w1, w2) for every adjacent token pair in each document —
+    zipped MAP-SIDE out of each doc's token array (slice + zip_with).
+    The former spelling posexploded to token rows and ran a lead window,
+    which shuffled the whole exploded token frame by doc id for what is
+    a per-row computation (r11; same rewrite as the BPE pair counter).
+    Docs with < 2 tokens produce no rows, as before."""
+    tk = tokens(F.col(text_col))
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, n1),
+                F.slice(tk, 2, n1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
 
 
 def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
@@ -48,7 +55,10 @@ def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sum over w2 of P(w2|w1) is exactly 1 under add-k smoothing.
     ``vocab_size_df`` is a one-row frame (distinct token count) meant to
     be consumed via a broadcast cross join — never collected."""
-    bigrams = scoped_persist(_doc_bigrams(docs, id_col, text_col))
+    # eager checkpoint: the bigram stream feeds c12, c1, AND the scoring
+    # join's probe side in ONE job — a lazy persist let those branches
+    # race to compute the tokenization up to three times (r11)
+    bigrams = scoped_local_checkpoint(_doc_bigrams(docs, id_col, text_col))
     c12 = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from prajna_spark.functions.rounding import R
 from prajna_spark.operators.pagerank import pagerank
+from prajna_spark.operators.symmetry import symmetrize
 from prajna_spark.queries import query
 from prajna_spark.session import scale_shuffle_partitions, tune
 from prajna_spark.sources import load_table
@@ -81,9 +82,9 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    edges = pe.unionAll(
-        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # one-pass symmetrization (r11): the union spelling ran the distinct
+    # twice inside the operator's edge-checkpoint job
+    edges = symmetrize(pe, "src", "dst")
     return pagerank(edges, n_iter=_N_ITER, round_decimals=_DEC).select(
         "node_id", "pr"
     )
@@ -130,9 +131,7 @@ def bfs_hops_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    edges = pe.unionAll(
-        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = symmetrize(pe, "src", "dst")
     seeds = (
         load_table(spark, "supplier", sf_dir)
         .where(F.col("s_nationkey") == 0)
@@ -288,10 +287,11 @@ def sssp_supplier_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("p_nid"),
         (F.col("l_suppkey") * 2 + 1).alias("s_nid"),
     ).agg(F.min("l_extendedprice").alias("w"))
-    edges = pe.select(
-        F.col("p_nid").alias("src"), F.col("s_nid").alias("dst"), "w"
-    ).unionAll(
-        pe.select(F.col("s_nid").alias("src"), F.col("p_nid").alias("dst"), "w")
+    edges = symmetrize(
+        pe.select(F.col("p_nid").alias("src"), F.col("s_nid").alias("dst"), "w"),
+        "src",
+        "dst",
+        extra=["w"],
     )
     seeds = (
         load_table(spark, "supplier", sf_dir)
@@ -499,8 +499,8 @@ def modularity_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = scoped_persist(edges)
         labels = scoped_persist(label_propagation(edges, "u", "v", n_iter=4))
         m = edges.agg(F.count(F.lit(1)).alias("mm"))
-        sym = edges.select(F.col("u").alias("nid")).unionAll(
-            edges.select(F.col("v").alias("nid"))
+        sym = edges.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("nid")
         )
         deg = sym.groupBy("nid").agg(F.count(F.lit(1)).alias("d"))
         dsum = (

@@ -1023,15 +1023,24 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     side when it is small), and corpus totals ride a one-row broadcast.
     At 100 TB the shuffles carry (term) and (w1, w2) count rows only,
     never text."""
-    from prajna_spark.operators.lifecycle import scoped_persist
+    from prajna_spark.operators.lifecycle import (
+        scoped_local_checkpoint,
+        scoped_persist,
+    )
 
     tune(spark)
     docs = load_table(spark, "documents", sf_dir)
     # ONE tokenize pass, for real: unigram counts, bigram counts, and the
-    # two totals all read this frame — without the persist each branch
-    # re-scans and re-tokenizes the corpus (4 scans measured in PLANS.md)
-    toks = scoped_persist(docs.select(textqa.tokens(F.col("text")).alias("tk")))
-    uni = (
+    # two totals all read this frame — eagerly checkpointed (r11: lazy
+    # persist let concurrent branch stages race to tokenize; eager
+    # materialization is one job and every branch reads stored blocks)
+    toks = scoped_local_checkpoint(
+        docs.select(textqa.tokens(F.col("text")).alias("tk"))
+    )
+    # the count tables each feed the totals broadcast AND the scoring
+    # join — persist so the explode+aggregate runs once per table (the
+    # totals job populates the cache before the final join job reads it)
+    uni = scoped_persist(
         toks.select(F.explode("tk").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1054,6 +1063,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
     )
+    big = scoped_persist(big)
     tot = uni.agg(F.sum("c").cast("double").alias("t_tok")).crossJoin(
         big.agg(F.sum("n_pair").cast("double").alias("t_pair"))
     )
@@ -1470,10 +1480,10 @@ def bigram_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus's own
     add-k-smoothed bigram model (pipeline.lm.score_documents) — the
     classic cheap perplexity filter: improbable-transition documents are
-    boilerplate/noise candidates. Bigrams come from a per-document lead
-    window (document-sized partitions, never global); the model joins
-    key on narrow token strings with map-combined counts; V is a one-row
-    broadcast."""
+    boilerplate/noise candidates. Bigrams are zipped map-side out of
+    each doc's token array (no explode-then-window shuffle; r11); the
+    model joins key on narrow token strings with map-combined counts; V
+    is a one-row broadcast."""
     from prajna_spark.pipeline.lm import score_documents
 
     tune(spark)
@@ -1530,8 +1540,19 @@ def lsh_stream_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    q = start_incremental_lsh(docs, f"{base}/index", f"{base}/ckpt")
-    q.awaitTermination()
+    import os as _os
+
+    from prajna_spark.streaming.statestore import (
+        parquet_row_estimate,
+        scale_state_partitions,
+    )
+
+    est = parquet_row_estimate(_os.path.join(sf_dir, "documents.parquet"))
+    # input-derived shuffle partitioning for the drain (r11): see
+    # dedup_stream_watermark
+    with scale_state_partitions(spark, est):
+        q = start_incremental_lsh(docs, f"{base}/index", f"{base}/ckpt")
+        q.awaitTermination()
     queries_df = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 25)
     return search_lsh_index(spark, f"{base}/index", queries_df)
 

@@ -1226,11 +1226,21 @@ def kmv_stream_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_readstream(spark, sf_dir).select(
         F.col("ts").cast("long").alias("t"), "event_type", "user_id"
     )
-    q = start_incremental_kmv(
-        ev, "t", ["event_type"], "user_id", 3600,
-        f"{base}/store", f"{base}/ckpt", k=64, seed="kmv1",
+    import os as _os
+
+    from prajna_spark.streaming.statestore import (
+        parquet_row_estimate,
+        scale_state_partitions,
     )
-    q.awaitTermination()
+
+    est = parquet_row_estimate(_os.path.join(sf_dir, "events.parquet"))
+    # input-derived state partitioning (r11): see dedup_stream_watermark
+    with scale_state_partitions(spark, est):
+        q = start_incremental_kmv(
+            ev, "t", ["event_type"], "user_id", 3600,
+            f"{base}/store", f"{base}/ckpt", k=64, seed="kmv1",
+        )
+        q.awaitTermination()
     out = distinct_from_store(spark, f"{base}/store", ["event_type"], [3600, 86400])
     return out.where(F.col("resolution") == 86400).select(
         "event_type", "epoch_start", "n_kept", "approx_distinct"
@@ -1405,15 +1415,25 @@ def cusum_stream_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("x"),
     )
     name = f"cusum_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        cusum_stream(ev, slack=60, threshold=500)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    import os as _os
+
+    from prajna_spark.streaming.statestore import (
+        parquet_row_estimate,
+        scale_state_partitions,
     )
-    q.awaitTermination()
+
+    est = parquet_row_estimate(_os.path.join(sf_dir, "events.parquet"))
+    # input-derived state partitioning (r11): see dedup_stream_watermark
+    with scale_state_partitions(spark, est):
+        q = (
+            cusum_stream(ev, slack=60, threshold=500)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("k").alias("event_type"),
         F.col("t").alias("epoch_sec"),
@@ -1679,6 +1699,7 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.streaming.statestore import (
         auto_state_provider,
         parquet_row_estimate,
+        scale_state_partitions,
     )
     from prajna_spark.streaming.telemetry import events_readstream
 
@@ -1691,7 +1712,10 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("CAST(ts AS LONG) div 3600") * 3600).alias("epoch_hour"),
     )
     est = parquet_row_estimate(os.path.join(sf_dir, "events.parquet"))
-    with auto_state_provider(spark, est):
+    # state partitions derived from input size (r11): streaming has no
+    # AQE coalescing, so the drain otherwise commits 32 near-empty
+    # stores per batch at small scale and too few at 100 TB
+    with auto_state_provider(spark, est), scale_state_partitions(spark, est):
         q = start_watermark_dedup(
             ev, "ts", ["user_id", "event_type", "epoch_hour"],
             f"{base}/store", f"{base}/ckpt",
