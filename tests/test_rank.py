@@ -58,16 +58,12 @@ def test_global_dense_rank_matches_window(spark):
 
 
 def test_rank_data_path_stays_distributed(spark):
-    # No unpartitioned data-sized window: the data path enters through
-    # zipindex's eagerly materialized range-partitioned checkpoint (a
-    # multi-partition RDD scan leaf — r11 moved the range exchange inside
-    # the checkpoint materialization, so it no longer appears in the
-    # returned plan), and the only unpartitioned window in the plan
-    # orders the #partitions-row offsets side table by __pid.
+    # No unpartitioned data-sized window: the only windows in the plan are
+    # PARTITIONed BY __pid (zipindex internals) or over tiny side tables.
     df = spark.range(10_000).select(F.col("id").alias("k"))
     out = global_ntile(df, ["k"], 4, "tile")
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
-    assert "scan existingrdd" in plan
+    assert "rangepartitioning" in plan
     assert "windowspecdefinition(__pid" in plan
     # the materialized index frame kept the cluster parallelism — the
     # single-partition funnel Spark's own global ntile would build is

@@ -31,18 +31,16 @@ def test_composite_order_key(spark):
 
 def test_data_path_stays_distributed(spark):
     # The whole point vs row_number() OVER (ORDER BY ...): the DATA-sized
-    # work must not funnel through one partition. The data path enters
-    # through the eagerly materialized range-partitioned checkpoint (r11
-    # moved the range exchange inside the materialization, so the
-    # returned plan shows the multi-partition RDD scan leaf instead),
-    # and the only unpartitioned window orders the #partitions-row
-    # offsets side table by __pid.
+    # work must not funnel through one partition. The plan's only
+    # SinglePartition exchange is the offsets branch, which carries exactly
+    # #partitions count rows; the data path is range-partitioned and its
+    # window is PARTITIONed BY __pid.
     df = spark.range(10_000).select(F.col("id").alias("x"))
     out = zip_with_index(df, ["x"], "idx", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
-    assert "scan existingrdd" in plan  # checkpointed data leaf
+    assert "rangepartitioning" in plan  # distributed sort of the data
     assert "windowspecdefinition(__pid" in plan  # data window is per-partition
-    # the materialized frame kept the requested distributed layout — a
+    # the frame keeps the requested distributed layout — a
     # single-partition funnel can never come back silently
     assert out.rdd.getNumPartitions() == 8
     # partition-id order follows key order: idx is globally correct
