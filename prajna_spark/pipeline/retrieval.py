@@ -121,8 +121,15 @@ def bm25_scores(
     term)``. Postings are pruned to query terms FIRST (broadcast hash
     join on the tiny query side), so document frequency and scoring
     aggregate only postings that can contribute."""
-    pruned = postings.join(
-        F.broadcast(query_terms.select("term").distinct()), "term"
+    # persisted: the pruned postings feed BOTH the document-frequency
+    # broadcast build and the scoring join — the df job materializes the
+    # cache (full-partition consumption), the scoring job reads blocks,
+    # so the postings aggregation runs once instead of once per consumer
+    # (r11)
+    pruned = scoped_persist(
+        postings.join(
+            F.broadcast(query_terms.select("term").distinct()), "term"
+        )
     )
     dfreq = pruned.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")

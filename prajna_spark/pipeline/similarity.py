@@ -157,6 +157,28 @@ def ivf_assign(
     scan — no shuffle. This builds the IVF inverted lists; at 100 TB you
     would persist the assignment partitioned BY centroid_id so probes
     touch only matching files."""
+    return _ivf_assign_carry(vectors, centroids, id_col, vec_col, sim_decimals, carry=False)
+
+
+def _ivf_assign_carry(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+    carry: bool = True,
+) -> DataFrame:
+    """Assignment argmax as a map-side-combined ``max_by`` AGGREGATE over
+    the broadcast-expanded (vector x centroid) rows — ordering by
+    (rounded sim, -centroid_id) realizes exactly the former
+    (sim desc, centroid_id asc) row_number tie-break, with integer
+    negation (exact; requires numeric centroid ids, true of every
+    caller). The former window spelling shuffled K x corpus rows — WITH
+    both vector payloads — and sorted them, for a per-vector argmax; the
+    aggregate partial-combines to one row per vector per map partition
+    (r11, guide §2.3/§2.4). ``carry=True`` additionally carries the
+    vector and its norm through the argmax (constant per group), so
+    knn_ivf needs no corpus self-join to re-attach them."""
     c = with_norm(
         centroids.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
@@ -164,10 +186,7 @@ def ivf_assign(
         "centroid_vec",
         "__cn",
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("centroid_id")
-    )
-    return (
+    expanded = (
         with_norm(vectors.select(id_col, vec_col), vec_col, "__vn")
         .crossJoin(F.broadcast(c))
         .withColumn(
@@ -179,9 +198,17 @@ def ivf_assign(
                 sim_decimals,
             ),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "centroid_id")
+    )
+    best = F.max_by(
+        "centroid_id",
+        F.struct(F.col("__sim"), (-F.col("centroid_id")).alias("__nc")),
+    ).alias("centroid_id")
+    if not carry:
+        return expanded.groupBy(id_col).agg(best)
+    return expanded.groupBy(id_col).agg(
+        best,
+        F.first(vec_col).alias(vec_col),
+        F.first("__vn").alias("__vn"),
     )
 
 
@@ -205,14 +232,17 @@ def knn_ivf(
     higher nprobe -> higher recall. Centroid selection here is
     deterministic seed-vectors; production swaps in k-means centers
     without touching the query plan."""
-    assign = ivf_assign(vectors, centroids, id_col, vec_col, sim_decimals)
-    inv = with_norm(
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        ),
-        "c_vec",
-        "c_norm",
-    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    # the assignment argmax CARRIES each vector + norm through the
+    # aggregate, so the inverted lists need no corpus self-join to
+    # re-attach them (r11; was vectors ⋈ assign on id)
+    inv = _ivf_assign_carry(
+        vectors, centroids, id_col, vec_col, sim_decimals
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__vn").alias("c_norm"),
+        "centroid_id",
+    )
 
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
@@ -621,7 +651,13 @@ def semdedup_survivors(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
+    from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+
+    # checkpointed eagerly: the assignment feeds BOTH sides of the
+    # in-cell self-join AND the survivor anti-join — without
+    # materialization the crossJoin+argmax ran once per consumer, with
+    # the self-join's two map stages racing a lazy cache (r11)
+    assigned = scoped_local_checkpoint(
         v.crossJoin(F.broadcast(cents))
         .withColumn("__d2", d2)
         .groupBy("__id")

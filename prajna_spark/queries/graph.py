@@ -82,9 +82,16 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    # one-pass symmetrization (r11): the union spelling ran the distinct
-    # twice inside the operator's edge-checkpoint job
-    edges = symmetrize(pe, "src", "dst")
+    # union symmetrization KEPT here, deliberately (r11): the explode
+    # spelling (operators.symmetry, a win for bfs/sssp: 0.77x/0.62x A/B)
+    # measured 1.23x SLOWER for pagerank twice in interleaved min-of-7
+    # A/Bs — pagerank re-reads the edge checkpoint in every one of its
+    # per-iteration jobs, and the union's two-branch layout leaves the
+    # checkpoint with 2x the partitions, which this operator's
+    # iteration-heavy consumption pattern prefers
+    edges = pe.unionAll(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     return pagerank(edges, n_iter=_N_ITER, round_decimals=_DEC).select(
         "node_id", "pr"
     )
