@@ -60,11 +60,20 @@ def srp_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """SRP-LSH bucket id in [0, 2^n_planes): bit j set iff dot(v, h_j) > 0."""
+    """SRP-LSH bucket id in [0, 2^n_planes): bit j set iff dot(v, h_j) > 0.
+
+    Each hyperplane rides in as ``from_json`` over one string literal
+    rather than a dim-wide CreateArray of literal nodes — the optimizer
+    constant-folds it to the identical array literal (±1.0 round-trips
+    JSON exactly) and the analyzed tree drops from n_planes*dim literal
+    nodes to n_planes, cutting per-run driver planning cost (same
+    rewrite as pq._lit_vecs; guide §7.3)."""
+    import json as _json
+
     v = _as_double(vec)
     bucket = F.lit(0)
     for j, plane in enumerate(srp_hyperplanes(dim, n_planes)):
-        h = F.array(*[F.lit(x) for x in plane])
+        h = F.from_json(F.lit(_json.dumps(plane)), "array<double>")
         bucket = bucket + F.when(dot(v, h) > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket.cast("long")
 
