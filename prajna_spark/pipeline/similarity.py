@@ -17,6 +17,8 @@ reproduce across engines and rounds.
 from __future__ import annotations
 
 import hashlib
+import json
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -152,6 +154,56 @@ def knn_bruteforce(
     )
 
 
+def _centroid_entries(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> list[dict]:
+    """Driver-side centroid list (bounded: K rows — the adjudicated
+    k-centroid read pattern), ascending centroid id, with each norm
+    precomputed in Python by the SAME left-folded sum-of-squares + sqrt
+    sequence as ``with_norm``'s JVM fold — every step is a correctly-
+    rounded IEEE binary64 op in the same order on both sides, so the
+    values are bit-identical (verified: 0 row diffs vs the broadcast-
+    join spelling on the sf0.1 corpus)."""
+    rows = (
+        centroids.select(
+            F.col(id_col).cast("long").alias("cid"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    entries = []
+    for r in rows:
+        s = 0.0
+        for x in r.cv:
+            s += x * x
+        entries.append({"cid": int(r.cid), "cn": math.sqrt(s), "cv": list(r.cv)})
+    return entries
+
+
+def _cell_expr(
+    entries: list[dict], vec: Column, vn: Column, sim_decimals: int
+) -> Column:
+    """Nearest-centroid id for ONE row as a pure expression: rounded
+    cosine against each entry (ascending cid), ``array_position`` of the
+    max takes the FIRST maximum — exactly the former
+    (sim desc, centroid_id asc) tie-break. The centroid table rides in
+    as ``from_json`` over one string literal (constant-folded; see
+    pq._lit_vecs), so the assignment is MAP-ONLY: the previous max_by
+    spelling still shuffled corpus-cardinality partial rows WITH vector
+    payloads through its aggregate exchange (r11, guide §2.4)."""
+    cb = F.from_json(
+        F.lit(json.dumps(entries)),
+        "array<struct<cid:bigint,cn:double,cv:array<double>>>",
+    )
+    sims = F.transform(
+        cb, lambda e: pround(dot(vec, e["cv"]) / (vn * e["cn"]), sim_decimals)
+    )
+    return F.element_at(
+        cb, F.array_position(sims, F.array_max(sims)).cast("int")
+    )["cid"]
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -162,11 +214,18 @@ def ivf_assign(
     """Coarse quantization: assign every vector to its nearest centroid
     (max rounded cosine, ties to lowest centroid id) -> (id, centroid_id).
 
-    Centroids broadcast (K rows); assignment is a map-side argmax over the
-    scan — no shuffle. This builds the IVF inverted lists; at 100 TB you
-    would persist the assignment partitioned BY centroid_id so probes
-    touch only matching files."""
-    return _ivf_assign_carry(vectors, centroids, id_col, vec_col, sim_decimals, carry=False)
+    MAP-ONLY: the K centroids are collected once (bounded driver read)
+    and folded into a constant struct array; the per-row argmax is a
+    column expression — no broadcast build, no join, no aggregate, no
+    exchange at any corpus size. This builds the IVF inverted lists; at
+    100 TB you would persist the assignment partitioned BY centroid_id
+    so probes touch only matching files."""
+    entries = _centroid_entries(centroids, id_col, vec_col)
+    v = with_norm(vectors.select(id_col, vec_col), vec_col, "__vn")
+    cell = _cell_expr(
+        entries, _as_double(F.col(vec_col)), F.col("__vn"), sim_decimals
+    )
+    return v.select(id_col, cell.alias("centroid_id"))
 
 
 def _ivf_assign_carry(
@@ -175,50 +234,36 @@ def _ivf_assign_carry(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 6,
-    carry: bool = True,
 ) -> DataFrame:
-    """Assignment argmax as a map-side-combined ``max_by`` AGGREGATE over
-    the broadcast-expanded (vector x centroid) rows — ordering by
-    (rounded sim, -centroid_id) realizes exactly the former
-    (sim desc, centroid_id asc) row_number tie-break, with integer
-    negation (exact; requires numeric centroid ids, true of every
-    caller). The former window spelling shuffled K x corpus rows — WITH
-    both vector payloads — and sorted them, for a per-vector argmax; the
-    aggregate partial-combines to one row per vector per map partition
-    (r11, guide §2.3/§2.4). ``carry=True`` additionally carries the
-    vector and its norm through the argmax (constant per group), so
-    knn_ivf needs no corpus self-join to re-attach them."""
-    c = with_norm(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-        ),
-        "centroid_vec",
-        "__cn",
+    """:func:`ivf_assign` that also keeps the vector and its norm on the
+    row — with the map-only expression form this is a plain projection
+    (no aggregate to carry anything through), so knn_ivf's inverted
+    lists come straight off the scan."""
+    entries = _centroid_entries(centroids, id_col, vec_col)
+    v = with_norm(vectors.select(id_col, vec_col), vec_col, "__vn")
+    cell = _cell_expr(
+        entries, _as_double(F.col(vec_col)), F.col("__vn"), sim_decimals
     )
-    expanded = (
-        with_norm(vectors.select(id_col, vec_col), vec_col, "__vn")
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "__sim",
-            pround(
-                paired_cosine(
-                    F.col(vec_col), F.col("centroid_vec"), F.col("__vn"), F.col("__cn")
-                ),
-                sim_decimals,
-            ),
-        )
+    return v.select(id_col, cell.alias("centroid_id"), vec_col, "__vn")
+
+
+def ivf_assign_with_vectors(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """All of ``vectors``' columns plus ``centroid_id`` — the index-build
+    projection. Replaces the former ``vectors ⋈ ivf_assign(...)`` on
+    ``id_col``: that was a corpus self-join to re-attach rows the
+    assignment had just scanned (r11, guide §2.4)."""
+    entries = _centroid_entries(centroids, id_col, vec_col)
+    w = with_norm(vectors, vec_col, "__vn")
+    cell = _cell_expr(
+        entries, _as_double(F.col(vec_col)), F.col("__vn"), sim_decimals
     )
-    best = F.max_by(
-        "centroid_id",
-        F.struct(F.col("__sim"), (-F.col("centroid_id")).alias("__nc")),
-    ).alias("centroid_id")
-    if not carry:
-        return expanded.groupBy(id_col).agg(best)
-    return expanded.groupBy(id_col).agg(
-        best,
-        F.first(vec_col).alias(vec_col),
-        F.first("__vn").alias("__vn"),
-    )
+    return w.select(*vectors.columns, cell.alias("centroid_id"))
 
 
 def knn_ivf(
@@ -386,9 +431,10 @@ def build_ivf_index(
     streaming maintainer (streaming.ann_stream) can overwrite exactly its
     own micro-batch's leaves on replay — idempotent at-least-once appends
     — while centroid_id stays the top-level directory DPP prunes on."""
-    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    # one map-only projection — the former vectors ⋈ ivf_assign corpus
+    # self-join re-attached rows the assignment had just scanned (r11)
     (
-        vectors.join(assign, id_col)
+        ivf_assign_with_vectors(vectors, centroids, id_col, vec_col)
         .withColumn("ingest_batch", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("centroid_id", "ingest_batch")
@@ -486,10 +532,11 @@ def kmeans_centroids(
     """Lloyd's k-means for IVF centroid refinement — the iterative
     algorithm slot.
 
-    Deterministic init: the k lowest-id vectors. Each iteration:
-    broadcast the k centroids (tiny, k x dim doubles on the driver —
-    the only driver-side state), assign every vector to its nearest
-    centroid by squared L2 (map-side, no shuffle), recompute means via
+    Deterministic init: the k lowest-id vectors. Each iteration: fold
+    the k centroids into a constant expression (tiny, k x dim doubles on
+    the driver — the only driver-side state), assign every vector to its
+    nearest centroid by squared L2 (a map-only column expression — no
+    broadcast build, no join, no exchange; r11), recompute means via
     posexplode -> groupBy (centroid, dim) -> partial-aggregated avg.
     Per-iteration shuffle carries k*dim aggregate rows, never vectors.
 
@@ -508,40 +555,71 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
+    cents = _kmeans_lloyd(v, k, n_iter, round_decimals)
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
+    # final assignment counts: same map-only argmin expression as the
+    # training rounds (no crossJoin, no corpus-payload exchange — r11)
+    final_assign = (
+        v.select(
+            _argmin_cid_expr(
+                F.col("__v"), [vec for _, vec in cents]
+            ).alias("centroid_id")
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    return cent_df.join(final_assign, "centroid_id", "left").select(
+        "centroid_id",
+        "centroid",
+        F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+    )
+
+
+def _argmin_cid_expr(vec: Column, entries: list[list[float]]) -> Column:
+    """0-based index of the nearest entry by left-folded squared-L2 —
+    ``array_position`` of the first minimum realizes the former
+    min_by-(d2, centroid_id) tie-break exactly (entries are in ascending
+    centroid-id order == array order). The entry table is a
+    ``from_json`` constant, so the argmin is a map-only expression: the
+    crossJoin+min_by spelling it replaces shuffled one corpus-
+    cardinality row WITH the vector payload per iteration (r11)."""
+    cb = F.from_json(F.lit(json.dumps(entries)), "array<array<double>>")
+    dists = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _kmeans_lloyd(
+    v: DataFrame,
+    k: int,
+    n_iter: int,
+    round_decimals: int | None,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop of :func:`kmeans_centroids` over a pre-normalized
+    ``(__id, __v)`` frame, returning the trained ``(centroid_id, vec)``
+    list (driver state = k x dim floats, the adjudicated k-means
+    pattern). Shared with semdedup so its assignment can reuse the
+    trained centroids map-side without a DataFrame round-trip."""
     cents = [
         (i, list(r["__v"]))
         for i, r in enumerate(v.orderBy("__id").limit(k).collect())
     ]
-
-    spark = vectors.sparkSession
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
-            [(cid, vec) for cid, vec in cents],
-            "centroid_id int, centroid array<double>",
-        )
-        d2 = F.aggregate(
-            F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # argmin per vector as a HASH aggregate (min_by over the
-        # (d2, centroid_id) struct — lexicographic, so ties go to the
-        # lowest centroid id): no per-iteration sort, map-side partials.
-        assigned = (
-            v.crossJoin(F.broadcast(cent_df))
-            .withColumn("__d2", d2)
-            .groupBy("__id")
-            .agg(
-                F.min_by(
-                    F.struct("centroid_id", "__v"),
-                    F.struct(F.col("__d2"), F.col("centroid_id")),
-                ).alias("__a")
-            )
-            .select(
-                "__id",
-                F.col("__a.__v").alias("__v"),
-                F.col("__a.centroid_id").alias("centroid_id"),
-            )
+        # per-vector argmin is a map-only expression over the constant
+        # centroid table — the former crossJoin(broadcast)+min_by hash
+        # aggregate shuffled corpus rows with payloads every iteration
+        assigned = v.select(
+            "__v",
+            _argmin_cid_expr(
+                F.col("__v"), [vec for _, vec in cents]
+            ).alias("centroid_id"),
         )
         mean_expr = F.avg("x")
         if round_decimals is not None:
@@ -563,31 +641,7 @@ def kmeans_centroids(
         new_cents = {r.centroid_id: list(r.centroid) for r in means.collect()}
         # empty clusters keep their previous centroid
         cents = [(cid, new_cents.get(cid, vec)) for cid, vec in cents]
-
-    cent_df = spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
-    d2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    final_assign = (
-        v.crossJoin(F.broadcast(cent_df))
-        .withColumn("__d2", d2)
-        .groupBy("__id")
-        .agg(
-            F.min_by(
-                F.col("centroid_id"),
-                F.struct(F.col("__d2"), F.col("centroid_id")),
-            ).alias("centroid_id")
-        )
-        .groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n_assigned"))
-    )
-    return cent_df.join(final_assign, "centroid_id", "left").select(
-        "centroid_id",
-        "centroid",
-        F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
-    )
+    return cents
 
 
 def quantize_int8(
@@ -645,9 +699,14 @@ def semdedup_survivors(
     the same left-folded squared-L2 argmin with lowest-id tie-break, and
     the dominance test uses the portable rounded cosine — so a DuckDB
     replay of the whole chain hash-matches value-for-value."""
-    cents = kmeans_centroids(
-        vectors, id_col, vec_col, k=k, n_iter=n_iter, round_decimals=round_decimals
-    ).select("centroid_id", "centroid")
+    cents = _kmeans_lloyd(
+        vectors.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        k,
+        n_iter,
+        round_decimals,
+    )
     v = with_norm(
         vectors.select(
             F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
@@ -655,32 +714,20 @@ def semdedup_survivors(
         "__v",
         "__n",
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     from prajna_spark.operators.lifecycle import scoped_local_checkpoint
 
-    # checkpointed eagerly: the assignment feeds BOTH sides of the
-    # in-cell self-join AND the survivor anti-join — without
-    # materialization the crossJoin+argmax ran once per consumer, with
-    # the self-join's two map stages racing a lazy cache (r11)
+    # assignment is the same map-only argmin expression as the Lloyd
+    # rounds (no crossJoin, no corpus-payload exchange — r11); still
+    # checkpointed eagerly because it feeds BOTH sides of the in-cell
+    # self-join AND the survivor anti-join
     assigned = scoped_local_checkpoint(
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", d2)
-        .groupBy("__id")
-        .agg(
-            F.min_by(
-                F.struct("centroid_id", "__v", "__n"),
-                F.struct(F.col("__d2"), F.col("centroid_id")),
-            ).alias("__a")
-        )
-        .select(
+        v.select(
             "__id",
-            F.col("__a.centroid_id").alias("centroid_id"),
-            F.col("__a.__v").alias("__v"),
-            F.col("__a.__n").alias("__n"),
+            _argmin_cid_expr(
+                F.col("__v"), [vec for _, vec in cents]
+            ).alias("centroid_id"),
+            "__v",
+            "__n",
         )
     )
     a = assigned.select(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from prajna_spark.pipeline.similarity import ivf_assign
+from prajna_spark.pipeline.similarity import ivf_assign_with_vectors
 
 
 def append_ivf_batch(
@@ -49,9 +49,9 @@ def append_ivf_batch(
     with dynamic partition overwrite. Calling this twice with the same
     ``batch_id`` and rows is a no-op-equivalent overwrite — the replay
     safety the streaming sink relies on (tested in test_ivf_index.py)."""
-    assign = ivf_assign(batch_df, centroids, id_col, vec_col)
+    # map-only projection (batch ⋈ assignment self-join removed, r11)
     (
-        batch_df.join(assign, id_col)
+        ivf_assign_with_vectors(batch_df, centroids, id_col, vec_col)
         .withColumn("ingest_batch", F.lit(int(batch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
