@@ -83,18 +83,23 @@ def pq_codebook_trained(
 
     All ``m`` subspaces train JOINTLY — one pass per iteration over the
     exploded (vec, subspace, sub-vector) frame instead of m separate
-    k-means runs: assignment is a broadcast join on the subspace id +
-    a min_by hash aggregate (map-side partials, no sort), and the only
-    shuffle carries m*k*sub_dim mean cells. Driver state is the
-    m*k*sub_dim codebook floats — at 100 TB the corpus never leaves the
-    executors and per-iteration cost is one scan + one narrow shuffle.
+    k-means runs. Assignment is a MAP-ONLY column expression: the whole
+    codebook rides in as one ``from_json`` constant indexed by subspace,
+    and ``array_position(dists, array_min(dists))`` realizes the former
+    min_by (d2, cid) tie-break exactly (entries ascend by code id). The
+    broadcast-join spelling it replaces expanded every sub-vector row
+    k-fold and shuffled the whole exploded corpus — WITH sub-vector
+    payloads — through its argmin aggregate each iteration (r11, guide
+    §2.4); now the only shuffle per iteration carries partial-aggregated
+    mean cells. Driver state is the m*k*sub_dim codebook floats — at
+    100 TB the corpus never leaves the executors and per-iteration cost
+    is one scan + one narrow shuffle.
     """
     sub = dim // m
     seed = pq_codebook(emb, id_col, vec_col, dim, m, k)
     # tiny corpora (< k vectors) seed fewer entries; train what exists —
     # the same graceful degradation as kmeans_centroids
     k = min(k, len(seed[0]))
-    spark = emb.sparkSession
 
     v = emb.select(
         F.col(id_col).alias("__id"),
@@ -116,12 +121,7 @@ def pq_codebook_trained(
     ).select("__id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
     from prajna_spark.operators.lifecycle import persist_scope, scoped_persist
 
-    flat = [(s, c, list(seed[s][c])) for s in range(m) for c in range(k)]
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    book = [[list(seed[s][c]) for c in range(k)] for s in range(m)]
     # the function owns the exploded frame's cache lifetime: every
     # consumer (the n_iter training scans) finishes before return and the
     # result is driver-side floats, so relying on the CALLER's
@@ -130,18 +130,21 @@ def pq_codebook_trained(
     with persist_scope():
         sv = scoped_persist(sv)  # n_iter scans of the exploded frame
         for _ in range(n_iter):
-            cb_df = spark.createDataFrame(flat, "s int, cid int, c array<double>")
-            assigned = (
-                sv.join(F.broadcast(cb_df), "s")
-                .withColumn("__d2", d2)
-                .groupBy("__id", "s")
-                .agg(
-                    F.min_by(
-                        F.struct("cid", "sv"),
-                        F.struct(F.col("__d2"), F.col("cid")),
-                    ).alias("__a")
-                )
-                .select("s", F.col("__a.cid").alias("cid"), F.col("__a.sv").alias("sv"))
+            # map-only argmin: book[s] rides in as element_at of ONE
+            # from_json constant; first minimum == min_by (d2, cid)
+            cb = F.from_json(
+                F.lit(json.dumps(book)), "array<array<array<double>>>"
+            )
+            dists = F.transform(
+                F.element_at(cb, F.col("s") + 1),
+                lambda e: _sqdist_fold(F.col("sv"), e),
+            )
+            assigned = sv.select(
+                "s",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cid"),
+                "sv",
             )
             means = (
                 assigned.select("s", "cid", F.posexplode("sv").alias("dim", "x"))
@@ -156,11 +159,10 @@ def pq_codebook_trained(
                 )
             )
             new = {(r.s, r.cid): list(r.c) for r in means.collect()}
-            flat = [(s, c, new.get((s, c), prev)) for s, c, prev in flat]
+            for s in range(m):
+                for c in range(k):
+                    book[s][c] = new.get((s, c), book[s][c])
 
-    book: list[list[list[float]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
-    for s, c, entry in flat:
-        book[s][c] = entry
     return book
 
 
