@@ -83,6 +83,18 @@ def rolling_distinct(
     if window < 1:
         raise ValueError("window must be >= 1")
     pairs = events.select(*key_cols, entity_col, bucket_col).distinct()
+    # AQE right-sizes the dedup's output for its BYTES (a few MB -> one
+    # reducer), but the very next operator multiplies rows `window`-fold:
+    # the explode then runs inside that single coalesced task (measured:
+    # 2.2 s serial stage writing 24 MB while 31 cores idle). Re-spread
+    # the deduped pairs first; the partition count scales with the
+    # INPUT's scan parallelism (which maxPartitionBytes derives from
+    # bytes), not with a local core constant (guide §2.5).
+    n_spread = max(
+        events.sparkSession.sparkContext.defaultParallelism,
+        events.rdd.getNumPartitions(),
+    )
+    pairs = pairs.repartition(n_spread, entity_col)
     targets = (
         pairs.select(
             *key_cols,

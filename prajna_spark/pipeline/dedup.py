@@ -706,9 +706,18 @@ def jaccard_similarity_join(
     # SHUFFLE_HASH: the ranked vocabulary is one row per DISTINCT SHINGLE
     # — it grows with the corpus (billions at 100 TB), so broadcasting it
     # is the same driver-collect ceiling verify_pairs_jaccard hit at 30x
+    # explicit-count repartition: AQE sizes the join output for its BYTES
+    # and coalesced the per-doc window sort to ONE task (measured: 0.8 s
+    # serial each time the subtree runs, while the count scales with the
+    # input's scan parallelism, not a core constant — r11, guide §2.5)
+    n_spread = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.rdd.getNumPartitions(),
+    )
     prefix = (
         sets.select("__sid", "__sz", F.explode("__ss").alias("sh"))
         .join(ranked.hint("SHUFFLE_HASH"), "sh")
+        .repartition(n_spread, "__sid")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
         .select("sh", "__sid", "__sz")
