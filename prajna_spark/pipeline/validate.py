@@ -68,6 +68,13 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     cols = columns or df.columns
     if not cols:
         raise ValueError("no columns to profile")
+    from prajna_spark.operators.fanout import fan_out
+
+    # the multi-distinct rewrite EXPANDS every row (columns+1)-fold and
+    # hashes high-cardinality distinct keys map-side — on a single-split
+    # table that all ran in one task (measured: 1.7 s serial stage);
+    # conditional spread, no-op on a many-split table (r11, guide §2.5)
+    df = fan_out(df)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

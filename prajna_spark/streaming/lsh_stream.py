@@ -48,7 +48,14 @@ def append_lsh_batch(
     their own leaves — replay-safe. Empty batches are a no-op."""
     if batch_df.isEmpty():
         return
-    rows = lsh_band_rows(batch_df, id_col, text_col, n_hashes, band_size)
+    from prajna_spark.operators.fanout import fan_out
+
+    # same serial-map-side spread as append_text_batch: the minhash
+    # signature arithmetic is the expensive per-row work and a
+    # small-file micro-batch scans as one split (r11, guide §2.5)
+    rows = lsh_band_rows(
+        fan_out(batch_df), id_col, text_col, n_hashes, band_size
+    )
     (
         rows.withColumn("bucket", F.pmod(F.hash("band_id", "band_val"), F.lit(n_buckets)))
         .withColumn("ingest_batch", F.lit(int(batch_id)))

@@ -57,7 +57,14 @@ def append_text_batch(
     writing their stats rows would just accumulate junk leaves)."""
     if batch_df.isEmpty():
         return
-    p = doc_postings(batch_df, id_col, text_col).withColumn(
+    from prajna_spark.operators.fanout import fan_out
+
+    # a small-file micro-batch arrives as ONE split and the tokenize +
+    # explode below is the expensive map side — spread the raw rows
+    # first (measured: the postings build ran as a 2.5 s single task;
+    # conditional, so a many-split batch at scale is untouched — r11,
+    # guide §2.5)
+    p = doc_postings(fan_out(batch_df), id_col, text_col).withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
     )
     (
