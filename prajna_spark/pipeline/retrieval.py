@@ -44,7 +44,15 @@ def doc_postings(
 ) -> DataFrame:
     """Inverted postings ``(doc_id, term, tf, dl)`` in ONE pass: tokenize,
     attach the document length, explode, count per (doc, term). ``dl``
-    rides the explode so no second join against a lengths table is needed."""
+    rides the explode so no second join against a lengths table is needed.
+
+    The tokenize+explode is the expensive map side and a single-file
+    corpus scans as ONE split — spread the raw rows first (conditional:
+    a many-split table at scale, or an upstream that already
+    repartitioned, is untouched — r11, guide §2.5)."""
+    from prajna_spark.operators.fanout import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         textqa.tokens(F.col(text_col)).alias("toks"),

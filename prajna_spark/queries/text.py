@@ -717,7 +717,12 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and no sort (a row_number window would sort every
     partition); filters run BEFORE the shuffle so rejected docs never
     move. This is the curation job a 100 TB corpus runs nightly."""
-    docs = _docs(spark, sf_dir)
+    from prajna_spark.operators.fanout import fan_out
+
+    # the fingerprint + quality regex work is the expensive map side and
+    # a single-file corpus scans as one split (measured: 0.77 s serial
+    # stage); conditional spread, no-op at scale (r11, guide §2.5)
+    docs = fan_out(_docs(spark, sf_dir))
     t = F.col("text")
     scored = docs.select(
         "doc_id",
