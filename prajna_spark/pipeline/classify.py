@@ -55,12 +55,16 @@ def nb_train(
     """
     from prajna_spark.operators.lifecycle import scoped_local_checkpoint
 
+    from prajna_spark.operators.fanout import fan_out
+
     # checkpointed eagerly: the (label, word, n) counts feed
     # tokens_per_label, the vocab, AND the likelihood grid join — without
     # materialization the exploding tokenization + aggregation ran once
-    # per consumer (r11; 23 static shuffles down to the model algebra)
+    # per consumer (r11; 23 static shuffles down to the model algebra).
+    # fan_out first: a single-split corpus tokenized serially inside the
+    # cut (conditional no-op at scale; r11, guide §2.5)
     wc = scoped_local_checkpoint(
-        _doc_word_counts(train, [label_col], text_col).withColumnRenamed(
+        _doc_word_counts(fan_out(train), [label_col], text_col).withColumnRenamed(
             label_col, "label"
         )
     )

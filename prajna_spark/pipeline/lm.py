@@ -55,6 +55,12 @@ def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sum over w2 of P(w2|w1) is exactly 1 under add-k smoothing.
     ``vocab_size_df`` is a one-row frame (distinct token count) meant to
     be consumed via a broadcast cross join — never collected."""
+    from prajna_spark.operators.fanout import fan_out
+
+    # single-split corpora tokenize serially — spread the raw rows
+    # before the map-heavy bigram zip and the vocab explode (conditional
+    # no-op on many-split tables at scale; r11, guide §2.5)
+    docs = fan_out(docs)
     # eager checkpoint: the bigram stream feeds c12, c1, AND the scoring
     # join's probe side in ONE job — a lazy persist let those branches
     # race to compute the tokenization up to three times (r11)

@@ -1039,8 +1039,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two totals all read this frame — eagerly checkpointed (r11: lazy
     # persist let concurrent branch stages race to tokenize; eager
     # materialization is one job and every branch reads stored blocks)
+    from prajna_spark.operators.fanout import fan_out
+
+    # fan_out first: the single-split corpus tokenized serially inside
+    # the cut (conditional no-op at scale; r11, guide §2.5)
     toks = scoped_local_checkpoint(
-        docs.select(textqa.tokens(F.col("text")).alias("tk"))
+        fan_out(docs).select(textqa.tokens(F.col("text")).alias("tk"))
     )
     # the count tables each feed the totals broadcast AND the scoring
     # join — persist so the explode+aggregate runs once per table (the
