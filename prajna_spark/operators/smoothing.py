@@ -89,10 +89,14 @@ def rolling_distinct(
     # 2.2 s serial stage writing 24 MB while 31 cores idle). Re-spread
     # the deduped pairs first; the partition count scales with the
     # INPUT's scan parallelism (which maxPartitionBytes derives from
-    # bytes), not with a local core constant (guide §2.5).
+    # bytes), not with a local core constant (guide §2.5). The guarded
+    # read returns None on a post-shuffle caller frame instead of
+    # eagerly materializing query stages (r11 VERDICT item 8).
+    from prajna_spark.operators.fanout import scan_partition_count
+
     n_spread = max(
         events.sparkSession.sparkContext.defaultParallelism,
-        events.rdd.getNumPartitions(),
+        scan_partition_count(events) or 0,
     )
     pairs = pairs.repartition(n_spread, entity_col)
     targets = (

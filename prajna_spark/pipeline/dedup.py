@@ -710,9 +710,13 @@ def jaccard_similarity_join(
     # and coalesced the per-doc window sort to ONE task (measured: 0.8 s
     # serial each time the subtree runs, while the count scales with the
     # input's scan parallelism, not a core constant — r11, guide §2.5)
+    # guarded partition read: a post-shuffle caller frame returns None
+    # instead of eagerly materializing query stages (r11 VERDICT item 8)
+    from prajna_spark.operators.fanout import scan_partition_count
+
     n_spread = max(
         docs.sparkSession.sparkContext.defaultParallelism,
-        docs.rdd.getNumPartitions(),
+        scan_partition_count(docs) or 0,
     )
     prefix = (
         sets.select("__sid", "__sz", F.explode("__ss").alias("sh"))

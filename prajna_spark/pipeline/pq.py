@@ -133,7 +133,8 @@ def pq_codebook_trained(
             # map-only argmin: book[s] rides in as element_at of ONE
             # from_json constant; first minimum == min_by (d2, cid)
             cb = F.from_json(
-                F.lit(json.dumps(book)), "array<array<array<double>>>"
+                F.lit(json.dumps(book, allow_nan=False)),
+                "array<array<array<double>>>",
             )
             dists = F.transform(
                 F.element_at(cb, F.col("s") + 1),
@@ -179,8 +180,13 @@ def _lit_vecs(entries: list[list[float]]) -> Column:
     array literal, so executors see the identical value: Python ``repr``
     emits shortest-round-trip decimals and JVM ``parseDouble`` is
     correctly rounded, hence bit-exact doubles (verified: 0 mismatched
-    rows against the CreateArray spelling)."""
-    return F.from_json(F.lit(json.dumps(entries)), "array<array<double>>")
+    rows against the CreateArray spelling). allow_nan=False: a non-finite
+    codebook value would emit a NaN/Infinity token that PERMISSIVE
+    from_json nulls out silently (whole constant -> null) — fail fast at
+    expression-build time instead (ADVICE r11)."""
+    return F.from_json(
+        F.lit(json.dumps(entries, allow_nan=False)), "array<array<double>>"
+    )
 
 
 def _sqdist_fold(a: Column, b: Column) -> Column:

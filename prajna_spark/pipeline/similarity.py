@@ -75,7 +75,13 @@ def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     v = _as_double(vec)
     bucket = F.lit(0)
     for j, plane in enumerate(srp_hyperplanes(dim, n_planes)):
-        h = F.from_json(F.lit(_json.dumps(plane)), "array<double>")
+        # allow_nan=False: non-finite floats would serialize as the
+        # non-standard NaN/Infinity tokens, which Spark's PERMISSIVE
+        # from_json nulls out SILENTLY (whole constant -> null) — fail
+        # fast at build time instead (ADVICE r11)
+        h = F.from_json(
+            F.lit(_json.dumps(plane, allow_nan=False)), "array<double>"
+        )
         bucket = bucket + F.when(dot(v, h) > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket.cast("long")
 
@@ -192,8 +198,11 @@ def _cell_expr(
     pq._lit_vecs), so the assignment is MAP-ONLY: the previous max_by
     spelling still shuffled corpus-cardinality partial rows WITH vector
     payloads through its aggregate exchange (r11, guide §2.4)."""
+    # allow_nan=False: a non-finite centroid value would otherwise emit
+    # a NaN/Infinity token that PERMISSIVE from_json nulls out silently
+    # (every row would get a null centroid_id) — fail fast (ADVICE r11)
     cb = F.from_json(
-        F.lit(json.dumps(entries)),
+        F.lit(json.dumps(entries, allow_nan=False)),
         "array<struct<cid:bigint,cn:double,cv:array<double>>>",
     )
     sims = F.transform(
@@ -584,7 +593,10 @@ def _argmin_cid_expr(vec: Column, entries: list[list[float]]) -> Column:
     ``from_json`` constant, so the argmin is a map-only expression: the
     crossJoin+min_by spelling it replaces shuffled one corpus-
     cardinality row WITH the vector payload per iteration (r11)."""
-    cb = F.from_json(F.lit(json.dumps(entries)), "array<array<double>>")
+    # allow_nan=False: see _cell_expr — silent nulling beats no error
+    cb = F.from_json(
+        F.lit(json.dumps(entries, allow_nan=False)), "array<array<double>>"
+    )
     dists = F.transform(
         cb,
         lambda c: F.aggregate(

@@ -161,3 +161,8 @@ def scale_state_partitions(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            # restore-to-default, not leak: without the unset the scoped
+            # value would outlive the context manager whenever conf.get
+            # returned None (ADVICE r11)
+            spark.conf.unset("spark.sql.shuffle.partitions")

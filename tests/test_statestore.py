@@ -102,3 +102,23 @@ def test_rocksdb_scope_restores_previous_provider(spark):
         assert spark.conf.get(_PROVIDER_CONF) == "com.example.CustomProvider"
     finally:
         spark.conf.unset(_PROVIDER_CONF)
+
+
+def test_scale_state_partitions_restores_and_unsets(spark):
+    from prajna_spark.streaming.statestore import scale_state_partitions
+
+    # explicit previous value: restored exactly
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    with scale_state_partitions(spark, est_rows=1_000_000) as parts:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    # the scoped value must never leak past the context manager even in
+    # the prev-is-None branch (ADVICE r11): after an unset, conf.get
+    # falls back to the session default rather than the scoped value
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    default = spark.conf.get("spark.sql.shuffle.partitions", None)
+    with scale_state_partitions(spark, est_rows=10) as parts:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
+    assert spark.conf.get("spark.sql.shuffle.partitions", None) == default
+    # restore the suite's session default
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
