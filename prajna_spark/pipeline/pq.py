@@ -72,6 +72,7 @@ def pq_codebook_trained(
     k: int = K_CODES,
     n_iter: int = 3,
     round_decimals: int = 6,
+    seed: list[list[list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd-TRAINED codebooks (standard PQ — Jegou et al.
     §III.A trains k-means per subspace) seeded from the deterministic
@@ -96,7 +97,11 @@ def pq_codebook_trained(
     is one scan + one narrow shuffle.
     """
     sub = dim // m
-    seed = pq_codebook(emb, id_col, vec_col, dim, m, k)
+    # a caller that already computed the deterministic seed (e.g. to use
+    # the same vectors as coarse-quantizer cells) passes it in instead
+    # of this function re-running the identical k-row collect job (r12)
+    if seed is None:
+        seed = pq_codebook(emb, id_col, vec_col, dim, m, k)
     # tiny corpora (< k vectors) seed fewer entries; train what exists —
     # the same graceful degradation as kmeans_centroids
     k = min(k, len(seed[0]))
@@ -205,31 +210,75 @@ def _sqdist_fold(a: Column, b: Column) -> Column:
     )
 
 
-def pq_code_columns(
+def pq_enc_struct(
     codebook: list[list[list[float]]], vec_col: str = "embedding"
-) -> tuple[Column, Column]:
-    """The PQ encode as pure COLUMN EXPRESSIONS ``(codes, err)`` over
-    ``vec_col`` — codes is array<long> of length m, err the unrounded
+) -> Column:
+    """The PQ encode as ONE pure COLUMN EXPRESSION: a
+    ``struct<codes:array<bigint>, err:double>`` over ``vec_col`` —
+    codes[s] the argmin code of subspace s, err the unrounded summed
     reconstruction error. Map-only by construction, so consumers that
     need codes NEXT TO other per-vector columns project them in place
     instead of joining :func:`pq_encode`'s output back against the
     corpus (that join was a full corpus self-shuffle for what is a
-    per-row expression — r11 optimization, guide §2.4)."""
+    per-row expression — r11, guide §2.4).
+
+    r12 single-traversal shape: the whole codebook rides in as ONE
+    ``from_json`` constant and is referenced ONCE. The per-subspace
+    loop it replaces referenced each subspace's distance array 3x
+    (array_position + array_min + the err chain) — higher-order
+    functions are CodegenFallback, no common-subexpression elimination,
+    so every row paid the m x k x sub_dim distance folds THREE times
+    and the tree carried three copies of the codebook (the r11-measured
+    cold-compile cost). Tie-break unchanged: the strictly-less fold
+    keeps the FIRST minimum == lowest-code; err accumulates in the same
+    left-to-right subspace order ((0.0 + d0) + d1 ... with d >= 0, and
+    +0.0 + x == x bit-exactly).
+
+    Consumers needing BOTH fields must alias the struct in one
+    projection and extract fields in a SECOND (see pq_encode):
+    referencing the struct twice in one select would duplicate the
+    whole fold per row again (CollapseProject leaves the two-step
+    spelling alone — the alias is non-cheap and referenced twice)."""
     m = len(codebook)
     sub_dim = len(codebook[0][0])
     v = F.col(vec_col).cast("array<double>")
-    codes, err = [], None
-    for s in range(m):
-        sub = F.slice(v, s * sub_dim + 1, sub_dim)
-        dists = F.transform(
-            _lit_vecs(codebook[s]), lambda e: _sqdist_fold(sub, e)
-        )
-        best = F.array_min(dists)
-        # first index of the min == lowest-code tie-break
-        codes.append((F.array_position(dists, best) - 1).cast("long"))
-        err = best if err is None else err + best
-    assert err is not None
-    return F.array(*codes), err
+    cb3 = F.from_json(
+        F.lit(json.dumps(codebook, allow_nan=False)),
+        "array<array<array<double>>>",
+    )
+    bests = F.transform(
+        cb3,
+        lambda book_s, s: F.aggregate(
+            F.transform(
+                book_s,
+                lambda e, i: F.struct(
+                    _sqdist_fold(
+                        F.slice(v, s * sub_dim + 1, sub_dim), e
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            ),
+            F.lit(None).cast("struct<d:double,i:int>"),
+            lambda acc, x: F.when(
+                (acc["i"].isNull() & x["d"].isNotNull())
+                | (x["d"] < acc["d"]),
+                x,
+            ).otherwise(acc),
+        ),
+    )
+    return F.aggregate(
+        bests,
+        F.struct(
+            F.array().cast("array<bigint>").alias("codes"),
+            F.lit(0.0).alias("err"),
+        ),
+        lambda acc, b: F.struct(
+            F.concat(acc["codes"], F.array(b["i"].cast("bigint"))).alias(
+                "codes"
+            ),
+            (acc["err"] + b["d"]).alias("err"),
+        ),
+    )
 
 
 def pq_encode(
@@ -241,12 +290,15 @@ def pq_encode(
 ) -> DataFrame:
     """Map-only PQ encode: (id, codes array<long> of length m,
     recon_err). The codebook is folded into literal expressions, so the
-    plan is ONE projection — no join, no shuffle, any corpus size."""
-    codes, err = pq_code_columns(codebook, vec_col)
-    return emb.select(
-        F.col(id_col),
-        codes.alias("codes"),
-        pround(err, err_decimals).alias("recon_err"),
+    plan is ONE projection — no join, no shuffle, any corpus size.
+    Two-step select: the encode struct is evaluated ONCE per row and
+    its fields extracted above (see pq_enc_struct — a single select
+    referencing it twice would run the whole fold twice per row)."""
+    enc = pq_enc_struct(codebook, vec_col)
+    return emb.select(F.col(id_col), enc.alias("__enc")).select(
+        id_col,
+        F.col("__enc.codes").alias("codes"),
+        pround(F.col("__enc.err"), err_decimals).alias("recon_err"),
     )
 
 
@@ -254,21 +306,25 @@ def adc_distance(
     codebook: list[list[list[float]]], q_vec: Column, codes: Column
 ) -> Column:
     """Asymmetric distance: the EXACT query against a candidate's codes —
-    per subspace a k-way CASE on codes[s] selects the codebook entry and
-    the squared-L2 to the query's exact sub-vector (the lookup-table
-    walk); terms chain left-associated."""
-    m = len(codebook)
+    per subspace the codebook entry codes[s] selects and the squared-L2
+    to the query's exact sub-vector (the lookup-table walk); terms sum
+    left-associated in subspace order ((0.0 + d0) + d1 ..., bit-equal to
+    the former d0 + d1 ... chain since d >= 0). r12: the codebook rides
+    in as ONE from_json constant referenced once (was m separate
+    literals)."""
     sub_dim = len(codebook[0][0])
-    adc: Column | None = None
-    for s in range(m):
-        qsub = F.slice(q_vec, s * sub_dim + 1, sub_dim)
-        entry = F.element_at(
-            _lit_vecs(codebook[s]), codes[s].cast("int") + 1
-        )
-        d = _sqdist_fold(qsub, entry)
-        adc = d if adc is None else adc + d
-    assert adc is not None
-    return adc
+    cb3 = F.from_json(
+        F.lit(json.dumps(codebook, allow_nan=False)),
+        "array<array<array<double>>>",
+    )
+    terms = F.transform(
+        cb3,
+        lambda book_s, s: _sqdist_fold(
+            F.slice(q_vec, s * sub_dim + 1, sub_dim),
+            F.element_at(book_s, F.element_at(codes, s + 1).cast("int") + 1),
+        ),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def pq_adc_recall(
@@ -290,7 +346,6 @@ def pq_adc_recall(
     pair frame is |queries| * N with narrow payloads."""
     from pyspark.sql import Window
 
-    codes_col, _ = pq_code_columns(codebook, vec_col)
     # codes are a per-row expression — project them next to the full
     # vector instead of joining pq_encode's output back on id (that was
     # a corpus-sized self-join for a map-only computation; same rows,
@@ -298,7 +353,7 @@ def pq_adc_recall(
     cand = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-        codes_col.alias("codes"),
+        pq_enc_struct(codebook, vec_col)["codes"].alias("codes"),
     )
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
@@ -374,28 +429,36 @@ def ivf_pq_search(
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
-    cell_dists = F.transform(
+    # per-query probe-ranking AND cell-assignment share this cid lookup
+    cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in centroids])
+    # coarse cell assignment: first minimum of the per-centroid squared-
+    # L2, in centroid-list order — one traversal, constant referenced
+    # once (the array_position(array_min) spelling evaluated the
+    # distance transform twice per row; see pq_enc_struct)
+    cents_scored = F.transform(
         _lit_vecs([ce for _, ce in centroids]),
-        lambda ce: _sqdist_fold(v, ce),
+        lambda ce, i: F.struct(
+            _sqdist_fold(v, ce).alias("d"),
+            F.element_at(cid_arr, i + 1).alias("cid"),
+        ),
     )
-    cell_ids = [cid for cid, _ in centroids]
-    cell = F.element_at(
-        F.array(*[F.lit(c) for c in cell_ids]),
-        F.array_position(cell_dists, F.array_min(cell_dists)).cast("int"),
-    ).cast("long")
+    cell = F.aggregate(
+        cents_scored,
+        F.lit(None).cast("struct<d:double,cid:bigint>"),
+        lambda acc, x: F.when(
+            (acc["cid"].isNull() & x["d"].isNotNull()) | (x["d"] < acc["d"]),
+            x,
+        ).otherwise(acc),
+    )["cid"]
 
-    codes_col, _ = pq_code_columns(codebook, vec_col)
     # cell id and codes are both per-row expressions — one projection,
     # no corpus self-join (id_col unique, so rows are identical to the
     # former pq_encode join)
     indexed = emb.select(
         F.col(id_col).alias("cand_id"),
         cell.alias("cell"),
-        codes_col.alias("codes"),
+        pq_enc_struct(codebook, vec_col)["codes"].alias("codes"),
     )
-
-    # per-query probe list: nprobe nearest cells by the same coarse metric
-    cid_arr = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in centroids])
     probe_structs = F.transform(
         _lit_vecs([ce for _, ce in centroids]),
         lambda ce, i: F.struct(

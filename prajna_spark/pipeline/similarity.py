@@ -191,13 +191,25 @@ def _cell_expr(
     entries: list[dict], vec: Column, vn: Column, sim_decimals: int
 ) -> Column:
     """Nearest-centroid id for ONE row as a pure expression: rounded
-    cosine against each entry (ascending cid), ``array_position`` of the
-    max takes the FIRST maximum — exactly the former
-    (sim desc, centroid_id asc) tie-break. The centroid table rides in
-    as ``from_json`` over one string literal (constant-folded; see
-    pq._lit_vecs), so the assignment is MAP-ONLY: the previous max_by
-    spelling still shuffled corpus-cardinality partial rows WITH vector
-    payloads through its aggregate exchange (r11, guide §2.4)."""
+    cosine against each entry (ascending cid), first maximum — exactly
+    the former (sim desc, centroid_id asc) tie-break. The centroid
+    table rides in as ``from_json`` over one string literal
+    (constant-folded; see pq._lit_vecs), so the assignment is MAP-ONLY:
+    the previous max_by spelling still shuffled corpus-cardinality
+    partial rows WITH vector payloads through its aggregate exchange
+    (r11, guide §2.4).
+
+    r12: ONE traversal. The former ``array_position(sims,
+    array_max(sims))`` spelling referenced ``sims`` twice and the
+    constant three times — higher-order functions are CodegenFallback
+    (no common-subexpression elimination), so every row paid the K x
+    dim cosine fold TWICE, and the analyzed tree carried three copies
+    of the constant (the r11-measured cold-compile cost). The
+    strictly-greater left fold below keeps the FIRST maximum —
+    identical tie-break — and Spark's NaN-safe comparison (NaN greater
+    than everything, first NaN kept) matches array_max's ordering; the
+    null-entry guard reproduces array_max's null-skipping (an all-null
+    sims column yields a null cid either way)."""
     # allow_nan=False: a non-finite centroid value would otherwise emit
     # a NaN/Infinity token that PERMISSIVE from_json nulls out silently
     # (every row would get a null centroid_id) — fail fast (ADVICE r11)
@@ -205,12 +217,25 @@ def _cell_expr(
         F.lit(json.dumps(entries, allow_nan=False)),
         "array<struct<cid:bigint,cn:double,cv:array<double>>>",
     )
-    sims = F.transform(
-        cb, lambda e: pround(dot(vec, e["cv"]) / (vn * e["cn"]), sim_decimals)
+    scored = F.transform(
+        cb,
+        lambda e: F.struct(
+            pround(dot(vec, e["cv"]) / (vn * e["cn"]), sim_decimals).alias(
+                "s"
+            ),
+            e["cid"].alias("cid"),
+        ),
     )
-    return F.element_at(
-        cb, F.array_position(sims, F.array_max(sims)).cast("int")
-    )["cid"]
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<s:double,cid:bigint>"),
+        lambda acc, x: F.when(
+            (acc["cid"].isNull() & x["s"].isNotNull())
+            | (x["s"] > acc["s"]),
+            x,
+        ).otherwise(acc),
+    )
+    return best["cid"]
 
 
 def ivf_assign(
@@ -587,25 +612,42 @@ def kmeans_centroids(
 
 def _argmin_cid_expr(vec: Column, entries: list[list[float]]) -> Column:
     """0-based index of the nearest entry by left-folded squared-L2 —
-    ``array_position`` of the first minimum realizes the former
-    min_by-(d2, centroid_id) tie-break exactly (entries are in ascending
-    centroid-id order == array order). The entry table is a
-    ``from_json`` constant, so the argmin is a map-only expression: the
-    crossJoin+min_by spelling it replaces shuffled one corpus-
-    cardinality row WITH the vector payload per iteration (r11)."""
+    first minimum realizes the former min_by-(d2, centroid_id)
+    tie-break exactly (entries are in ascending centroid-id order ==
+    array order). The entry table is a ``from_json`` constant, so the
+    argmin is a map-only expression: the crossJoin+min_by spelling it
+    replaces shuffled one corpus-cardinality row WITH the vector
+    payload per iteration (r11).
+
+    r12: ONE traversal via a strictly-less left fold (see _cell_expr —
+    the array_position(array_min) spelling evaluated the K x dim
+    distance fold twice per row and put two copies of the constant in
+    the tree). First minimum kept on ties; d2 is a finite sum of
+    squares, and the null guard matches array_min's null-skipping."""
     # allow_nan=False: see _cell_expr — silent nulling beats no error
     cb = F.from_json(
         F.lit(json.dumps(entries, allow_nan=False)), "array<array<double>>"
     )
-    dists = F.transform(
+    scored = F.transform(
         cb,
-        lambda c: F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
         ),
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    best = F.aggregate(
+        scored,
+        F.lit(None).cast("struct<d:double,i:int>"),
+        lambda acc, x: F.when(
+            (acc["i"].isNull() & x["d"].isNotNull()) | (x["d"] < acc["d"]),
+            x,
+        ).otherwise(acc),
+    )
+    return best["i"]
 
 
 def _kmeans_lloyd(

@@ -39,7 +39,15 @@ def _dot_terms(a: str, b: str, d: int = DIM) -> str:
     return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, d + 1)) + ")"
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan WITHOUT the corpus fan-out: the right frame
+    for K-row SLICES that feed a driver collect (_centroid_entries, the
+    PQ seed codebook) or a tiny broadcast build (query sets) — routing
+    those through fan_out's repartition paid a 32-task exchange per
+    collect/broadcast job just to fetch a handful of rows (measured
+    r12: ann_ivf_topk's centroid-collect build step 1.15 s warm, the
+    single biggest piece of its cold-path regression). Same rows, same
+    values — only the tiny jobs' plans change."""
     tune(spark)
     # embedding rows carry a dim-wide float array each, and the cell/
     # assignment stages (semdedup, IVF training) explode them by dim or
@@ -50,13 +58,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_shuffle_partitions(
         spark, sf_dir, table="embeddings", rows_per_partition=500
     )
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf0.1 table is ONE parquet file -> one scan split, and the
     # vector tier's heavy work is MAP-SIDE (PQ encode / ADC / centroid
     # assignment fold the codebooks into per-row literal expressions):
     # without a fan-out the whole corpus pass runs on one core no matter
     # how many exist (measured: pq_encode 5.4s -> ~1s). Conditional, so
     # a many-split 100 TB table never pays the shuffle.
-    return fan_out(load_table(spark, "embeddings", sf_dir))
+    return fan_out(_emb_raw(spark, sf_dir))
 
 
 @query(
@@ -87,8 +99,13 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline (pipeline.similarity.knn_bruteforce): query side
     broadcast, candidates scored in place, per-query window top-k."""
     emb = _emb(spark, sf_dir)
+    # query slice off the RAW scan: the broadcast build job reads 5 rows
+    # and should not pay the corpus fan-out's exchange (same rows)
     return similarity.knn_bruteforce(
-        emb, emb.where(F.col("vec_id") < 5), k=10, sim_decimals=6
+        emb,
+        _emb_raw(spark, sf_dir).where(F.col("vec_id") < 5),
+        k=10,
+        sim_decimals=6,
     )
 
 
@@ -232,10 +249,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid_id; both centroid passes are broadcast, so the plan scales to
     arbitrarily many indexed vectors."""
     emb = _emb(spark, sf_dir)
+    # centroid/query slices off the RAW scan: the 16-row centroid
+    # COLLECT (the map-only assignment's driver read) and the 5-row
+    # query broadcast should not pay the corpus fan-out's exchange —
+    # that repartition made the collect job the largest piece of this
+    # query's cold build cost (r12 cold_probe; same rows, same values)
+    raw = _emb_raw(spark, sf_dir)
     return similarity.knn_ivf(
         vectors=emb,
-        queries=emb.where(F.col("vec_id") < 5),
-        centroids=emb.where(F.col("vec_id") < 16),
+        queries=raw.where(F.col("vec_id") < 5),
+        centroids=raw.where(F.col("vec_id") < 16),
         k=10,
         nprobe=4,
     )
@@ -258,13 +281,16 @@ def search_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.pipeline.similarity import build_ivf_index, search_ivf_index
 
     emb = _emb(spark, sf_dir)
-    cent = emb.where(F.col("vec_id") < 16)
+    # raw slices for the centroid collect + query/probe broadcasts
+    # (see ann_ivf_topk; same rows)
+    raw = _emb_raw(spark, sf_dir)
+    cent = raw.where(F.col("vec_id") < 16)
     path = tempfile.mkdtemp(prefix="ivf_index_q_") + "/index"
     build_ivf_index(emb, cent, path)
     return search_ivf_index(
         spark,
         path,
-        queries=emb.where(F.col("vec_id") < 5),
+        queries=raw.where(F.col("vec_id") < 5),
         centroids=cent,
         k=10,
         nprobe=4,
@@ -373,7 +399,8 @@ def quantized_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN legs are the broadcast-queries brute-force operator; the hit
     count is the same semi-join shape as ann_recall_eval."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.where(F.col("vec_id") < 5)
+    # query slice off the RAW scan (see knn_bruteforce_cosine; same rows)
+    queries_df = _emb_raw(spark, sf_dir).where(F.col("vec_id") < 5)
     qz = similarity.quantize_int8(emb, "embedding", "q8")
     deq = qz.select(
         "vec_id",
@@ -628,9 +655,12 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     my label' check an embedding pipeline runs after every retrain;
     everything JVM-side, labels broadcast twice (queries + neighbours)."""
     emb = _emb(spark, sf_dir)
-    labels = emb.select("vec_id", "label")
+    # raw slices for the query/label broadcast builds (see
+    # knn_bruteforce_cosine; same rows)
+    raw = _emb_raw(spark, sf_dir)
+    labels = raw.select("vec_id", "label")
     knn = similarity.knn_bruteforce(
-        emb, emb.where(F.col("vec_id") < 20), k=10, sim_decimals=6
+        emb, raw.where(F.col("vec_id") < 20), k=10, sim_decimals=6
     )
     joined = (
         knn.join(
@@ -721,8 +751,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment monitors after (re)building its index. Composed from the
     two existing verified operators plus a semi-join-shaped hit count."""
     emb = _emb(spark, sf_dir)
-    queries_df = emb.where(F.col("vec_id") < 5)
-    cents = emb.where(F.col("vec_id") < 16)
+    # raw slices for the centroid collect + query broadcasts (see
+    # ann_ivf_topk; same rows)
+    raw = _emb_raw(spark, sf_dir)
+    queries_df = raw.where(F.col("vec_id") < 5)
+    cents = raw.where(F.col("vec_id") < 16)
     exact = similarity.knn_bruteforce(emb, queries_df, k=10, sim_decimals=6).select(
         "query_id", "neighbor_id"
     )
@@ -984,8 +1017,12 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
+    # the deterministic k-row seed collect runs off the RAW scan (no
+    # corpus fan-out exchange in a 16-row driver read; same rows)
+    seed = pq.pq_codebook(_emb_raw(spark, sf_dir), dim=DIM, m=_PQ_M, k=_PQ_K)
     cb = pq.pq_codebook_trained(
-        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6,
+        seed=seed,
     )
     enc = pq.pq_encode(emb, cb)
     return enc.select(
@@ -1071,8 +1108,11 @@ def pq_adc_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
+    # seed collect off the RAW scan (see pq_encode_embeddings)
+    seed = pq.pq_codebook(_emb_raw(spark, sf_dir), dim=DIM, m=_PQ_M, k=_PQ_K)
     cb = pq.pq_codebook_trained(
-        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6,
+        seed=seed,
     )
     return pq.pq_adc_recall(emb, cb, n_queries=20, k=10)
 
@@ -1158,10 +1198,16 @@ def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prajna_spark.pipeline import pq
 
     emb = _emb(spark, sf_dir)
+    # ONE seed collect (off the RAW scan) feeds BOTH the trained
+    # codebook's init and the coarse-quantizer cells — this query used
+    # to run the identical 16-row collect job twice (r12)
+    seeds = pq.pq_codebook(
+        _emb_raw(spark, sf_dir), dim=DIM, m=_PQ_M, k=_PQ_K
+    )  # lowest-id vectors
     cb = pq.pq_codebook_trained(
-        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6
+        emb, dim=DIM, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, round_decimals=6,
+        seed=seeds,
     )
-    seeds = pq.pq_codebook(emb, dim=DIM, m=_PQ_M, k=_PQ_K)  # lowest-id vectors
     centroids = [
         (c, [x for s in range(_PQ_M) for x in seeds[s][c]]) for c in range(_PQ_K)
     ]
