@@ -136,22 +136,39 @@ def pq_codebook_trained(
         sv = scoped_persist(sv)  # n_iter scans of the exploded frame
         for _ in range(n_iter):
             # map-only argmin: book[s] rides in as element_at of ONE
-            # from_json constant; first minimum == min_by (d2, cid)
+            # from_json constant; first minimum == min_by (d2, cid).
+            # Single-traversal fold (r12): the array_position(array_min)
+            # spelling referenced the distance array twice — no CSE for
+            # CodegenFallback higher-order functions, so each exploded
+            # row paid the k x sub_dim fold twice (see pq_enc_struct).
             cb = F.from_json(
                 F.lit(json.dumps(book, allow_nan=False)),
                 "array<array<array<double>>>",
             )
-            dists = F.transform(
+            scored = F.transform(
                 F.element_at(cb, F.col("s") + 1),
-                lambda e: _sqdist_fold(F.col("sv"), e),
+                lambda e, i: F.struct(
+                    _sqdist_fold(F.col("sv"), e).alias("d"), i.alias("i")
+                ),
             )
-            assigned = sv.select(
-                "s",
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias("cid"),
-                "sv",
+            best = F.aggregate(
+                scored,
+                F.lit(None).cast("struct<d:double,i:int>"),
+                lambda acc, x: F.when(
+                    (acc["i"].isNull() & x["d"].isNotNull())
+                    | (x["d"] < acc["d"]),
+                    x,
+                ).otherwise(acc),
             )
+            assigned = sv.select("s", best["i"].alias("cid"), "sv")
+            # posexplode + two-level aggregate, deliberately: the
+            # dim-fold explosion is MAP-SIDE and partial-aggregated
+            # before the exchange (the shuffle carries m*k*sub_dim mean
+            # cells). A "one aggregation" spelling with sub_dim parallel
+            # avg(element_at) aggregates was tried in r12 and measured
+            # WORSE at sf0.1 (1.4x on ivf_pq; 5x on the 64-dim kmeans
+            # variant of the same rewrite — aggregate-buffer fields past
+            # codegen's limit drop the stage to interpreted mode).
             means = (
                 assigned.select("s", "cid", F.posexplode("sv").alias("dim", "x"))
                 .groupBy("s", "cid", "dim")

@@ -665,6 +665,16 @@ def _kmeans_lloyd(
         (i, list(r["__v"]))
         for i, r in enumerate(v.orderBy("__id").limit(k).collect())
     ]
+    if not cents:
+        return cents  # empty corpus: nothing to train
+    # NOTE (r12, measured-rejection): a "one aggregation" spelling with
+    # dim parallel avg(element_at(__v, i)) aggregates was tried and is
+    # 5x SLOWER at sf0.1 (bench_ab, control in-band): 64 avg aggregates
+    # mean 128 aggregate-buffer fields, past codegen's field limit — the
+    # whole stage (including the per-row argmin fold) drops to
+    # interpreted mode. The posexplode shape below is already scale-
+    # safe: the dim-fold explosion is MAP-SIDE and partial-aggregated
+    # before the exchange, so the shuffle carries k*dim cells.
     for _ in range(n_iter):
         # per-vector argmin is a map-only expression over the constant
         # centroid table — the former crossJoin(broadcast)+min_by hash
