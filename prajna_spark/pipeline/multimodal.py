@@ -732,6 +732,18 @@ def dhash_hamming_pairs(
     job (r10 advisory)."""
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole exactness needs max_hamming < n_bands")
+    from prajna_spark.operators.lifecycle import scoped_local_checkpoint
+
+    # Eager checkpoint: ``hashes`` feeds FIVE consumers below (uniq,
+    # both doc-expansion sides, both sides of the same-hash self-join).
+    # When the input is image_dhash's output, each racing consumer
+    # re-ran the whole synthesize->decode->dHash Python pipeline
+    # (profiled r12 at sf0.1: three concurrent 4.3-4.9 s 32-task
+    # stages, stage-sum 14.7 s for 9.1 s wall). The checkpointed frame
+    # is 16 bytes/row — the guide-§8 "decide with small rows" proxy —
+    # so materializing it once is strictly cheaper than ONE re-run of
+    # the decode at any scale.
+    hashes = scoped_local_checkpoint(hashes)
     uniq = hashes.select("dhash").distinct()
     bands = uniq.select(
         "dhash",
