@@ -60,7 +60,8 @@ def label_propagation(
         .select("nid", F.col("nid").alias("lbl"))
         .transform(scoped_local_checkpoint)
     )
-    for _ in range(n_iter):
+    last_ckpt = labels
+    for i in range(n_iter):
         nbr = sym.join(
             labels.hint("SHUFFLE_HASH"), sym.b == labels.nid
         ).select(F.col("a").alias("node"), "lbl")
@@ -69,16 +70,24 @@ def label_propagation(
         # the (-count, label) composite realizes the same
         # (count desc, label asc) tie-break, partial-aggregates map-side,
         # and skips the window's per-partition sort (r11)
-        nxt = (
-            counts.groupBy(F.col("node").alias("nid"))
-            .agg(
-                F.min_by(
-                    "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
-                ).alias("lbl")
-            )
-            .transform(scoped_local_checkpoint)
+        nxt = counts.groupBy(F.col("node").alias("nid")).agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+            ).alias("lbl")
         )
-        release_local_checkpoint(labels)
+        # checkpoint every SECOND generation (and the last): each label
+        # frame has exactly ONE consumer (the next round's join), so an
+        # odd generation can stay lazy — its join+aggregates execute
+        # once, inside the next checkpoint's job — halving the blocking
+        # materializations and job dispatches per run (r12, guide §2.4;
+        # the VERDICT item-5 "batch 2 rounds per checkpoint" lever).
+        # Lineage depth stays <= 2 rounds, far under Catalyst's ~15-
+        # round stack limit, and checkpoint placement cannot change
+        # values (integer label counting, no nondeterminism to pin).
+        if i % 2 == 1 or i == n_iter - 1:
+            nxt = nxt.transform(scoped_local_checkpoint)
+            release_local_checkpoint(last_ckpt)
+            last_ckpt = nxt
         labels = nxt
     # the edge checkpoint is EDGE-cardinality — the one frame here whose
     # leak compounds across queries in a shared session (found live:
