@@ -691,7 +691,7 @@ def jaccard_similarity_join(
     """
     from prajna_spark.operators.zipindex import zip_with_index
 
-    sets = scoped_persist(word_shingle_sets(docs, id_col, text_col, gram))
+    sets = scoped_local_checkpoint(word_shingle_sets(docs, id_col, text_col, gram))
     vocab = (
         sets.select(F.explode("__ss").alias("sh"))
         .groupBy("sh")
