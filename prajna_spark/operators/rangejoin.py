@@ -35,6 +35,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bin_width: int,
+    spread_points: int | None = None,
 ) -> DataFrame:
     """Inner-join ``points`` x ``intervals`` on
     ``start_col <= point_col <= end_col`` (all integral columns in one
@@ -42,10 +43,31 @@ def interval_join(
 
     Returns one row per qualifying pair carrying the columns of both
     inputs (names must not collide).
+
+    ``spread_points``: explicit partition count for the points side
+    before the join. The probe's COMPUTE is pair-cardinality (every
+    point scans its bin's candidate intervals) while the points side's
+    BYTES can be tiny — a distinct-day frame is a few KB at any data
+    size — so AQE's byte-based coalescing serializes the whole
+    containment probe into one task (measured r12 at the 10x fixture:
+    10.3 s single-task probe in a 12.9 s query, core-count ratio 1.0).
+    Callers whose points side is bounded pass an INPUT-scaled count
+    (the r11 rolling_distinct pattern, guide §2.5); a repartition
+    before an inner join cannot change its rows.
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be a positive integer")
     p = points.withColumn(_BIN, F.floor(F.col(point_col) / bin_width))
+    if spread_points:
+        # keyless ROUND-ROBIN, deliberately: a hash repartition on
+        # point_col is removed as redundant when the caller's points
+        # frame is already hash-partitioned on that key (e.g. by a
+        # distinct), and the surviving ENSURE_REQUIREMENTS exchange is
+        # then AQE-coalesced right back to one task. REPARTITION_BY_NUM
+        # round-robin is never elided or coalesced; the pre-repartition
+        # local sort (sortBeforeRepartition, retry-determinism) is paid
+        # on the tiny points frame only.
+        p = p.repartition(spread_points)
     i = intervals.withColumn(
         _BIN,
         F.explode(

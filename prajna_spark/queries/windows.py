@@ -647,7 +647,26 @@ def range_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bin width ~ max interval length (31 days) => each interval lands in
     # at most 3 bins; replication stays ~2x.
-    joined = interval_join(points, "d", iv, "s", "e", bin_width=16)
+    # the points side is a distinct-DAY frame — a few KB forever — while
+    # probe compute grows with the orders side: spread it or the single
+    # AQE-coalesced probe task serializes the whole pair scan (measured
+    # r12 at 10x: 10.3 s single-task probe; 2.7 s spread). The count is
+    # INPUT-derived (~35k intervals of probe work per task, cap 2048 —
+    # the scale_shuffle_partitions sizing), NOT the core count: a fixed
+    # 32-way spread measured +0.7 s at sf0.1 where the whole probe is
+    # ~0.6 s of work (task scheduling + per-task broadcast access
+    # dominate), while 4 tasks there is break-even and the count grows
+    # linearly with data (guide §2.5).
+    import os as _os
+
+    from prajna_spark.streaming.statestore import parquet_row_estimate
+
+    est = parquet_row_estimate(_os.path.join(sf_dir, "orders.parquet"))
+    n_spread = min(2048, est // 35_000)
+    joined = interval_join(
+        points, "d", iv, "s", "e", bin_width=16,
+        spread_points=n_spread if n_spread > 1 else None,
+    )
     return joined.groupBy("d").agg(
         F.count(F.lit(1)).alias("n_open_orders")
     ).select(F.col("d").alias("ship_day"), "n_open_orders")
