@@ -144,3 +144,22 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert all(-127 <= c <= 127 for c in codes)
         for x, c in zip(vec, codes):
             assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+def test_ivf_assign_tie_breaks_to_lowest_centroid_id(spark):
+    # r12 single-traversal fold in _cell_expr: on EXACT rounded-cosine
+    # ties the lowest centroid id must win (the former
+    # array_position(array_max) first-maximum contract).
+    from prajna_spark.pipeline.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(3, [2.0, 0.0]), (7, [2.0, 0.0]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.centroid_id for r in ivf_assign(vecs, cents).collect()}
+    # vec 10 ties between centroids 3 and 7 (identical vectors): 3 wins
+    assert got == {10: 3, 11: 5}

@@ -153,3 +153,20 @@ def test_ivf_pq_matches_local_model(spark):
         assert [(rk, i) for rk, i, _ in have] == [(rk, i) for rk, i, _ in want], q
         for (_, _, da), (_, _, dw) in zip(have, want):
             assert abs(da - dw) < 1e-9
+
+
+def test_enc_struct_tie_breaks_to_lowest_code(spark):
+    # r12 single-traversal fold: on EXACT distance ties the first (lowest)
+    # code must win — the contract the array_position(array_min) spelling
+    # realized and the strictly-less fold must preserve.
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    # duplicate entries per subspace: indexes 0 and 1 are equidistant
+    cb = [
+        [[1.0, 2.0], [1.0, 2.0], [9.0, 9.0]],
+        [[5.0, 5.0], [1.0, 2.0], [1.0, 2.0]],
+    ]
+    row = pq_encode(df, cb).collect()[0]
+    assert list(row.codes) == [0, 1]  # first minimum in each subspace
+    assert row.recon_err == 0.0

@@ -53,3 +53,27 @@ def test_interval_join_plan_is_equi_join(spark):
         .lower()
     )
     assert "nestedloop" not in plan and "cartesian" not in plan
+
+
+def test_interval_join_spread_points_same_pairs(spark):
+    # r12: the opt-in probe-side spread (round-robin repartition) must be
+    # result-invariant — a repartition before an inner join cannot change
+    # its rows — while spreading the containment scan across tasks.
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(0, 300)) for i in range(120)]
+    ivs = [
+        (j, s, s + rng.randrange(0, 40))
+        for j, s in ((j, rng.randrange(0, 300)) for j in range(90))
+    ]
+    p = spark.createDataFrame(pts, "pid int, d long")
+    iv = spark.createDataFrame(ivs, "iid int, s long, e long")
+    plain = {
+        (r.pid, r.iid)
+        for r in interval_join(p, "d", iv, "s", "e", bin_width=16).collect()
+    }
+    spread = interval_join(
+        p, "d", iv, "s", "e", bin_width=16, spread_points=8
+    )
+    assert {(r.pid, r.iid) for r in spread.collect()} == plain
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan  # the spread survives optimization

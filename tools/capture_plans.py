@@ -11,7 +11,9 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# the tree THIS file sits in, not a hardcoded path — so the tool can
+# capture an old tree's plans from a git-archive copy (r12)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from prajna_spark.operators.lifecycle import persist_scope  # noqa: E402
 from prajna_spark.queries import queries  # noqa: E402
